@@ -1,10 +1,9 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Thin adapter over the engine's workload registry
+(`sample_data_pipeline_project_spark.workloads`): every implemented
+operator from SURVEY.md §2 registers there as a named Spark builder plus
+(when SQL-expressible) a DuckDB oracle string.
 """
 
 from __future__ import annotations
@@ -13,26 +12,33 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from sample_data_pipeline_project_spark.ledger.derive import derived_ledger
+from sample_data_pipeline_project_spark.ledger.tasks import overlap_input_df
+from sample_data_pipeline_project_spark.workloads import load_all
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: the reference's
+    highest-value operator (find_overlapping_records_for_input,
+    overlap_checks.py:4-107) over the derived pipeline-run ledger —
+    day-band prune + exact half-open interval overlap."""
+    ledger = derived_ledger(spark, "/root/testdata/sf0.001")
+    return overlap_input_df(
+        ledger,
+        pipeline_name="view",
+        index_name="idx_0",
+        start_ts="2024-01-05T00:00:00",
+        end_ts="2024-01-15T00:00:00",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return {name: w.fn for name, w in load_all().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """Equivalent ANSI SQL per query, runnable by DuckDB on the same
+    parquet tables. Non-SQL-expressible ops are omitted (driver records a
+    rows-only check)."""
+    return {name: w.oracle for name, w in load_all().items() if w.oracle is not None}

@@ -1,0 +1,84 @@
+"""SparkSession lifecycle + engine configuration.
+
+Replaces the reference's connection handling
+(`snowflake_utils/snowflake_query_client.py:83-116`: lazy connect +
+reuse-if-open) with the Spark-native equivalent: a process-wide
+`SparkSession` built through `getOrCreate()`. Namespace switching
+(`USE DATABASE` / `USE SCHEMA`, snowflake_query_client.py:151-152) maps to
+`spark.catalog.setCurrentDatabase` / multipart names; here we expose a
+helper for it.
+
+Configuration is chosen for scale-out semantics even though tests run on
+local[N]:
+  - AQE on (runtime re-plan: shuffle coalescing, skew-join splitting,
+    dynamic broadcast conversion),
+  - UTC session timezone (stable timestamp semantics vs. any oracle),
+  - Arrow for any toPandas/pandas-UDF edge,
+  - shuffle partitions sized to the local core count rather than the
+    200 default (at cluster scale this is overridden per-deploy).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+_DEFAULTS = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Keep planner stats honest on raw parquet dirs.
+    "spark.sql.parquet.filterPushdown": "true",
+    # local[N] runs single-JVM; cap UI/noise.
+    "spark.ui.enabled": "false",
+    "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+}
+
+
+def _cpus() -> int:
+    env = os.environ.get("SPARK_GRAFT_CPUS")
+    if env:
+        try:
+            return max(1, int(env))
+        except ValueError:
+            pass
+    return os.cpu_count() or 8
+
+
+def get_spark(
+    app_name: str = "sample_data_pipeline_project_spark",
+    master: str | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Get-or-create the engine session (reference A28: connection reuse)."""
+    builder = SparkSession.builder.appName(app_name)
+    builder = builder.master(master or f"local[{_cpus()}]")
+    conf = dict(_DEFAULTS)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def stop_spark() -> None:
+    """Tear down the active session (tests / process exit)."""
+    active = SparkSession.getActiveSession()
+    if active is not None:
+        active.stop()
+
+
+def use_namespace(spark: SparkSession, database: str, schema: str | None = None) -> None:
+    """Spark-native `USE DATABASE`/`USE SCHEMA`
+    (reference: snowflake_query_client.py:151-152, A27).
+
+    Spark's catalog has a single namespace level per catalog; we map the
+    reference's (database, schema) pair onto `database_schema` when both
+    are given.
+    """
+    ns = f"{database}_{schema}" if schema else database
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS {ns}")
+    spark.catalog.setCurrentDatabase(ns)

@@ -1,0 +1,59 @@
+"""Text column expressions — B4 text-analysis primitives.
+
+Tokenization, stopword scoring, n-gram shingling, and portable hashing,
+all as JVM-side expressions (split/filter/transform higher-order
+functions). Hashing uses md5 hex strings rather than murmur ints so the
+DuckDB oracle computes byte-identical values (Spark's `hash()` and
+DuckDB's `hash()` are different algorithms; md5 is md5 everywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Minimal per-language stopword sets for the n-gram/stopword lang-id
+# heuristic. Ordered dict: ties broken by this order (deterministic).
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "it"),
+    "es": ("el", "la", "de", "que", "y", "en", "un", "es"),
+    "fr": ("le", "la", "de", "et", "un", "en", "est", "que"),
+    "de": ("der", "die", "das", "und", "ist", "ein", "zu", "den"),
+    "zh": ("的", "了", "是", "在", "我", "有", "和", "不"),
+}
+
+
+def tokens(text: str | Column) -> Column:
+    """Whitespace tokenization of trimmed, lowercased text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text: str | Column) -> Column:
+    return F.size(tokens(text))
+
+
+def _in_list_pred(items: tuple[str, ...]) -> str:
+    quoted = ", ".join(f"'{w}'" for w in items)
+    return f"t -> t IN ({quoted})"
+
+
+def stopword_count(tokens_col: str, lang: str = "en") -> Column:
+    """Count of tokens that are stopwords of `lang` (JVM-side filter)."""
+    pred = _in_list_pred(LANG_STOPWORDS[lang])
+    return F.expr(f"size(filter({tokens_col}, {pred}))")
+
+
+def word_ngrams(tokens_col: str, n: int) -> Column:
+    """Word n-gram shingles: transform over a 0..len-n index range, joining
+    n consecutive tokens with a space."""
+    return F.expr(
+        f"transform(sequence(1, greatest(size({tokens_col}) - {n - 1}, 0)), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ' '))"
+    )
+
+
+def md5_fingerprint(text: str | Column) -> Column:
+    """Portable document fingerprint: md5 of normalized text."""
+    c = F.col(text) if isinstance(text, str) else text
+    return F.md5(F.lower(F.trim(c)))

@@ -1,0 +1,48 @@
+"""Timestamp handling.
+
+The reference round-trips timestamps as ISO-8601 strings across its API
+boundary (reference: snowflake_tasks.py:213-216, overlap_checks.py:42-43).
+Inside this engine everything is `TIMESTAMP_NTZ` (wall-clock, no zone) so
+results are independent of the session timezone and byte-identical to any
+naive-timestamp oracle (DuckDB, pandas); formatting to ISO happens only at
+the API edge (`ledger.tasks`).
+
+`events.parquet` in the driver testdata is written with parquet
+TIMESTAMP(NANOS) which Spark's vectorized reader rejects outright
+([PARQUET_TYPE_ILLEGAL]). With `spark.sql.legacy.parquet.nanosAsLong=true`
+the column arrives as epoch-nanoseconds LongType; `ns_epoch_to_ntz` converts
+that to TIMESTAMP_NTZ *without any timezone math*:
+
+  days  = ns div 86_400e9                      (exact integer arithmetic)
+  since = (ns div 1000) mod 86_400e6 micros    (truncation, matching DuckDB's
+                                                ns->us truncation)
+  ntz   = epoch + make_dt_interval(days, 0, 0, micros/1e6 as DECIMAL)
+
+The seconds argument is DECIMAL so no double rounding occurs; verified
+bit-exact against DuckDB on the full events table.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+NANOS_AS_LONG_CONF = "spark.sql.legacy.parquet.nanosAsLong"
+
+# SQL fragment template: {c} is the epoch-nanoseconds BIGINT column name.
+NS_EPOCH_TO_NTZ_SQL = (
+    "TIMESTAMP_NTZ '1970-01-01 00:00:00' + make_dt_interval("
+    "CAST({c} div 86400000000000 AS INT), 0, 0, "
+    "CAST(({c} div 1000) % 86400000000 AS DECIMAL(20,6)) / 1000000)"
+)
+
+
+def ns_epoch_to_ntz(col_name: str) -> Column:
+    """Epoch-nanoseconds BIGINT column -> TIMESTAMP_NTZ (truncating to us)."""
+    return F.expr(NS_EPOCH_TO_NTZ_SQL.format(c=col_name))
+
+
+def iso_format(col: Column) -> Column:
+    """TIMESTAMP_NTZ -> ISO-8601 string, the reference's API edge format
+    (reference: snowflake_tasks.py:213-216 `.isoformat()`)."""
+    return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")

@@ -1,0 +1,58 @@
+"""Vector (embedding) column expressions — B3 similarity primitives.
+
+Embeddings are `array<float>` columns. All math happens JVM-side through
+higher-order functions (`zip_with` + `aggregate`) — no UDF, no Python
+round-trip, codegen-friendly.
+
+Determinism: elements are cast float->double (exact), multiplied per index
+(IEEE, deterministic), then summed by a LEFT FOLD — a fixed evaluation
+order, so results are bit-identical run-to-run and engine-to-engine (the
+DuckDB oracle mirrors the same fold via list_reduce). That matters because
+floating-point addition is not associative; a tree-reduction would produce
+a different (equally "correct") value and break value-hash comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Left-fold dot product over two array<float> columns -> double.
+DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+    "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+)
+
+
+def dot(a: str, b: str) -> Column:
+    return F.expr(DOT_SQL.format(a=a, b=b))
+
+
+def norm(a: str) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine(a: str, b: str) -> Column:
+    """Cosine similarity = dot / (|a| * |b|)."""
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+# DuckDB twins (oracle SQL fragments) — the SAME left fold, so values match
+# bit-for-bit. list_zip yields unnamed structs; fields accessed by index.
+DUCK_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+    "list_transform(list_zip({a}, {b}), "
+    "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))),"
+    "(acc, v) -> acc + v)"
+)
+
+
+def duck_dot(a: str, b: str) -> str:
+    return DUCK_DOT_SQL.format(a=a, b=b)
+
+
+def duck_cosine(a: str, b: str) -> str:
+    return (
+        f"({duck_dot(a, b)} / "
+        f"(SQRT({duck_dot(a, a)}) * SQRT({duck_dot(b, b)})))"
+    )

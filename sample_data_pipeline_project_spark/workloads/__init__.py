@@ -1,0 +1,60 @@
+"""Named workload registry: the driver-facing query surface.
+
+Every implemented operator from SURVEY.md §2 registers here as a named
+workload: a Spark builder `(spark, sf_dir) -> DataFrame` plus (when the
+semantics are SQL-expressible) an ANSI-SQL oracle string DuckDB runs on the
+same parquet tables. `__spark_entry__.queries()/oracle_sql()` simply expose
+this registry.
+
+Determinism contract (what makes Spark-vs-DuckDB value hashes stable):
+  - timestamps are TIMESTAMP_NTZ end-to-end (functions/timeops.py);
+  - double aggregates go through exact DECIMAL sums, cast to DOUBLE at the
+    end (summation-order-independent, bit-identical across engines);
+  - every ORDER BY ... LIMIT has a unique-key tiebreak;
+  - aggregate/computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class Workload:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None = None
+    doc: str = field(default="")
+
+
+REGISTRY: dict[str, Workload] = {}
+
+
+def workload(name: str, oracle: str | None = None):
+    """Register a named workload; `oracle` is ANSI SQL for DuckDB or None
+    for non-SQL-expressible operators (driver falls back to rows-only)."""
+
+    def deco(fn: Callable[[SparkSession, str], DataFrame]):
+        if name in REGISTRY:
+            raise ValueError(f"duplicate workload {name!r}")
+        REGISTRY[name] = Workload(name, fn, oracle, fn.__doc__ or "")
+        return fn
+
+    return deco
+
+
+def load_all() -> dict[str, Workload]:
+    """Import all workload modules (registration is an import side-effect)."""
+    from sample_data_pipeline_project_spark.workloads import (  # noqa: F401
+        dedup_queries,
+        event_queries,
+        ledger_queries,
+        relational,
+        similarity_queries,
+        text_queries,
+    )
+
+    return REGISTRY

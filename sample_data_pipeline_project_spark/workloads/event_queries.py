@@ -1,0 +1,169 @@
+"""Event workloads: JSON extraction (B5) and event-time windows (B6, batch).
+
+`events.props` is a JSON string; `events.ts` the event-time column. The
+batch forms here (tumbling via `window()`, session via `session_window()`)
+are the same expressions the streaming module (streaming/eventtime.py)
+runs incrementally with a watermark — Spark's batch/streaming unification
+means one definition serves both.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+
+@workload(
+    "events_json_extract",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B5 — JSON extraction with a schema (`from_json`), then grouped
+    integer aggregates (exact; no float hazards)."""
+    e = load_table(spark, sf_dir, "events")
+    props_schema = T.StructType([T.StructField("k", T.LongType())])
+    k = F.from_json(F.col("props"), props_schema)["k"]
+    return (
+        e.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
+
+
+@workload(
+    "events_hourly_tumbling",
+    oracle="""
+SELECT date_trunc('hour', ts) AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+       COUNT(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+""",
+)
+def events_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — 1-hour tumbling event-time window via Spark's `window()` (the
+    same expression streams with a watermark). Hour-aligned tumbling window
+    start == date_trunc('hour'), which is the oracle's formulation."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.window("ts", "1 hour").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+            F.count_distinct(F.col("user_id")).alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+            "n_users",
+        )
+    )
+
+
+@workload(
+    "events_sliding_window",
+    oracle="""
+WITH offsets AS (SELECT * FROM (VALUES (0), (1800)) AS t(off)),
+slid AS (
+  SELECT e.*,
+         make_timestamp((((floor((epoch(e.ts) - o.off) / 3600) * 3600)::BIGINT + o.off) * 1000000)::BIGINT) AS window_start
+  FROM events e CROSS JOIN offsets o
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM slid
+GROUP BY window_start
+""",
+)
+def events_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — sliding window (1 hour length, 30 min slide): every event lands
+    in 2 windows. Spark's window() materializes the window struct; the
+    oracle replicates via the two aligned offsets."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@workload(
+    "events_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 6 HOUR
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts, event_id,
+         CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 — sessionization (6h inactivity gap) via the lag/flag/cumsum
+    islands idiom: one shuffle on user_id serves both windows and the final
+    group-by (co-partitioned — no extra exchange)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    is_new = F.when(
+        prev_ts.isNull()
+        | (F.col("ts") > prev_ts + F.expr("INTERVAL 6 HOURS")),
+        1,
+    ).otherwise(0)
+    wsum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        e.withColumn("is_new_session", is_new)
+        .withColumn("session_seq", F.sum("is_new_session").over(wsum))
+        .groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )

@@ -1,0 +1,180 @@
+"""Ledger workloads (Tier A) over the derived `pipeline_runs` view.
+
+Each workload pairs a `ledger.tasks` DataFrame builder with the equivalent
+ANSI SQL (same LEDGER_CTE prefix) for the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from sample_data_pipeline_project_spark.ledger.derive import LEDGER_CTE, derived_ledger
+from sample_data_pipeline_project_spark.ledger import tasks
+from sample_data_pipeline_project_spark.workloads import workload
+
+_DAY = "2024-01-05"
+_LEDGER_COLS = (
+    "run_id, pipeline_name, index_name, pipeline_status, "
+    "query_window_start_ts, query_window_end_ts, "
+    "query_window_start_day, query_window_end_day"
+)
+
+
+@workload(
+    "ledger_status_count",
+    oracle=f"""
+WITH {LEDGER_CTE}
+SELECT COUNT(*) AS row_count
+FROM pipeline_runs
+WHERE pipeline_status = 'completed'
+""",
+)
+def ledger_status_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 — scalar COUNT(*) by status (reference: snowflake_tasks.py:65-138)."""
+    return tasks.status_count_df(derived_ledger(spark, sf_dir), "completed")
+
+
+@workload(
+    "ledger_oldest_record",
+    oracle=f"""
+WITH {LEDGER_CTE}
+SELECT {_LEDGER_COLS}
+FROM pipeline_runs
+WHERE pipeline_status = 'pending'
+ORDER BY query_window_start_ts ASC, run_id ASC
+LIMIT 1
+""",
+)
+def ledger_oldest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — ORDER BY ts ASC LIMIT 1 (reference: snowflake_tasks.py:140-244)."""
+    return tasks.picked_record_df(derived_ledger(spark, sf_dir), "pending", latest=False)
+
+
+@workload(
+    "ledger_latest_record",
+    oracle=f"""
+WITH {LEDGER_CTE}
+SELECT {_LEDGER_COLS}
+FROM pipeline_runs
+WHERE pipeline_status = 'failed'
+ORDER BY query_window_start_ts DESC, run_id DESC
+LIMIT 1
+""",
+)
+def ledger_latest_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11 — ORDER BY ts DESC LIMIT 1 (reference: snowflake_tasks.py:246-350)."""
+    return tasks.picked_record_df(derived_ledger(spark, sf_dir), "failed", latest=True)
+
+
+@workload(
+    "ledger_gaps_one_group",
+    oracle=f"""
+WITH {LEDGER_CTE},
+scoped AS (
+  SELECT *,
+         LAG(query_window_end_ts) OVER (
+           PARTITION BY pipeline_name, index_name, query_window_start_day
+           ORDER BY query_window_start_ts ASC, run_id ASC
+         ) AS prev_end_ts
+  FROM pipeline_runs
+  WHERE pipeline_name = 'click'
+    AND index_name = 'idx_1'
+    AND query_window_start_day = DATE '{_DAY}'
+)
+SELECT pipeline_name, index_name, query_window_start_day AS day,
+       prev_end_ts AS missing_from_ts,
+       query_window_start_ts AS missing_until_ts
+FROM scoped
+WHERE prev_end_ts IS NOT NULL AND query_window_start_ts != prev_end_ts
+""",
+)
+def ledger_gaps_one_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12/A13 — LAG gap detection, reference-shaped single group
+    (reference: snowflake_tasks.py:352-486)."""
+    return tasks.gaps_df(derived_ledger(spark, sf_dir), _DAY, "click", "idx_1")
+
+
+@workload(
+    "ledger_gaps_all_groups",
+    oracle=f"""
+WITH {LEDGER_CTE},
+scoped AS (
+  SELECT *,
+         LAG(query_window_end_ts) OVER (
+           PARTITION BY pipeline_name, index_name, query_window_start_day
+           ORDER BY query_window_start_ts ASC, run_id ASC
+         ) AS prev_end_ts
+  FROM pipeline_runs
+)
+SELECT pipeline_name, index_name, query_window_start_day AS day,
+       prev_end_ts AS missing_from_ts,
+       query_window_start_ts AS missing_until_ts
+FROM scoped
+WHERE prev_end_ts IS NOT NULL AND query_window_start_ts != prev_end_ts
+""",
+)
+def ledger_gaps_all_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 at scale — same gap query over the WHOLE ledger, window
+    partitioned by (pipeline, index, day): parallelism = #groups instead of
+    the reference's single global-order window."""
+    return tasks.gaps_df(derived_ledger(spark, sf_dir))
+
+
+@workload(
+    "ledger_overlap_pairs",
+    oracle=f"""
+WITH {LEDGER_CTE},
+scoped AS (
+  SELECT * FROM pipeline_runs
+  WHERE pipeline_name = 'click'
+    AND index_name = 'idx_1'
+    AND query_window_start_day <= DATE '{_DAY}'
+    AND query_window_end_day >= DATE '{_DAY}'
+)
+SELECT t1.pipeline_name AS pipeline_name,
+       t1.index_name AS index_name,
+       t1.run_id AS source_run_id,
+       t1.query_window_start_ts AS source_window_start_ts,
+       t1.query_window_end_ts AS source_window_end_ts,
+       t2.run_id AS overlaps_with_run_id,
+       t2.query_window_start_ts AS overlaps_with_start_ts,
+       t2.query_window_end_ts AS overlaps_with_end_ts
+FROM scoped t1
+JOIN scoped t2
+  ON t1.pipeline_name = t2.pipeline_name
+ AND t1.index_name = t2.index_name
+ AND t1.query_window_start_ts < t2.query_window_end_ts
+ AND t1.query_window_end_ts > t2.query_window_start_ts
+ AND t1.run_id != t2.run_id
+""",
+)
+def ledger_overlap_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 — day-bounded interval self-join (reference:
+    snowflake_tasks.py:488-584), equi-keys + overlap residual."""
+    return tasks.overlap_pairs_df(derived_ledger(spark, sf_dir), "click", "idx_1", _DAY)
+
+
+@workload(
+    "ledger_overlap_input",
+    oracle=f"""
+WITH {LEDGER_CTE}
+SELECT {_LEDGER_COLS}
+FROM pipeline_runs
+WHERE pipeline_name = 'view'
+  AND index_name = 'idx_0'
+  AND query_window_start_day <= DATE '2024-01-12'
+  AND query_window_end_day >= DATE '2024-01-10'
+  AND query_window_start_ts < TIMESTAMP '2024-01-12 00:00:00'
+  AND query_window_end_ts > TIMESTAMP '2024-01-10 00:00:00'
+""",
+)
+def ledger_overlap_input(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15 — overlap vs caller-supplied interval, two-stage day-band +
+    exact refinement (reference: overlap_checks.py:4-107)."""
+    return tasks.overlap_input_df(
+        derived_ledger(spark, sf_dir),
+        "view",
+        "idx_0",
+        "2024-01-10T00:00:00",
+        "2024-01-12T00:00:00",
+    )

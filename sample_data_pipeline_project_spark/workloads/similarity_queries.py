@@ -1,0 +1,116 @@
+"""Similarity-search workloads (B3) over `embeddings`.
+
+Oracle parity relies on both engines computing the identical left-fold dot
+product (functions/vectors.py) — cosine values are bit-identical, so even
+ORDER BY score is deterministic across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.functions.vectors import duck_cosine
+from sample_data_pipeline_project_spark.operators.similarity import (
+    ivf_topk_cosine,
+    neardup_cosine_pairs,
+    topk_cosine,
+)
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+_K = 10
+_QUERY_ID = 0
+_NEARDUP_THRESHOLD = 0.4
+_N_CENTROIDS = 8
+_NPROBE = 2
+
+
+@workload(
+    "sim_topk_bruteforce",
+    oracle=f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_ID})
+SELECT e.vec_id,
+       {duck_cosine('e.embedding', 'q.q_emb')} AS cosine_sim
+FROM embeddings e CROSS JOIN q
+WHERE e.vec_id != {_QUERY_ID}
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT {_K}
+""",
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — exact cosine top-k: broadcast 1-row query x corpus scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    return topk_cosine(corpus, q, _K)
+
+
+@workload(
+    "sim_neardup_pairs",
+    oracle=f"""
+SELECT a.vec_id AS a, b.vec_id AS b,
+       {duck_cosine('a.embedding', 'b.embedding')} AS cosine_sim
+FROM embeddings a
+JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_THRESHOLD}
+""",
+)
+def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/B2 — embedding-cosine near-dup pairs (exact quadratic baseline;
+    the IVF variant below is the scale path)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return neardup_cosine_pairs(emb, _NEARDUP_THRESHOLD)
+
+
+_DUCK_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS centroid_id, embedding AS c_emb
+  FROM embeddings WHERE vec_id < {_N_CENTROIDS}
+),
+q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_QUERY_ID}),
+corpus AS (SELECT * FROM embeddings WHERE vec_id != {_QUERY_ID}),
+assigned AS (
+  SELECT e.vec_id, c.centroid_id,
+         ROW_NUMBER() OVER (
+           PARTITION BY e.vec_id
+           ORDER BY {duck_cosine('e.embedding', 'c.c_emb')} DESC, c.centroid_id ASC
+         ) AS rn
+  FROM corpus e CROSS JOIN cents c
+),
+a1 AS (SELECT vec_id, centroid_id FROM assigned WHERE rn = 1),
+probe AS (
+  SELECT centroid_id
+  FROM cents CROSS JOIN q
+  ORDER BY {duck_cosine('c_emb', 'q_emb')} DESC, centroid_id ASC
+  LIMIT {_NPROBE}
+),
+bucket AS (
+  SELECT e.* FROM corpus e
+  JOIN a1 ON e.vec_id = a1.vec_id
+  JOIN probe ON a1.centroid_id = probe.centroid_id
+)
+SELECT e.vec_id,
+       {duck_cosine('e.embedding', 'q.q_emb')} AS cosine_sim
+FROM bucket e CROSS JOIN q
+ORDER BY cosine_sim DESC, e.vec_id ASC
+LIMIT {_K}
+"""
+
+
+@workload("sim_ivf_topk", oracle=_DUCK_IVF)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 scale path — IVF: assign vectors to nearest of 8 deterministic
+    centroids (first 8 ids), probe the 2 buckets nearest the query, exact
+    top-k inside them."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    cents = emb.filter(F.col("vec_id") < _N_CENTROIDS).select(
+        F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
+    )
+    return ivf_topk_cosine(corpus, q, cents, _K, _NPROBE)

@@ -1,0 +1,167 @@
+"""Text-analysis workloads (B4) over `documents`.
+
+Token counting, quality scoring, language-ID heuristic, fingerprinting —
+all pure JVM-side expressions (no UDFs), each with a DuckDB oracle twin
+computing the identical per-row arithmetic (integer counts + one double
+division -> deterministic across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.functions.text import (
+    LANG_STOPWORDS,
+    md5_fingerprint,
+    stopword_count,
+    token_count,
+    tokens,
+)
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+# DuckDB twin of functions.text.tokens()
+_DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+
+
+@workload(
+    "text_token_stats",
+    oracle=f"""
+SELECT doc_id,
+       len({_DUCK_TOKENS}) AS n_tokens,
+       length(regexp_replace(text, '\\s+', '', 'g')) AS n_nonspace_chars,
+       CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE)
+         / len({_DUCK_TOKENS}) AS avg_token_len
+FROM documents
+""",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenizer): counts + average token length."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = token_count("text")
+    n_chars = F.length(F.regexp_replace(F.col("text"), r"\s+", ""))
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_chars.alias("n_nonspace_chars"),
+        (n_chars.cast("double") / n_tokens).alias("avg_token_len"),
+    )
+
+
+_DUCK_STOP_EN = ", ".join(f"'{w}'" for w in LANG_STOPWORDS["en"])
+
+
+@workload(
+    "text_quality_score",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, n_chars,
+         {_DUCK_TOKENS} AS toks
+  FROM documents
+)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_filter(toks, t -> t IN ({_DUCK_STOP_EN}))) AS n_stopwords,
+       CAST(len(list_filter(toks, t -> t IN ({_DUCK_STOP_EN}))) AS DOUBLE)
+         / len(toks) AS stopword_ratio,
+       CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS distinct_ratio,
+       (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(len(list_filter(toks, t -> t IN ({_DUCK_STOP_EN}))) AS DOUBLE)
+                    / len(toks) BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END
+        + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.1
+               THEN 1 ELSE 0 END) AS quality_score
+FROM t
+""",
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality scoring: length band + stopword ratio band +
+    lexical diversity, as an additive 0-3 score (the standard pretraining
+    data-quality gate shape)."""
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_tokens = F.size(F.col("toks"))
+    n_stop = stopword_count("toks", "en")
+    stop_ratio = n_stop.cast("double") / n_tokens
+    distinct_ratio = F.size(F.array_distinct(F.col("toks"))).cast("double") / n_tokens
+    score = (
+        F.when(n_tokens.between(20, 1000), 1).otherwise(0)
+        + F.when(stop_ratio.between(0.01, 0.6), 1).otherwise(0)
+        + F.when(distinct_ratio >= 0.1, 1).otherwise(0)
+    )
+    return d.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        stop_ratio.alias("stopword_ratio"),
+        distinct_ratio.alias("distinct_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def _duck_lang_scores() -> str:
+    parts = []
+    for lang, words in LANG_STOPWORDS.items():
+        quoted = ", ".join(f"'{w}'" for w in words)
+        parts.append(f"len(list_filter(toks, t -> t IN ({quoted}))) AS score_{lang}")
+    return ",\n         ".join(parts)
+
+
+_LANGS = tuple(LANG_STOPWORDS)
+
+
+@workload(
+    "text_lang_id",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         {_duck_lang_scores()}
+  FROM t
+)
+SELECT doc_id, lang AS labeled_lang,
+       CASE GREATEST(score_en, score_es, score_fr, score_de, score_zh)
+         WHEN score_en THEN 'en'
+         WHEN score_es THEN 'es'
+         WHEN score_fr THEN 'fr'
+         WHEN score_de THEN 'de'
+         ELSE 'zh' END AS predicted_lang
+FROM s
+""",
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: argmax of per-language stopword hit counts,
+    ties broken by fixed language order (en,es,fr,de,zh)."""
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    scored = d.select(
+        "doc_id",
+        F.col("lang").alias("labeled_lang"),
+        *[stopword_count("toks", lang).alias(f"score_{lang}") for lang in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANGS])
+    pred = F.when(F.col("score_en") == best, "en")
+    for lang in _LANGS[1:-1]:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    pred = pred.otherwise(_LANGS[-1])
+    return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
+
+
+@workload(
+    "text_fingerprint",
+    oracle="""
+SELECT doc_id,
+       md5(lower(trim(text))) AS fingerprint,
+       substring(md5(lower(trim(text))), 1, 16) AS fingerprint_prefix
+FROM documents
+""",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting via portable md5 (same hex in any engine)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = md5_fingerprint("text")
+    return d.select(
+        "doc_id",
+        fp.alias("fingerprint"),
+        F.substring(fp, 1, 16).alias("fingerprint_prefix"),
+    )
