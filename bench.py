@@ -1,0 +1,71 @@
+"""Benchmark entry point (driver contract).
+
+Runs every registered workload at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Each query is forced with a `noop` format write (full execution on the
+executors, no driver-side collect skew). A warmup query first absorbs
+one-time JVM/codegen startup so per-query numbers reflect steady state.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1).rstrip(".")) if m else None
+
+    from sample_data_pipeline_project_spark.engine import get_spark
+    from sample_data_pipeline_project_spark.workloads import load_all
+
+    spark = get_spark(app_name="bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    workloads = load_all()
+
+    # Warmup: absorb JVM/codegen/parquet-footer one-time costs.
+    try:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
+            "noop"
+        ).mode("overwrite").save()
+    except Exception:
+        pass
+
+    timings: dict[str, float] = {}
+    for name, w in sorted(workloads.items()):
+        t0 = time.perf_counter()
+        try:
+            df = w.fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # a failed query is a visible outlier, not a crash
+            timings[name] = -1.0
+            print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+
+    total = round(sum(t for t in timings.values() if t >= 0), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "all_workloads_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

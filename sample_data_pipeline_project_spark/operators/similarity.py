@@ -57,6 +57,92 @@ def neardup_cosine_pairs(
     )
 
 
+def neardup_cosine_pairs_blocked(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int = 8,
+) -> DataFrame:
+    """Exact cosine near-dup pairs via BLOCKED MATMUL filter-verify: same
+    output as `neardup_cosine_pairs`, without the row-at-a-time quadratic
+    join.
+
+    Stage 1 (filter): hash-assign vectors to `num_blocks` blocks; replicate
+    each block into its (B*(B+1)/2) block-pair groups; inside each group an
+    Arrow-batched pandas UDF runs ONE BLAS matmul over the normalized
+    float64 matrices and emits candidate id pairs with approximate cosine
+    >= threshold - margin. Shuffle volume is N*(B+1)/2 rows — linear in N
+    with a tunable replication factor (classic block-nested similarity
+    join; at cluster scale pick B ~ sqrt(#reducers)).
+
+    Stage 2 (verify): join the (few) candidates back to the vectors and
+    recompute the cosine with the deterministic JVM left-fold
+    (functions/vectors.py), filtering at the exact threshold — so results
+    are bit-identical to the naive operator and to the SQL oracle; the
+    BLAS pass only prunes, never decides.
+    """
+    import pandas as pd
+
+    spark = corpus.sparkSession
+    margin = 1e-6
+    pairs_meta = [
+        (i, j) for i in range(num_blocks) for j in range(i, num_blocks)
+    ]
+    pairs_df = spark.createDataFrame(pairs_meta, "pa int, pb int")
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
+    )
+    side_a = v.join(pairs_df, v.blk == pairs_df.pa).select(
+        "pa", "pb", "vid", "vec", F.lit("a").alias("side")
+    )
+    side_b = v.join(pairs_df, v.blk == pairs_df.pb).select(
+        "pa", "pb", "vid", "vec", F.lit("b").alias("side")
+    )
+    tagged = side_a.unionByName(side_b)
+
+    def find_candidates(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pa, pb = key
+        rows_a = pdf[pdf["side"] == "a"]
+        rows_b = pdf[pdf["side"] == "b"]
+        if rows_a.empty or rows_b.empty:
+            return pd.DataFrame({"a": [], "b": []}).astype("int64")
+        ma = np.stack(rows_a["vec"].to_numpy()).astype("float64")
+        mb = np.stack(rows_b["vec"].to_numpy()).astype("float64")
+        ma /= np.linalg.norm(ma, axis=1, keepdims=True)
+        mb /= np.linalg.norm(mb, axis=1, keepdims=True)
+        sims = ma @ mb.T
+        ia, ib = np.nonzero(sims >= threshold - margin)
+        ids_a = rows_a["vid"].to_numpy()[ia]
+        ids_b = rows_b["vid"].to_numpy()[ib]
+        lo = np.minimum(ids_a, ids_b)
+        hi = np.maximum(ids_a, ids_b)
+        keep = lo < hi  # drop self-pairs (diagonal group sees x with x)
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
+
+    cands = (
+        tagged.groupBy("pa", "pb")
+        .applyInPandas(find_candidates, "a long, b long")
+        .distinct()  # diagonal groups emit each unordered pair twice
+    )
+    ea = corpus.select(
+        F.col(id_col).cast("long").alias("a"), F.col(vec_col).alias("va")
+    )
+    eb = corpus.select(
+        F.col(id_col).cast("long").alias("b"), F.col(vec_col).alias("vb")
+    )
+    return (
+        cands.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", cosine("va", "vb").alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from sample_data_pipeline_project_spark.functions.text import md5_fingerprint
 from sample_data_pipeline_project_spark.operators.dedup import (
     dedup_groups,
-    jaccard_pairs,
+    jaccard_pairs_prefix,
     minhash_lsh_candidates,
 )
 from sample_data_pipeline_project_spark.sources.catalog import load_table
@@ -61,9 +61,10 @@ WHERE CAST(s.shared AS DOUBLE) / (sa.n_tok + sb.n_tok - s.shared)
 """,
 )
 def dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2 — token-set Jaccard near-dup pairs via the inverted-index join."""
+    """B2 — token-set Jaccard near-dup pairs, prefix-filtered (exact:
+    AllPairs/PPJoin prefix index + array_intersect verification)."""
     d = load_table(spark, sf_dir, "documents")
-    return jaccard_pairs(d, _JACCARD_THRESHOLD)
+    return jaccard_pairs_prefix(d, _JACCARD_THRESHOLD)
 
 
 _NUM_HASHES = 12

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 from sample_data_pipeline_project_spark.functions.vectors import duck_cosine
 from sample_data_pipeline_project_spark.operators.similarity import (
     ivf_topk_cosine,
-    neardup_cosine_pairs,
+    neardup_cosine_pairs_blocked,
     topk_cosine,
 )
 from sample_data_pipeline_project_spark.sources.catalog import load_table
@@ -59,10 +59,11 @@ WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_NEARDUP_THRESHOLD}
 """,
 )
 def sim_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B3/B2 — embedding-cosine near-dup pairs (exact quadratic baseline;
-    the IVF variant below is the scale path)."""
+    """B3/B2 — embedding-cosine near-dup pairs: blocked-matmul candidate
+    filter + exact JVM left-fold verification (bit-identical to the naive
+    quadratic form, linear shuffle volume)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return neardup_cosine_pairs(emb, _NEARDUP_THRESHOLD)
+    return neardup_cosine_pairs_blocked(emb, _NEARDUP_THRESHOLD)
 
 
 _DUCK_IVF = f"""
