@@ -103,7 +103,7 @@ def neardup_cosine_pairs_blocked(
     )
     tagged = side_a.unionByName(side_b)
 
-    def find_candidates(key, pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def find_candidates(key, pdf):
         import numpy as np
 
         pa, pb = key

@@ -1,0 +1,79 @@
+"""Dedup operator semantics: exact dedup, Jaccard (prefix-filtered vs
+naive quadratic must agree exactly), MinHash-LSH guarantees."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    jaccard_pairs_prefix,
+    minhash_lsh_candidates,
+    minhash_signatures,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),  # near-dup of 1
+        (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+        (4, "entirely different words compose this sample text"),
+        (5, "pack my box with five dozen liquor jugs"),
+        (6, ""),  # empty doc: no tokens
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup_keeps_min_tiebreak(docs):
+    out = exact_dedup(docs.withColumn("key", F.md5("text")), ["key"], "doc_id")
+    assert sorted(r["doc_id"] for r in out.collect()) == [1, 2, 4, 5, 6]
+
+
+def _pairs(df):
+    return {
+        (r["a"], r["b"]): (r["shared"], r["n_a"], r["n_b"], round(r["jaccard"], 12))
+        for r in df.collect()
+    }
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.8, 1.0])
+def test_prefix_filter_matches_naive(docs, threshold):
+    naive = _pairs(jaccard_pairs(docs, threshold))
+    fast = _pairs(jaccard_pairs_prefix(docs, threshold))
+    assert fast == naive
+
+
+def test_jaccard_exact_dup_pair_is_one(docs):
+    out = _pairs(jaccard_pairs_prefix(docs, 1.0))
+    assert out[(1, 3)][3] == 1.0
+
+
+def test_prefix_filter_large_vocab_path(spark):
+    # >64 distinct tokens forces the array_intersect verify branch
+    rows = [
+        (i, " ".join(f"tok{j}" for j in range(i, i + 40))) for i in range(10)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    naive = _pairs(jaccard_pairs(docs, 0.6))
+    fast = _pairs(jaccard_pairs_prefix(docs, 0.6))
+    assert fast == naive and len(naive) > 0
+
+
+def test_minhash_identical_docs_identical_signatures(docs):
+    sig = minhash_signatures(docs, 8).filter(F.col("doc_id").isin(1, 3))
+    rows = {r["doc_id"]: tuple(r[f"mh_{i}"] for i in range(8)) for r in sig.collect()}
+    assert rows[1] == rows[3]
+
+
+def test_lsh_candidates_include_exact_dups(docs):
+    cands = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(docs, 12, 4).collect()
+    }
+    assert (1, 3) in cands  # identical docs always collide in every band
+    for a, b in cands:
+        assert a < b

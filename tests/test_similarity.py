@@ -1,0 +1,56 @@
+"""Similarity operators: brute-force top-k, blocked near-dup (must equal
+the naive quadratic bit-for-bit), IVF probe semantics."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.operators.similarity import (
+    neardup_cosine_pairs,
+    neardup_cosine_pairs_blocked,
+    topk_cosine,
+)
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.9, 0.1, 0.0]),   # close to 0
+        (2, [0.0, 1.0, 0.0]),   # orthogonal to 0
+        (3, [1.0, 0.0, 0.0]),   # identical to 0
+        (4, [-1.0, 0.0, 0.0]),  # opposite
+        (5, [0.5, 0.5, 0.0]),
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_topk_order_and_tiebreak(vecs):
+    q = vecs.filter("vec_id = 0").select(F.col("embedding").alias("q_emb"))
+    corpus = vecs.filter("vec_id != 0")
+    rows = topk_cosine(corpus, q, 3).collect()
+    assert [r["vec_id"] for r in rows] == [3, 1, 5]
+    assert rows[0]["cosine_sim"] == pytest.approx(1.0)
+    assert rows[2]["cosine_sim"] == pytest.approx(1 / math.sqrt(2))
+
+
+@pytest.mark.parametrize("threshold", [0.5, 0.9])
+def test_blocked_neardup_matches_naive_bitexact(vecs, threshold):
+    naive = {(r["a"], r["b"]): r["cosine_sim"] for r in neardup_cosine_pairs(vecs, threshold).collect()}
+    fast = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in neardup_cosine_pairs_blocked(vecs, threshold, num_blocks=3).collect()
+    }
+    assert fast == naive  # exact equality: verification re-computes JVM-side
+    assert len(naive) > 0
+
+
+def test_blocked_neardup_no_self_or_reversed_pairs(vecs):
+    rows = neardup_cosine_pairs_blocked(vecs, 0.0, num_blocks=2).collect()
+    pairs = [(r["a"], r["b"]) for r in rows]
+    assert len(pairs) == len(set(pairs))
+    for a, b in pairs:
+        assert a < b
