@@ -24,7 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sample_data_pipeline_project_spark.functions.text import tokens
+from sample_data_pipeline_project_spark.functions.text import tokens, word_ngrams
 
 
 def exact_dedup(
@@ -48,10 +48,21 @@ def dedup_groups(df: DataFrame, key_cols: list[str], tiebreak: str) -> DataFrame
     )
 
 
-def token_sets(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
-    """(id, token) pairs with per-doc distinct tokens — the inverted index."""
-    return docs.select(
-        F.col(id_col), F.explode(F.array_distinct(tokens(text_col))).alias("tok")
+def token_sets(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int | None = None,
+) -> DataFrame:
+    """(id, token) pairs with per-doc distinct tokens — the inverted index.
+    `ngram_n` switches the unit from single tokens to word n-gram shingles
+    (the usual choice for near-dup detection: n in 2..5)."""
+    toked = docs.withColumn("__toks", tokens(text_col))
+    unit = (
+        F.col("__toks") if ngram_n is None else word_ngrams("__toks", ngram_n)
+    )
+    return toked.select(
+        F.col(id_col), F.explode(F.array_distinct(unit)).alias("tok")
     )
 
 
@@ -61,15 +72,16 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     max_df: int | None = None,
+    ngram_n: int | None = None,
 ) -> DataFrame:
-    """Unordered doc pairs (a < b) with token-set Jaccard >= threshold (B2,
-    n-gram Jaccard with n=1; swap `tokens` for `word_ngrams` for higher n).
+    """Unordered doc pairs (a < b) with token-set Jaccard >= threshold (B2;
+    `ngram_n` switches the set unit to word n-gram shingles).
 
     Plan: explode distinct tokens -> self equi-join on token (only docs
     sharing a token ever meet) -> count shared -> jaccard = shared /
     (|a| + |b| - shared). `max_df` drops tokens present in more than that
     many docs before the join (skew guard)."""
-    toks = token_sets(docs, id_col, text_col)
+    toks = token_sets(docs, id_col, text_col, ngram_n)
     if max_df is not None:
         df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
         toks = (
@@ -103,6 +115,7 @@ def jaccard_pairs_prefix(
     threshold: float,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram_n: int | None = None,
 ) -> DataFrame:
     """Exact Jaccard-threshold pairs via PREFIX FILTERING (Bayardo et al.
     "Scaling Up All Pairs Similarity Search", WWW'07; Xiao et al. PPJoin):
@@ -120,7 +133,7 @@ def jaccard_pairs_prefix(
     document frequency the indexed ones are precisely the rarest, so the
     candidate join collapses. Verification touches candidates only.
     """
-    toks = token_sets(docs, id_col, text_col)
+    toks = token_sets(docs, id_col, text_col, ngram_n)
     # Global token order: ascending document frequency, token as tiebreak.
     # The vocabulary of distinct tokens is small relative to the corpus
     # (else there'd be no frequent-token blow-up to fix) — broadcast it.
@@ -199,6 +212,96 @@ def jaccard_pairs_prefix(
         .select("a", "b", "shared", "n_a", "n_b", "jaccard")
     )
     return verified.distinct()
+
+
+def simhash_bit_sql(md5_expr: str, j: int) -> str:
+    """Bit j (LSB-first) of the 32-bit value encoded by the first 8 hex
+    chars of `md5_expr` — written with only substr/instr/shift arithmetic,
+    which evaluate identically in Spark SQL and DuckDB (the oracle builds
+    the same string), so fingerprints are engine-portable."""
+    char = f"substr({md5_expr}, {8 - j // 4}, 1)"
+    return f"(((instr('0123456789abcdef', {char}) - 1) >> {j % 4}) & 1)"
+
+
+SIMHASH_BITS = 32
+
+
+def simhash_fingerprints(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int | None = None,
+) -> DataFrame:
+    """Per-doc 32-bit SimHash (Charikar, STOC'02): each distinct token
+    votes +1/-1 on every bit position according to its own hash; fingerprint
+    bit j is 1 iff the positive votes win (ties -> 0, deterministic).
+    One explode + one grouped aggregate with 32 SUM columns — a single
+    shuffle of (id, 32 ints), exactly the MinHash signature shape."""
+    toks = token_sets(docs, id_col, text_col, ngram_n)
+    h = "md5(tok)"
+    votes = [
+        F.sum(F.expr(f"{simhash_bit_sql(h, j)} * 2 - 1")).alias(f"s_{j}")
+        for j in range(SIMHASH_BITS)
+    ]
+    fp = None
+    for j in range(SIMHASH_BITS):
+        term = F.expr(f"CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END")
+        fp = term if fp is None else fp + term
+    return toks.groupBy(id_col).agg(*votes).select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int | None = None,
+    bands: int = 4,
+) -> DataFrame:
+    """Unordered doc pairs (a < b) with SimHash Hamming distance <=
+    `max_hamming`. EXACT, not approximate: with `bands` equal bit-slices
+    and max_hamming < bands, the pigeonhole principle guarantees every
+    qualifying pair agrees on at least one whole slice — so the banded
+    equi-join loses nothing, and bit_count(xor) verifies candidates.
+    Same filter-verify scale shape as the prefix-filtered Jaccard join."""
+    if max_hamming >= bands:
+        raise ValueError("exactness requires max_hamming < bands")
+    if SIMHASH_BITS % bands:
+        raise ValueError("bands must divide the fingerprint width")
+    width = SIMHASH_BITS // bands
+    sig = simhash_fingerprints(docs, id_col, text_col, ngram_n)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("band_val"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col,
+        "simhash",
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", F.col("sh_a").alias("simhash_a"), F.col("sh_b").alias("simhash_b"), "hamming")
+        .distinct()
+    )
 
 
 def minhash_signatures(

@@ -8,9 +8,12 @@ from pyspark.sql import functions as F
 
 from sample_data_pipeline_project_spark.functions.text import md5_fingerprint
 from sample_data_pipeline_project_spark.operators.dedup import (
+    SIMHASH_BITS,
     dedup_groups,
     jaccard_pairs_prefix,
     minhash_lsh_candidates,
+    simhash_bit_sql,
+    simhash_pairs,
 )
 from sample_data_pipeline_project_spark.sources.catalog import load_table
 from sample_data_pipeline_project_spark.workloads import workload
@@ -102,6 +105,91 @@ JOIN banded b
  AND a.band_hash = b.band_hash
  AND a.doc_id < b.doc_id
 """
+
+
+_MAX_HAMMING = 3
+
+
+def _duck_simhash_oracle() -> str:
+    votes = ",\n         ".join(
+        f"SUM({simhash_bit_sql('md5(tok)', j)} * 2 - 1) AS s_{j}"
+        for j in range(SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN s_{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+votes AS (
+  SELECT doc_id,
+         {votes}
+  FROM toks GROUP BY doc_id
+),
+sig AS (SELECT doc_id, {fp} AS simhash FROM votes)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       a.simhash AS simhash_a, b.simhash AS simhash_b,
+       bit_count(xor(a.simhash, b.simhash)) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {_MAX_HAMMING}
+"""
+
+
+@workload("dedup_simhash_pairs", oracle=_duck_simhash_oracle())
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — SimHash near-dup pairs: 32-bit token-vote fingerprints, banded
+    candidate join (exact by pigeonhole for hamming < bands), popcount-xor
+    verification. The oracle recomputes identical fingerprints via the
+    shared portable bit arithmetic (simhash_bit_sql) and compares all pairs
+    quadratically."""
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d, _MAX_HAMMING)
+
+
+_NGRAM_N = 2
+_NGRAM_THRESHOLD = 0.8
+
+# DuckDB twin of word bigram shingles over the whitespace token list.
+_DUCK_BIGRAMS = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 1, 0) + 1), "
+    "i -> array_to_string(toks[i:i+1], ' ')))"
+)
+
+
+@workload(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS tok FROM base
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.a, s.b, s.shared, sa.n_tok AS n_a, sb.n_tok AS n_b,
+       CAST(s.shared AS DOUBLE) / (sa.n_tok + sb.n_tok - s.shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+WHERE CAST(s.shared AS DOUBLE) / (sa.n_tok + sb.n_tok - s.shared)
+      >= {_NGRAM_THRESHOLD}
+""",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — word-BIGRAM shingle Jaccard near-dup pairs (order-sensitive,
+    unlike the unigram set form), prefix-filtered exactly as
+    dedup_jaccard_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return jaccard_pairs_prefix(d, _NGRAM_THRESHOLD, ngram_n=_NGRAM_N)
 
 
 @workload("dedup_minhash_lsh", oracle=_duck_minhash_oracle())

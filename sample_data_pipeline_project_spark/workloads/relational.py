@@ -447,3 +447,73 @@ def agg_minmax_minby_maxby(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_shipdate").alias("first_ship"),
         F.max("l_shipdate").alias("last_ship"),
     )
+
+
+@workload(
+    "cube_orders_status_priority",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_orders_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE — all 4 grouping-set combinations in one pass (Spark
+    expands to a single Expand + hash aggregate; no repeated scans)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        _dsum(F.col("o_totalprice"), "DECIMAL(18,2)").alias("total_price"),
+    )
+
+
+@workload(
+    "setop_intersect_nation_keys",
+    oracle="""
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+""",
+)
+def setop_intersect_nation_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (set semantics): nations having both customers and
+    suppliers. Spark plans a left-semi hash join over distincts."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    return c.intersect(s)
+
+
+@workload(
+    "orders_above_customer_avg",
+    oracle="""
+SELECT o.o_orderkey, o.o_custkey, o.o_totalprice
+FROM orders o
+WHERE o.o_totalprice > (
+  SELECT 2 * AVG(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+)
+""",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery (each order vs 2x its customer's average),
+    decorrelated the way an optimizer would: one windowed average over
+    o_custkey instead of a per-row subquery re-scan — a single shuffle.
+
+    The comparison uses exact decimal division (count/sum decimals), so
+    both engines evaluate the same predicate bit-for-bit."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    avg_dec = (
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w)
+        / F.count(F.lit(1)).over(w)
+    )
+    return (
+        o.withColumn("__avg", avg_dec)
+        .filter(F.col("o_totalprice").cast("decimal(18,2)") > 2 * F.col("__avg"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )

@@ -147,6 +147,38 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select("doc_id", "labeled_lang", pred.alias("predicted_lang"))
 
 
+# BPE-ish pre-tokenization: letter runs, digit runs, punctuation runs —
+# the ASCII core of the GPT-2 pre-tokenizer split, written so Java regex
+# (Spark) and RE2 (DuckDB) agree on every input.
+_BPE_PATTERN = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\r]+"
+
+
+@workload(
+    "text_bpe_token_count",
+    oracle=f"""
+SELECT doc_id,
+       len({_DUCK_TOKENS}) AS n_ws_tokens,
+       len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS n_bpe_tokens,
+       CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS DOUBLE)
+         / len({_DUCK_TOKENS}) AS bpe_per_word
+FROM documents
+""",
+)
+def text_bpe_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting, BPE-ish: regex pre-tokenizer runs (letters / digits /
+    punctuation) vs whitespace words — the standard estimate of tokens-per-
+    word for pretraining budget accounting."""
+    d = load_table(spark, sf_dir, "documents")
+    n_ws = token_count("text")
+    n_bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+    return d.select(
+        "doc_id",
+        n_ws.alias("n_ws_tokens"),
+        n_bpe.alias("n_bpe_tokens"),
+        (n_bpe.cast("double") / n_ws).alias("bpe_per_word"),
+    )
+
+
 @workload(
     "text_fingerprint",
     oracle="""

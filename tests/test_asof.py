@@ -1,0 +1,79 @@
+"""As-of join operator semantics: backward match, <= ties, left vs inner,
+tiebreak determinism."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+
+from sample_data_pipeline_project_spark.operators.asof import asof_join
+
+_T = dt.datetime
+
+
+@pytest.fixture(scope="module")
+def quotes_trades(spark):
+    trades = spark.createDataFrame(
+        [
+            (1, "A", _T(2024, 1, 1, 10, 0), 100.0),
+            (2, "A", _T(2024, 1, 1, 10, 5), 101.0),
+            (3, "B", _T(2024, 1, 1, 10, 2), 50.0),
+            (4, "C", _T(2024, 1, 1, 10, 0), 7.0),  # no quotes at all
+        ],
+        "trade_id long, sym string, t_ts timestamp_ntz, price double",
+    )
+    quotes = spark.createDataFrame(
+        [
+            (11, "A", _T(2024, 1, 1, 9, 59), 99.5),
+            (12, "A", _T(2024, 1, 1, 10, 0), 99.9),   # ties trade 1 exactly
+            (13, "A", _T(2024, 1, 1, 10, 4), 100.8),
+            (14, "B", _T(2024, 1, 1, 10, 3), 50.5),   # AFTER trade 3
+        ],
+        "quote_id long, sym string, q_ts timestamp_ntz, bid double",
+    )
+    return trades, quotes
+
+
+def _match(rows):
+    return {r["trade_id"]: r["quote_id"] for r in rows}
+
+
+def test_backward_asof_with_equal_ts_tie(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts",
+        right_tiebreak="quote_id",
+    ).collect()
+    got = _match(out)
+    # trade 1 at 10:00 matches quote 12 stamped exactly 10:00 (<=, not <)
+    assert got == {1: 12, 2: 13, 3: None, 4: None}
+
+
+def test_inner_drops_unmatched(quotes_trades):
+    trades, quotes = quotes_trades
+    out = asof_join(
+        trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts",
+        right_tiebreak="quote_id", how="inner",
+    ).collect()
+    assert set(_match(out)) == {1, 2}
+
+
+def test_simultaneous_right_rows_tiebreak(spark):
+    left = spark.createDataFrame(
+        [(1, "k", _T(2024, 1, 1, 12))], "lid long, k string, lts timestamp_ntz"
+    )
+    right = spark.createDataFrame(
+        [(21, "k", _T(2024, 1, 1, 11)), (22, "k", _T(2024, 1, 1, 11))],
+        "rid long, k string, rts timestamp_ntz",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", right_tiebreak="rid"
+    ).collect()
+    assert out[0]["rid"] == 22  # last in tiebreak order wins
+
+
+def test_bad_how_rejected(quotes_trades):
+    trades, quotes = quotes_trades
+    with pytest.raises(ValueError, match="how must be"):
+        asof_join(trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts", how="outer")
