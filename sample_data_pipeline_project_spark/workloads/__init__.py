@@ -55,6 +55,7 @@ def load_all() -> dict[str, Workload]:
         ledger_queries,
         relational,
         similarity_queries,
+        streaming_queries,
         text_queries,
     )
 

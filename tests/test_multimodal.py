@@ -1,0 +1,81 @@
+"""Multimodal plumbing: schemas, mapInPandas batch shapes, determinism,
+codec stub behavior."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+
+from sample_data_pipeline_project_spark.multimodal.ops import (
+    decode_image,
+    have_image_codec,
+    image_features,
+    resize_image,
+    sample_frames,
+    synthesize_media,
+)
+
+
+@pytest.fixture(scope="module")
+def media(spark):
+    df = synthesize_media(spark, n_images=6, n_videos=2, w=16, h=12)
+    df.cache().count()
+    return df
+
+
+def test_media_schema(media):
+    assert media.schema.simpleString() == (
+        "struct<media_id:bigint,kind:string,payload:binary,"
+        "meta:struct<width:int,height:int,channels:int,sample_rate:int,n_frames:int>>"
+    )
+    assert media.count() == 8
+
+
+def test_synthesis_deterministic(spark, media):
+    again = synthesize_media(spark, n_images=6, n_videos=2, w=16, h=12)
+    a = {r["media_id"]: bytes(r["payload"]) for r in media.collect()}
+    b = {r["media_id"]: bytes(r["payload"]) for r in again.collect()}
+    assert a == b
+
+
+def test_image_features_match_numpy(media):
+    import numpy as np
+
+    feats = {r["media_id"]: r for r in image_features(media).collect()}
+    for r in media.collect():
+        raster = np.frombuffer(bytes(r["payload"]), dtype=np.uint8)
+        f = feats[r["media_id"]]
+        assert f["n_bytes"] == len(raster)
+        assert f["mean_intensity"] == pytest.approx(float(raster.mean()))
+        assert f["min_intensity"] == int(raster.min())
+
+
+def test_resize_shape_and_determinism(media):
+    out = {r["media_id"]: r for r in resize_image(media, 8, 6).collect()}
+    assert len(out) == 6  # images only
+    for r in out.values():
+        assert r["width"] == 8 and r["height"] == 6
+        assert len(bytes(r["payload"])) == 8 * 6
+    # idempotent on re-run
+    again = {r["media_id"]: bytes(r["payload"]) for r in resize_image(media, 8, 6).collect()}
+    assert again == {k: bytes(v["payload"]) for k, v in out.items()}
+
+
+def test_frame_sampling(media):
+    frames = sample_frames(media, every_n=2).collect()
+    by_vid: dict = {}
+    for r in frames:
+        by_vid.setdefault(r["media_id"], []).append(r["frame_idx"])
+    assert set(by_vid) == {1000, 1001}
+    for idxs in by_vid.values():
+        assert sorted(idxs) == [0, 2, 4]  # every 2nd of 6 frames
+    frame_len = (16 * 12 * 6) // 6
+    assert all(len(bytes(r["frame"])) == frame_len for r in frames)
+
+
+def test_decode_stub_raises_without_codec(media):
+    if have_image_codec():
+        pytest.skip("codec installed; stub path not reachable")
+    with pytest.raises(NotImplementedError, match="no image codec"):
+        decode_image(media)

@@ -1,0 +1,62 @@
+"""Physical-plan assertions: the optimizer properties the engine's scale
+story depends on, checked as facts from .explain output — not assumed."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.plans.introspect import (
+    exchange_count,
+    join_strategies,
+    pushed_filters,
+    scan_schemas,
+    wholestage_codegen_ids,
+)
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import load_all
+
+_SF = "/root/testdata/sf0.001"
+
+
+def test_filter_pushdown_reaches_parquet_scan(spark):
+    li = load_table(spark, _SF, "lineitem").filter(
+        F.col("l_shipdate") < "1995-01-01"
+    ).select("l_orderkey", "l_extendedprice")
+    pf = pushed_filters(li)
+    assert any("l_shipdate" in f for f in pf), pf
+
+
+def test_column_pruning_reads_only_projected_columns(spark):
+    li = load_table(spark, _SF, "lineitem").select("l_orderkey", "l_quantity")
+    schemas = scan_schemas(li)
+    assert schemas and all(
+        set(s.split(",")) <= {"l_orderkey:bigint", "l_quantity:double"}
+        for s in schemas
+    ), schemas
+
+
+def test_dim_joins_broadcast_not_shuffle(spark):
+    q3 = load_all()["tpch_q3_shipping_priority"].fn(spark, _SF)
+    strategies = join_strategies(q3)
+    assert strategies, "expected join nodes"
+    assert all(s == "BroadcastHashJoin" for s in strategies), strategies
+
+
+def test_ledger_overlap_self_join_is_not_nested_loop(spark):
+    from sample_data_pipeline_project_spark.ledger.derive import derived_ledger
+    from sample_data_pipeline_project_spark.ledger.tasks import overlap_pairs_df
+
+    df = overlap_pairs_df(derived_ledger(spark, _SF), "view", "idx_0", "2024-01-05")
+    strategies = join_strategies(df)
+    assert strategies and "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies
+
+
+def test_q1_single_shuffle_and_codegen(spark):
+    q1 = load_all()["tpch_q1_pricing_summary"].fn(spark, _SF)
+    # scan -> partial agg -> ONE exchange -> final agg
+    assert exchange_count(q1) == 1
+    # AQE finalizes (and codegen-annotates) the plan only after execution
+    q1.collect()
+    assert len(wholestage_codegen_ids(q1)) >= 1

@@ -1,0 +1,67 @@
+"""Structured Streaming: stream-vs-batch parity and stateful processing."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.streaming.eventtime import (
+    hourly_counts_stream,
+    run_stream_to_table,
+    session_counts_stream,
+    stream_events,
+    user_totals_stateful,
+)
+
+_SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark):
+    df = stream_events(spark, _SF_DIR)
+    assert df.isStreaming
+    return df
+
+
+def test_hourly_stream_equals_batch(spark, events_stream):
+    got = run_stream_to_table(hourly_counts_stream(events_stream))
+    batch = (
+        load_table(spark, _SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+    s = {(r["window_start"], r["event_type"]): r["n_events"] for r in got.collect()}
+    b = {(r["window_start"], r["event_type"]): r["n_events"] for r in batch.collect()}
+    assert s == b and len(s) > 0
+
+
+def test_session_stream_total_events_conserved(spark, events_stream):
+    got = run_stream_to_table(session_counts_stream(events_stream))
+    rows = got.collect()
+    assert sum(r["n_events"] for r in rows) == load_table(
+        spark, _SF_DIR, "events"
+    ).count()
+    # session windows must be disjoint per user
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["session_end"])
+        )
+    for sessions in by_user.values():
+        sessions.sort()
+        for (s1, e1), (s2, e2) in zip(sessions, sessions[1:]):
+            assert e1 <= s2, f"overlapping sessions {s1}-{e1} and {s2}-{e2}"
+
+
+def test_stateful_user_totals_match_batch(spark, events_stream):
+    got = run_stream_to_table(user_totals_stateful(events_stream), "update")
+    batch = (
+        load_table(spark, _SF_DIR, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    s = {r["user_id"]: r["n_events"] for r in got.collect()}
+    b = {r["user_id"]: r["n_events"] for r in batch.collect()}
+    assert s == b
