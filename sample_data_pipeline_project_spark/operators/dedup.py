@@ -162,21 +162,48 @@ def jaccard_pairs_prefix(
         agg_cols.append(
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), rank - 1)")).alias("mask")
         )
-    per_doc = ranked.groupBy(id_col).agg(*agg_cols)
+    # per_doc is referenced 4x downstream (both prefix sides, both verify
+    # sides); without persistence Spark re-runs the whole tokenize/explode/
+    # rank/collect pipeline for each reference. It is N rows of small
+    # arrays — the classic "materialize signatures once" step (a real
+    # deployment writes this table; in-plan we cache it).
+    per_doc = ranked.groupBy(id_col).agg(*agg_cols).cache()
     prefix_len = (
         F.col("n_tok") - F.ceil(F.lit(threshold) * F.col("n_tok")) + F.lit(1)
     ).cast("int")
     prefix = per_doc.select(
         F.col(id_col),
-        F.explode(F.slice("ranks", 1, prefix_len)).alias("rank"),
-    )
+        F.col("n_tok"),
+        F.posexplode(F.slice("ranks", 1, prefix_len)).alias("pos0", "rank"),
+    ).withColumn("pos", F.col("pos0") + 1).drop("pos0")
     # No pre-verify distinct: a pair appears once per shared prefix token
     # (a small constant), and deduping AFTER the threshold filter shuffles
-    # only qualifying pairs instead of every candidate.
+    # only qualifying pairs instead of every candidate. Two more exact
+    # PPJoin pruning rules run at candidate generation, before any verify
+    # work: the LENGTH filter (J>=t forces t*|a| <= |b| <= |a|/t) and the
+    # POSITIONAL filter (a token at prefix position p leaves at most
+    # n - p + 1 tokens that can still overlap; J>=t needs overlap >=
+    # ceil(t/(1+t) * (|a|+|b|))).
+    pa = prefix.select(
+        F.col(id_col).alias("a"), F.col("n_tok").alias("n_a"), "rank",
+        F.col("pos").alias("pos_a"),
+    )
+    pb = prefix.select(
+        F.col(id_col).alias("b"), F.col("n_tok").alias("n_b"), "rank",
+        F.col("pos").alias("pos_b"),
+    )
+    min_overlap = F.ceil(
+        F.lit(threshold) / (1 + threshold) * (F.col("n_a") + F.col("n_b"))
+    )
     cands = (
-        prefix.select(F.col(id_col).alias("a"), "rank")
-        .join(prefix.select(F.col(id_col).alias("b"), "rank"), "rank")
+        pa.join(pb, "rank")
         .filter(F.col("a") < F.col("b"))
+        .filter(F.col("n_b") >= F.lit(threshold) * F.col("n_a"))
+        .filter(F.col("n_a") >= F.lit(threshold) * F.col("n_b"))
+        .filter(
+            1 + F.least(F.col("n_a") - F.col("pos_a"), F.col("n_b") - F.col("pos_b"))
+            >= min_overlap
+        )
         .select("a", "b")
     )
     if use_bitmask:
@@ -269,7 +296,8 @@ def simhash_pairs(
     if SIMHASH_BITS % bands:
         raise ValueError("bands must divide the fingerprint width")
     width = SIMHASH_BITS // bands
-    sig = simhash_fingerprints(docs, id_col, text_col, ngram_n)
+    # Cached for the same both-sides-of-the-band-join reason as MinHash.
+    sig = simhash_fingerprints(docs, id_col, text_col, ngram_n).cache()
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
@@ -338,7 +366,9 @@ def minhash_lsh_candidates(
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     r = num_hashes // bands
-    sig = minhash_signatures(docs, num_hashes, id_col, text_col)
+    # Both join sides read the signature table; cache so the token explode
+    # + k-way min aggregation runs once (see jaccard_pairs_prefix note).
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col).cache()
     band_cols = [
         F.struct(
             F.lit(bi).alias("band_idx"),
