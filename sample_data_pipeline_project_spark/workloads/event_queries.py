@@ -167,3 +167,33 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_events"),
         )
     )
+
+
+@workload(
+    "agg_salted_event_type",
+    oracle="""
+SELECT event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+""",
+)
+def agg_salted_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-stage aggregation: event_type has only 5 values, so a
+    single groupBy funnels everything through 5 reducers. Stage 1 groups on
+    (event_type, salt) spreading each hot key over 16 reducers; stage 2
+    merges the partials. Results are identical to the plain GROUP BY (the
+    oracle) because count/decimal-sum are associative — the salt only
+    changes the shuffle topology. This is the manual form of what AQE
+    skew-join splitting does for joins."""
+    e = load_table(spark, sf_dir, "events")
+    salted = e.withColumn("__salt", F.pmod(F.col("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "__salt").agg(
+        F.count(F.lit(1)).alias("pc"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("ps"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pc").alias("n_events"),
+        F.sum("ps").cast("double").alias("sum_value"),
+    )

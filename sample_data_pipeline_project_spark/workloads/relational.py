@@ -517,3 +517,57 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice").cast("decimal(18,2)") > 2 * F.col("__avg"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+@workload(
+    "join_bigbig_orders_lineitem",
+    oracle=f"""
+SELECT o.o_orderpriority,
+       COUNT(*) AS n_items,
+       {_REV_SQL} AS revenue
+FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority
+""",
+)
+def join_bigbig_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join (orders x lineitem): at warehouse scale neither
+    side broadcasts, so this is the shuffle-join path — both sides hash on
+    l_orderkey/o_orderkey and AQE coalesces/splits partitions at runtime.
+    (At test SF AQE may still elect a broadcast; the logical shape is what
+    scales.)"""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+        )
+    )
+
+
+@workload(
+    "percentile_order_prices",
+    oracle="""
+SELECT o_orderpriority,
+       quantile_cont(CAST(o_totalprice * 100 AS BIGINT), 0.25) AS p25_cents,
+       quantile_cont(CAST(o_totalprice * 100 AS BIGINT), 0.5)  AS p50_cents,
+       quantile_cont(CAST(o_totalprice * 100 AS BIGINT), 0.75) AS p75_cents
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (type-7 quantile, the definition both
+    Spark's `percentile` and DuckDB's `quantile_cont` implement). Inputs
+    are integer cents so the interpolation arithmetic is identical
+    bit-for-bit across engines; at scale exact percentile is a sort-based
+    aggregate — the approx_percentile sketch is the O(1)-memory variant."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice") * 100).cast("bigint")
+    return o.groupBy("o_orderpriority").agg(
+        F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
+        F.percentile(cents, F.lit(0.5)).alias("p50_cents"),
+        F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
+    )
