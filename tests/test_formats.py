@@ -1,0 +1,47 @@
+"""Multi-format IO: roundtrip fidelity for every format, schema
+enforcement, timestamp preservation across text formats."""
+
+from __future__ import annotations
+
+import pytest
+
+from sample_data_pipeline_project_spark.schema import PIPELINE_RUNS_SCHEMA
+from sample_data_pipeline_project_spark.sources.formats import read_table, write_table
+
+
+@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+def test_roundtrip_all_formats(spark, ledger, tmp_path, fmt):
+    path = str(tmp_path / f"out_{fmt}")
+    write_table(ledger, path, fmt=fmt)
+    back = read_table(spark, path, fmt=fmt, schema=PIPELINE_RUNS_SCHEMA)
+    # nullability is not preserved by file formats; names+types are
+    assert [(f.name, f.dataType) for f in back.schema.fields] == [
+        (f.name, f.dataType) for f in ledger.schema.fields
+    ]
+    assert {tuple(r) for r in back.collect()} == {tuple(r) for r in ledger.collect()}
+
+
+def test_text_formats_require_schema(spark, tmp_path):
+    with pytest.raises(ValueError, match="no reliable embedded schema"):
+        read_table(spark, str(tmp_path), fmt="csv")
+
+
+def test_unknown_format_rejected(spark, ledger, tmp_path):
+    with pytest.raises(ValueError, match="unsupported format"):
+        write_table(ledger, str(tmp_path / "x"), fmt="avro")
+
+
+def test_partitioned_write_file_cap(spark, ledger, tmp_path):
+    import glob
+
+    path = str(tmp_path / "capped")
+    write_table(
+        ledger,
+        path,
+        fmt="parquet",
+        partition_by=["query_window_start_day"],
+        files_per_partition=1,
+    )
+    for day_dir in glob.glob(f"{path}/query_window_start_day=*"):
+        files = [f for f in glob.glob(f"{day_dir}/*.parquet")]
+        assert len(files) == 1, day_dir
