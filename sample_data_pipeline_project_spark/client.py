@@ -22,8 +22,10 @@ Deviations (documented, SURVEY.md §7):
     pyformat `%(name)s`; `_to_named_params` accepts both and rewrites
     pyformat markers so reference-style query strings keep working.
   - `rows_affected` for INSERT comes from the post-statement count delta
-    when the target is a table the session can observe; plain-parquet
-    UPDATE/DELETE is out of scope for the v2 file format.
+    when the target is a table the session can observe. UPDATE/DELETE over
+    plain parquet go through the engine's copy-on-write API
+    (`sources/cow.py`: partition-scoped rewrite + rows_affected), since
+    the v2 file format has no in-place mutation.
 """
 
 from __future__ import annotations

@@ -571,3 +571,72 @@ def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile(cents, F.lit(0.5)).alias("p50_cents"),
         F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
     )
+
+
+@workload(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+             * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive sargable filters + ungrouped
+    aggregate — every predicate must reach the parquet reader
+    (PushedFilters), making this the canonical pushdown benchmark."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,2)")
+                * F.col("l_discount").cast("decimal(4,2)")
+            ).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@workload(
+    "tpch_q4_order_priority",
+    oracle="""
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders o
+WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o.o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority
+""",
+)
+def tpch_q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: EXISTS correlated subquery -> LEFT SEMI join (the
+    decorrelation Catalyst performs on the SQL form, written directly as
+    the DataFrame plan). Semi join carries no payload columns from the
+    probe side — minimal shuffle width."""
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1996-10-01")
+    )
+    l = load_table(spark, sf_dir, "lineitem")
+    cond = (F.col("l.l_orderkey") == F.col("o.o_orderkey")) & (
+        F.col("l.l_shipdate") > F.col("o.o_orderdate")
+    )
+    return (
+        o.alias("o")
+        .join(l.alias("l"), cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )

@@ -1,0 +1,88 @@
+"""Copy-on-write DML: update/delete correctness, rows_affected contract,
+and partition-scoped rewrite (untouched partitions' files stay untouched)."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.sources.cow import cow_delete, cow_update
+from sample_data_pipeline_project_spark.sources.ledger_io import write_ledger
+
+_PART = "query_window_start_day"
+
+
+@pytest.fixture
+def ledger_path(spark, ledger, tmp_path):
+    path = str(tmp_path / "ledger")
+    write_ledger(ledger, path, mode="overwrite")
+    return path
+
+
+def _mtimes(path: str) -> dict[str, float]:
+    return {
+        f: os.path.getmtime(f)
+        for f in glob.glob(f"{path}/{_PART}=*/*.parquet")
+    }
+
+
+def test_update_rewrites_only_matching_partitions(spark, ledger_path):
+    before = _mtimes(ledger_path)
+    out = cow_update(
+        spark,
+        ledger_path,
+        (F.col("pipeline_name") == "etl") & (F.col(_PART) == "2024-03-02"),
+        {"pipeline_status": F.lit("failed")},
+        partition_col=_PART,
+    )
+    assert out["rows_affected"] == 3
+    after = _mtimes(ledger_path)
+    changed_days = {
+        f.split(f"{_PART}=")[1].split("/")[0]
+        for f in set(after) - set(before) | {f for f in before if f not in after}
+    }
+    assert changed_days == {"2024-03-02"}
+    df = spark.read.parquet(ledger_path)
+    assert df.filter(
+        (F.col(_PART) == "2024-03-02") & (F.col("pipeline_status") != "failed")
+    ).count() == 0
+    assert df.count() == 18  # no rows lost
+
+
+def test_update_no_match_is_noop(spark, ledger_path):
+    before = _mtimes(ledger_path)
+    out = cow_update(
+        spark,
+        ledger_path,
+        F.col("pipeline_name") == "missing",
+        {"pipeline_status": F.lit("failed")},
+        partition_col=_PART,
+    )
+    assert out["rows_affected"] == 0
+    assert _mtimes(ledger_path) == before
+
+
+def test_delete_partition_scoped(spark, ledger_path):
+    out = cow_delete(
+        spark,
+        ledger_path,
+        F.col("run_id").isin(4, 5),
+        partition_col=_PART,
+    )
+    assert out["rows_affected"] == 2
+    df = spark.read.parquet(ledger_path)
+    assert df.count() == 16
+    assert df.filter(F.col("run_id").isin(4, 5)).count() == 0
+    # the rest of that partition survived
+    assert df.filter(F.col(_PART) == "2024-03-02").count() == 1
+
+
+def test_delete_unpartitioned_full_rewrite(spark, ledger, tmp_path):
+    path = str(tmp_path / "flat")
+    ledger.write.mode("overwrite").parquet(path)
+    out = cow_delete(spark, path, F.col("pipeline_name") == "etl")
+    assert out["rows_affected"] == 12
+    assert spark.read.parquet(path).count() == 6
