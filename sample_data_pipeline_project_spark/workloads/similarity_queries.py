@@ -115,3 +115,20 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("centroid_id"), F.col("embedding").alias("c_emb")
     )
     return ivf_topk_cosine(corpus, q, cents, _K, _NPROBE)
+
+
+@workload("sim_kmeans_ivf_topk", oracle=None)
+def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 scale path with a TRAINED quantizer: Lloyd k-means (3 iters,
+    deterministic id-init) -> IVF probe of the 2 nearest clusters -> exact
+    top-10 cosine inside them. No SQL oracle: k-means is iterative and its
+    double averages are summation-order-dependent, so the driver records
+    the rows-only check (result is always exactly top_k rows)."""
+    from sample_data_pipeline_project_spark.operators.kmeans import kmeans_ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    return kmeans_ivf_topk(corpus, q, k_clusters=8, top_k=_K, nprobe=2)
