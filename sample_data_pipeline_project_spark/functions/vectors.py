@@ -33,8 +33,11 @@ def norm(a: str) -> Column:
 
 
 def cosine(a: str, b: str) -> Column:
-    """Cosine similarity = dot / (|a| * |b|)."""
-    return dot(a, b) / (norm(a) * norm(b))
+    """Cosine similarity = dot / (|a| * |b|); NULL (not an ANSI
+    divide-by-zero error) when either vector has zero norm — zero vectors
+    have no direction, and NULL drops them from >= threshold filters and
+    sorts them last, which is the behavior similarity search wants."""
+    return dot(a, b) / F.nullif(norm(a) * norm(b), F.lit(0.0))
 
 
 # DuckDB twins (oracle SQL fragments) — the SAME left fold, so values match
@@ -54,5 +57,5 @@ def duck_dot(a: str, b: str) -> str:
 def duck_cosine(a: str, b: str) -> str:
     return (
         f"({duck_dot(a, b)} / "
-        f"(SQRT({duck_dot(a, a)}) * SQRT({duck_dot(b, b)})))"
+        f"NULLIF(SQRT({duck_dot(a, a)}) * SQRT({duck_dot(b, b)}), 0))"
     )

@@ -34,3 +34,34 @@ def stream_hourly_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle: stream-vs-batch parity."""
     events = stream_events(spark, sf_dir)
     return run_stream_to_table(hourly_counts_stream(events))
+
+
+@workload(
+    "stream_click_view_join",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       v.event_id AS view_id, v.ts AS view_ts
+FROM events c
+JOIN events v
+  ON c.event_type = 'click' AND v.event_type = 'view'
+ AND v.user_id = c.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL 1 HOUR
+""",
+)
+def stream_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 (streaming) — stream-stream inner join with watermark-bounded
+    state (clicks x views of the same user within the preceding hour),
+    executed incrementally and compared to the batch join oracle."""
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        click_view_join_stream,
+    )
+
+    events = stream_events(spark, sf_dir)
+    clicks = events.filter(F.col("event_type") == "click")
+    views = stream_events(spark, sf_dir).filter(F.col("event_type") == "view")
+    return run_stream_to_table(
+        click_view_join_stream(clicks, views), output_mode="append"
+    )
