@@ -197,3 +197,22 @@ def agg_salted_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pc").alias("n_events"),
         F.sum("ps").cast("double").alias("sum_value"),
     )
+
+
+@workload("sketch_approx_distinct_users", oracle=None)
+def sketch_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier — HyperLogLog++ distinct-user counts per event type next
+    to the exact count. O(1) memory per group vs the exact count's
+    O(distinct) state: the sketch is what survives on an unbounded stream
+    or a 100 TB groupBy. No SQL oracle (sketch estimates are
+    implementation-defined); tests bound the relative error instead, and
+    the driver records the rows-only check."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.count_distinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )

@@ -1,0 +1,37 @@
+"""Sketch accuracy: approximate aggregates must land inside their
+documented error bounds against exact computation on real data."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+_SF = "/root/testdata/sf0.01"
+
+
+def test_hll_within_rsd_bounds(spark):
+    e = load_table(spark, _SF, "events")
+    rows = (
+        e.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx"),
+            F.count_distinct("user_id").alias("exact"),
+        )
+        .collect()
+    )
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx"] - r["exact"]) / r["exact"]
+        assert rel_err <= 0.06, (r["event_type"], r["approx"], r["exact"])  # 3x rsd
+
+
+def test_approx_percentile_within_accuracy(spark):
+    o = load_table(spark, _SF, "orders")
+    row = o.agg(
+        F.percentile_approx("o_totalprice", 0.5, 1000).alias("approx"),
+        F.expr("percentile(o_totalprice, 0.5)").alias("exact"),
+    ).first()
+    # percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
+    # translate to a loose value tolerance on this distribution
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
