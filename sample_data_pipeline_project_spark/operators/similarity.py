@@ -143,6 +143,86 @@ def neardup_cosine_pairs_blocked(
     )
 
 
+def rp_lsh_neardup_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    num_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """APPROXIMATE cosine near-dup pairs via random-hyperplane LSH
+    (Charikar's SimHash for real vectors): sign bits of dot products with
+    `num_planes` deterministic pseudo-random hyperplanes, banded so only
+    vectors agreeing on a whole band of signs ever meet a join; survivors
+    re-verified with the exact JVM cosine.
+
+    Precision is 1.0 (verification is exact); recall < 1.0 — pairs whose
+    sign signatures differ in every band are missed. P[sign bit agrees] =
+    1 - angle/pi, so higher thresholds -> higher recall; tune
+    num_planes/bands for the recall/cost point. This is the
+    candidates-generation shape that scales past the blocked matmul: no
+    replication, one equi-join on (band, signature).
+
+    Hyperplane h[p][d] is a deterministic hash of (p, d) mapped to
+    [-0.5, 0.5): reproducible across runs/engines with no RNG state.
+    """
+    if num_planes % bands:
+        raise ValueError("bands must divide num_planes")
+    width = num_planes // bands
+    # plane p component d = (md5-derived int in [0,1)) - 0.5
+    def plane_component(p: int) -> str:
+        return (
+            f"transform(sequence(0, size({vec_col}) - 1), d -> "
+            f"(CAST(conv(substring(md5(concat('{p}|', CAST(d AS STRING))), 1, 6), 16, 10) "
+            f"AS DOUBLE) / 16777216.0) - 0.5)"
+        )
+
+    sign_bits = [
+        F.expr(
+            f"CASE WHEN aggregate(zip_with({vec_col}, {plane_component(p)}, "
+            f"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END"
+        ).alias(f"s_{p}")
+        for p in range(num_planes)
+    ]
+    sig = corpus.select(F.col(id_col), *sign_bits)
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "", *[F.col(f"s_{b * width + j}") for j in range(width)]
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col,
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_sig").alias("band_sig"),
+    )
+    cands = (
+        banded.select(F.col(id_col).alias("a"), "band_idx", "band_sig")
+        .join(
+            banded.select(F.col(id_col).alias("b"), "band_idx", "band_sig"),
+            ["band_idx", "band_sig"],
+        )
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    ea = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
+    eb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    return (
+        cands.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", cosine("va", "vb").alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
 def ivf_assign(
     corpus: DataFrame,
     centroids: DataFrame,

@@ -132,3 +132,17 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
     return kmeans_ivf_topk(corpus, q, k_clusters=8, top_k=_K, nprobe=2)
+
+
+@workload("sim_rplsh_neardup", oracle=None)
+def sim_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3/B2 — LSH-bucketed near-dup (random hyperplanes, 16 planes x 4
+    bands, exact verification). Approximate recall by design -> no SQL
+    oracle (rows-only check); tests measure recall against the exact
+    blocked-matmul result."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        rp_lsh_neardup_pairs,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return rp_lsh_neardup_pairs(emb, _NEARDUP_THRESHOLD)

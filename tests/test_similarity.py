@@ -54,3 +54,24 @@ def test_blocked_neardup_no_self_or_reversed_pairs(vecs):
     assert len(pairs) == len(set(pairs))
     for a, b in pairs:
         assert a < b
+
+
+def test_rplsh_precision_one_and_measured_recall(spark):
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        rp_lsh_neardup_pairs,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    exact = {
+        (r["a"], r["b"])
+        for r in neardup_cosine_pairs(emb, 0.4, id_col="vec_id").collect()
+    }
+    lsh = {
+        (r["a"], r["b"]) for r in rp_lsh_neardup_pairs(emb, 0.4).collect()
+    }
+    assert lsh <= exact            # precision 1.0: verification is exact
+    if exact:
+        recall = len(lsh) / len(exact)
+        # deterministic hyperplanes -> deterministic recall on this corpus
+        assert recall >= 0.3, recall
