@@ -35,6 +35,12 @@ _DEFAULTS = {
     # local[N] runs single-JVM; cap UI/noise.
     "spark.ui.enabled": "false",
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
+    # In local mode the driver JVM IS the executor. Spark's 1g default
+    # heap GC-thrashes a multi-query session (cached signature tables,
+    # broadcasts, Arrow batches); size it to the machine. Applied only at
+    # JVM launch — getOrCreate on a live session ignores it, so set from
+    # the first session of the process.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
 }
 
 

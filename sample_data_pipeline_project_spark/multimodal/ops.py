@@ -112,8 +112,11 @@ _FEATURE_SCHEMA = (
 
 def image_features(df: DataFrame) -> DataFrame:
     """Per-image statistics over the decoded raster (fake decode: payload
-    bytes ARE the row-major grayscale raster). One numpy pass per Arrow
-    batch — no per-row Python."""
+    bytes ARE the row-major grayscale raster). Batches cross the JVM
+    boundary as Arrow blocks; within a batch the loop is per-IMAGE (each
+    iteration is one numpy pass over a whole payload blob — the per-row
+    overhead is negligible against the per-blob work, unlike scalar
+    row-at-a-time UDFs)."""
 
     def compute(batches):
         import numpy as np

@@ -143,6 +143,63 @@ def neardup_cosine_pairs_blocked(
     )
 
 
+def _rp_planes(dim: int, num_planes: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes: component (p, d) is an
+    md5-derived value in [-0.5, 0.5). Derived once driver-side and embedded
+    as array literals — computing them inside the row expression would
+    re-run dim*planes md5 calls per row (measured 2ms/row: the whole
+    operator's cost). No RNG state: reproducible across runs/engines."""
+    import hashlib
+
+    return [
+        [
+            int(hashlib.md5(f"{p}|{d}".encode()).hexdigest()[:6], 16) / 16777216.0
+            - 0.5
+            for d in range(dim)
+        ]
+        for p in range(num_planes)
+    ]
+
+
+def _rp_sign_bits(vec_col: str, dim: int, num_planes: int) -> list[F.Column]:
+    """Sign bit of <vec, plane_p> for each hyperplane, as JVM-side
+    higher-order-function expressions (no Python in the row path)."""
+    planes = _rp_planes(dim, num_planes)
+    return [
+        F.expr(
+            f"CASE WHEN aggregate(zip_with({vec_col}, "
+            f"array({', '.join(repr(v) + 'D' for v in planes[p])}), "
+            f"(x, h) -> CAST(x AS DOUBLE) * h), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END"
+        ).alias(f"s_{p}")
+        for p in range(num_planes)
+    ]
+
+
+def _rp_banded(
+    df: DataFrame, id_col: str, num_planes: int, bands: int
+) -> DataFrame:
+    """(id, band_idx, band_sig) — one row per band, band_sig the
+    concatenated sign bits of that band."""
+    width = num_planes // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.concat_ws(
+                "", *[F.col(f"s_{b * width + j}") for j in range(width)]
+            ).alias("band_sig"),
+        )
+        for b in range(bands)
+    ]
+    return df.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col,
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_sig").alias("band_sig"),
+    )
+
+
 def rp_lsh_neardup_pairs(
     corpus: DataFrame,
     threshold: float,
@@ -169,40 +226,12 @@ def rp_lsh_neardup_pairs(
     """
     if num_planes % bands:
         raise ValueError("bands must divide num_planes")
-    width = num_planes // bands
-    # plane p component d = (md5-derived int in [0,1)) - 0.5
-    def plane_component(p: int) -> str:
-        return (
-            f"transform(sequence(0, size({vec_col}) - 1), d -> "
-            f"(CAST(conv(substring(md5(concat('{p}|', CAST(d AS STRING))), 1, 6), 16, 10) "
-            f"AS DOUBLE) / 16777216.0) - 0.5)"
-        )
-
-    sign_bits = [
-        F.expr(
-            f"CASE WHEN aggregate(zip_with({vec_col}, {plane_component(p)}, "
-            f"(x, h) -> CAST(x AS DOUBLE) * h), CAST(0.0 AS DOUBLE), "
-            f"(acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END"
-        ).alias(f"s_{p}")
-        for p in range(num_planes)
-    ]
-    sig = corpus.select(F.col(id_col), *sign_bits)
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.concat_ws(
-                "", *[F.col(f"s_{b * width + j}") for j in range(width)]
-            ).alias("band_sig"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(
-        id_col,
-        F.col("bk.band_idx").alias("band_idx"),
-        F.col("bk.band_sig").alias("band_sig"),
-    )
+    dim = len(corpus.select(vec_col).first()[0])
+    # cached: both band-join sides read the signature table
+    sig = corpus.select(
+        F.col(id_col), *_rp_sign_bits(vec_col, dim, num_planes)
+    ).cache()
+    banded = _rp_banded(sig, id_col, num_planes, bands)
     cands = (
         banded.select(F.col(id_col).alias("a"), "band_idx", "band_sig")
         .join(
@@ -220,6 +249,47 @@ def rp_lsh_neardup_pairs(
         .join(eb, "b")
         .select("a", "b", cosine("va", "vb").alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
+    )
+
+
+def rp_lsh_topk_cosine(
+    corpus: DataFrame,
+    query: DataFrame,
+    k: int,
+    num_planes: int = 16,
+    bands: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_vec_col: str = "q_emb",
+) -> DataFrame:
+    """APPROXIMATE top-k by cosine via LSH bucket probing: the query's band
+    signatures select candidate buckets (vectors sharing >= 1 whole band of
+    sign bits with the query); candidates are re-ranked with the exact JVM
+    cosine. The LSH-bucketed "scale path" next to IVF: a query touches only
+    the rows hashing near it — O(collisions), not O(N) — and the bucket
+    probe is an equi-join on (band_idx, band_sig), partitionable at any
+    scale.
+
+    Returns UP TO k rows (fewer if the buckets hold fewer candidates);
+    recall < 1.0 by construction. The same banded signature table serves
+    every query — in a deployment it is a write-time artifact, like the IVF
+    assignment."""
+    if num_planes % bands:
+        raise ValueError("bands must divide num_planes")
+    dim = len(corpus.select(vec_col).first()[0])
+    sig = corpus.select(F.col(id_col), *_rp_sign_bits(vec_col, dim, num_planes))
+    banded = _rp_banded(sig, id_col, num_planes, bands)
+    q_sig = query.select(*_rp_sign_bits(query_vec_col, dim, num_planes))
+    q_banded = _rp_banded(
+        q_sig.select(F.lit(0).alias("__qid"), "*"), "__qid", num_planes, bands
+    ).select("band_idx", "band_sig")
+    cand_ids = (
+        banded.join(F.broadcast(q_banded), ["band_idx", "band_sig"])
+        .select(id_col)
+        .distinct()
+    )
+    return topk_cosine(
+        corpus.join(cand_ids, id_col), query, k, id_col, vec_col, query_vec_col
     )
 
 

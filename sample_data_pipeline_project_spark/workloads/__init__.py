@@ -53,7 +53,9 @@ def load_all() -> dict[str, Workload]:
         dedup_queries,
         event_queries,
         ledger_queries,
+        multimodal_queries,
         relational,
+        relational_extra,
         similarity_queries,
         streaming_queries,
         text_queries,

@@ -199,6 +199,68 @@ def agg_salted_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@workload(
+    "events_hypertable_rollup",
+    oracle="""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS bucket_start,
+         COUNT(*) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,6))) AS sum_dec
+  FROM events
+  GROUP BY date_trunc('hour', ts)
+)
+SELECT 'hour' AS resolution, bucket_start, n_events,
+       CAST(sum_dec AS DOUBLE) AS sum_value
+FROM hourly
+UNION ALL
+SELECT 'day' AS resolution, date_trunc('day', bucket_start) AS bucket_start,
+       SUM(n_events) AS n_events, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+FROM hourly GROUP BY date_trunc('day', bucket_start)
+UNION ALL
+SELECT 'week' AS resolution, date_trunc('week', bucket_start) AS bucket_start,
+       SUM(n_events) AS n_events, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+FROM hourly GROUP BY date_trunc('week', bucket_start)
+""",
+)
+def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style multi-resolution rollup (hour -> day -> week), the
+    continuous-aggregate pattern of time-series stores: only the HOUR tier
+    reads the raw events; each coarser tier RE-AGGREGATES the next finer
+    tier (count/decimal-sum are associative, so results are identical to
+    aggregating raw). At 100 TB that is the difference between scanning the
+    fact table once vs three times — the coarser rollups touch only
+    |hours| rows. Partials stay DECIMAL until each tier's final DOUBLE
+    cast."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(F.date_trunc("hour", F.col("ts")).alias("bucket_start"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_dec"),
+        )
+    ).cache()  # one tiny table (|hours| rows) feeds all three output tiers
+
+    def tier(df: DataFrame, res: str) -> DataFrame:
+        return df.select(
+            F.lit(res).alias("resolution"),
+            "bucket_start",
+            "n_events",
+            F.col("sum_dec").cast("double").alias("sum_value"),
+        )
+
+    def coarsen(df: DataFrame, unit: str) -> DataFrame:
+        return (
+            df.groupBy(F.date_trunc(unit, F.col("bucket_start")).alias("bucket_start"))
+            .agg(F.sum("n_events").alias("n_events"), F.sum("sum_dec").alias("sum_dec"))
+        )
+
+    daily = coarsen(hourly, "day")
+    weekly = coarsen(daily, "week")
+    return tier(hourly, "hour").unionAll(tier(daily, "day")).unionAll(
+        tier(weekly, "week")
+    )
+
+
 @workload("sketch_approx_distinct_users", oracle=None)
 def sketch_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier — HyperLogLog++ distinct-user counts per event type next

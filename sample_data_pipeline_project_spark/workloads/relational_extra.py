@@ -1,0 +1,320 @@
+"""Additional relational shapes (B7 widening): conditional aggregation,
+outer-join histograms, promo-ratio CASE joins, disjunctive pushdown,
+uncorrelated scalar subqueries, multi-DISTINCT aggregation, and the
+bucketed range join.
+
+Each is a distinct physical shape the first relational module doesn't
+cover, modeled on the TPC-H queries whose columns exist in the testdata
+(no partsupp table here, so Q2/Q16/Q20 shapes are out of reach):
+
+  - tpch_q12: join + SUM(CASE ...) conditional aggregates;
+  - tpch_q13: LEFT OUTER join with a join-side filter + two-level agg
+    (the count-of-counts histogram);
+  - tpch_q14: CASE-ratio over an equi-join (promo revenue share);
+  - tpch_q19: OR-of-ANDs predicate — Catalyst must still push the
+    common join key and prune columns despite the disjunction;
+  - tpch_q22: uncorrelated scalar subquery (avg balance) + anti join,
+    with the comparison rewritten multiplication-side for exactness;
+  - agg_count_distinct: multiple COUNT(DISTINCT) in one aggregate
+    (Expand-based plan);
+  - range_join_price_bands: interval containment via
+    operators/rangejoin.band_range_join (hash join, not nested loop).
+
+Scale notes mirror workloads/relational.py: dims broadcast, money math in
+exact DECIMAL with one final DOUBLE cast, ratios computed in DOUBLE with
+identical operation order on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.operators.rangejoin import band_range_join
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+_REV_DEC_SQL = (
+    "CAST(CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (1 - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(18,4))"
+)
+
+
+def _revenue_dec() -> F.Column:
+    return (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1) - F.col("l_discount").cast("decimal(4,2)"))
+    ).cast("decimal(18,4)")
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q12 shape: join + conditional (CASE) aggregates
+# --------------------------------------------------------------------------
+@workload(
+    "tpch_q12_conditional_agg",
+    oracle="""
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS high_line_count,
+       SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def tpch_q12_conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12 shape: fact-to-fact equi-join, then SUM(CASE...) pivot-style
+    conditional counts — integer arithmetic only, exact on both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01") & (F.col("l_shipdate") < "1997-01-01")
+    )
+    is_high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(is_high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~is_high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q13 shape: LEFT OUTER join with join-side filter + count histogram
+# --------------------------------------------------------------------------
+@workload(
+    "tpch_q13_order_distribution",
+    oracle="""
+WITH c_orders AS (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+SELECT c_count, COUNT(*) AS custdist
+FROM c_orders
+GROUP BY c_count
+""",
+)
+def tpch_q13_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q13 shape: LEFT OUTER join whose filter lives in the join condition
+    (NOT the WHERE — it must preserve customers with zero orders), then a
+    count-of-counts histogram. COUNT(o_orderkey) counts non-nulls, so
+    no-order customers land in bucket 0. Two shuffles by construction:
+    custkey, then c_count."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = (
+        c.join(
+            o,
+            (F.col("c_custkey") == F.col("o_custkey"))
+            & (F.col("o_orderpriority") != "1-URGENT"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q14 shape: CASE-ratio aggregate over an equi-join
+# --------------------------------------------------------------------------
+@workload(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+SELECT CAST(SUM(CASE WHEN p_type LIKE 'PROMO%' THEN {_REV_DEC_SQL} ELSE 0 END) AS DOUBLE)
+         * 100.0
+         / CAST(SUM({_REV_DEC_SQL}) AS DOUBLE) AS promo_revenue_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q14 shape: promo revenue share. Numerator and denominator are exact
+    decimal sums; the ratio is computed in DOUBLE with the same operation
+    order on both engines ((cast * 100.0) / cast), so it is bit-identical.
+    part broadcasts; lineitem never shuffles (ungrouped agg = one partial
+    per partition + driver-side merge)."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-03-01") & (F.col("l_shipdate") < "1996-04-01")
+    )
+    promo = F.when(F.col("p_type").like("PROMO%"), _revenue_dec()).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        l.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.sum(promo).cast("double")
+                * F.lit(100.0)
+                / F.sum(_revenue_dec()).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q19 shape: disjunction of conjunctions (OR-of-ANDs)
+# --------------------------------------------------------------------------
+@workload(
+    "tpch_q19_disjunctive_filter",
+    oracle=f"""
+SELECT CAST(SUM({_REV_DEC_SQL}) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#11' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+   OR (p_brand = 'Brand#25' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)
+""",
+)
+def tpch_q19_disjunctive_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q19 shape: OR-of-ANDs across both join sides. Catalyst still joins on
+    the common p_partkey equi-key and applies the disjunction as a join
+    residual; per-side implied filters (p_brand IN (...), l_quantity <= 50)
+    are inferred and pushed below the join by constraint propagation."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    l = load_table(spark, sf_dir, "lineitem")
+    arm = lambda brand, s_lo, s_hi, q_lo, q_hi: (  # noqa: E731
+        (F.col("p_brand") == brand)
+        & F.col("p_size").between(s_lo, s_hi)
+        & F.col("l_quantity").between(q_lo, q_hi)
+    )
+    cond = (
+        arm("Brand#11", 1, 15, 1, 20)
+        | arm("Brand#22", 10, 30, 10, 35)
+        | arm("Brand#25", 20, 50, 20, 50)
+    )
+    return (
+        l.join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .filter(cond)
+        .agg(
+            F.sum(_revenue_dec()).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# TPC-H Q22 shape: uncorrelated scalar subquery + anti join
+# --------------------------------------------------------------------------
+@workload(
+    "tpch_q22_idle_rich_customers",
+    oracle="""
+WITH stats AS (
+  SELECT COUNT(*) AS n_pos,
+         SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS total_pos
+  FROM customer WHERE c_acctbal > 0.0
+)
+SELECT c_mktsegment,
+       COUNT(*) AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+FROM customer, stats
+WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > total_pos
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+""",
+)
+def tpch_q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q22 shape: above-average-balance customers who never placed an
+    URGENT order, grouped by segment. (Every testdata customer has orders,
+    so the classic "no orders at all" anti-join is degenerate — the
+    priority filter keeps the anti join selective AND non-empty.) The
+    global average arrives as an uncorrelated scalar subquery — a 1-row
+    broadcast cross join, NOT a collect() (the plan stays fully
+    declarative). The `bal > avg` comparison is rewritten as
+    `bal * n > total` so it is exact decimal arithmetic on both engines
+    (no decimal division rounding to disagree about)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    bal_dec = F.col("c_acctbal").cast("decimal(18,2)")
+    stats = c.filter(F.col("c_acctbal") > 0.0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum(bal_dec).alias("total_pos"),
+    )
+    return (
+        c.crossJoin(F.broadcast(stats))
+        .filter(bal_dec * F.col("n_pos") > F.col("total_pos"))
+        .join(o, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(bal_dec).cast("double").alias("totacctbal"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Multiple COUNT(DISTINCT) in one aggregate
+# --------------------------------------------------------------------------
+@workload(
+    "agg_count_distinct_parts_suppliers",
+    oracle="""
+SELECT l_returnflag,
+       COUNT(DISTINCT l_partkey) AS n_parts,
+       COUNT(DISTINCT l_suppkey) AS n_supps,
+       COUNT(*) AS n_rows
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def agg_count_distinct_parts_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two COUNT(DISTINCT) columns + a plain count in one aggregate: Spark
+    plans this with Expand (one replica of each row per distinct column),
+    partial-distinct before the shuffle, so duplicate keys collapse
+    map-side. The exact form of what sketch_approx_distinct_users
+    approximates in O(1) memory."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").alias("n_parts"),
+        F.count_distinct("l_suppkey").alias("n_supps"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bucketed range join (operators/rangejoin.py)
+# --------------------------------------------------------------------------
+@workload(
+    "range_join_price_bands",
+    oracle="""
+WITH bands AS (
+  SELECT i AS band_idx,
+         895.0 + 8.0 * i AS lo,
+         908.0 + 8.0 * i AS hi
+  FROM generate_series(0, 11) t(i)
+)
+SELECT band_idx,
+       COUNT(*) AS n_parts,
+       CAST(SUM(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+FROM part JOIN bands ON p_retailprice >= lo AND p_retailprice < hi
+GROUP BY band_idx
+""",
+)
+def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: parts priced within overlapping [lo, hi) bands (stride 8,
+    width 13 — rows legitimately match 2 bands). The bands are deliberately
+    NOT aligned to the bucket width (10), proving the bucketed equi-join +
+    residual reproduces the pure theta-join semantics. At scale this is a
+    hash join on the bucket key instead of a nested loop."""
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_retailprice")
+    bands = spark.range(12).select(
+        F.col("id").alias("band_idx"),
+        (F.lit(895.0) + 8.0 * F.col("id")).alias("lo"),
+        (F.lit(908.0) + 8.0 * F.col("id")).alias("hi"),
+    )
+    joined = band_range_join(p, "p_retailprice", bands, "lo", "hi", bucket_width=10.0)
+    return joined.groupBy("band_idx").agg(
+        F.count(F.lit(1)).alias("n_parts"),
+        F.sum(F.col("p_retailprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("sum_price"),
+    )

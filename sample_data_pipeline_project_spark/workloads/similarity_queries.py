@@ -134,6 +134,25 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_ivf_topk(corpus, q, k_clusters=8, top_k=_K, nprobe=2)
 
 
+@workload("sim_lsh_topk", oracle=None)
+def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 scale path #2 — LSH-bucketed ANN top-k: the query probes only the
+    buckets sharing a whole band of hyperplane sign bits with it, then
+    exact cosine re-ranks the candidates. Approximate recall by design ->
+    no SQL oracle (rows-only check); tests measure recall against the
+    exact brute-force top-k."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        rp_lsh_topk_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    return rp_lsh_topk_cosine(corpus, q, _K)
+
+
 @workload("sim_rplsh_neardup", oracle=None)
 def sim_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B3/B2 — LSH-bucketed near-dup (random hyperplanes, 16 planes x 4

@@ -75,3 +75,30 @@ def test_rplsh_precision_one_and_measured_recall(spark):
         recall = len(lsh) / len(exact)
         # deterministic hyperplanes -> deterministic recall on this corpus
         assert recall >= 0.3, recall
+
+
+def test_lsh_topk_subset_of_corpus_with_exact_scores(spark):
+    """LSH top-k: returned scores must be the exact cosine (re-rank is
+    exact), results a subset of the brute-force ranking prefix-compatible
+    set, and recall@k measured against brute force."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        rp_lsh_topk_cosine,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    q = emb.filter("vec_id = 0").select(F.col("embedding").alias("q_emb"))
+    corpus = emb.filter("vec_id != 0")
+    k = 10
+    exact = topk_cosine(corpus, q, k).collect()
+    approx = rp_lsh_topk_cosine(corpus, q, k).collect()
+    assert 0 < len(approx) <= k
+    exact_scores = {r["vec_id"]: r["cosine_sim"] for r in topk_cosine(corpus, q, 10_000).collect()}
+    for r in approx:
+        # exact re-rank: the reported score IS the true cosine
+        assert r["cosine_sim"] == exact_scores[r["vec_id"]]
+    # scores sorted descending with id tiebreak
+    key = [(-r["cosine_sim"], r["vec_id"]) for r in approx]
+    assert key == sorted(key)
+    recall = len({r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}) / k
+    assert recall >= 0.3, recall
