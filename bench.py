@@ -48,9 +48,14 @@ def main() -> int:
             df = w.fn(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             timings[name] = round(time.perf_counter() - t0, 3)
+            print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         except Exception as exc:  # a failed query is a visible outlier, not a crash
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
+        # Workloads cache intermediates (signature tables etc.); drop them so
+        # each query is timed in isolation — retained caches from earlier
+        # queries steal unified memory from later shuffles and skew timings.
+        spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     print(

@@ -37,10 +37,13 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": str(os.cpu_count() or 8),
     # In local mode the driver JVM IS the executor. Spark's 1g default
     # heap GC-thrashes a multi-query session (cached signature tables,
-    # broadcasts, Arrow batches); size it to the machine. Applied only at
+    # broadcasts, Arrow batches) — but BIGGER IS NOT BETTER: measured on
+    # the full 64-workload bench at sf0.1, a 32g heap produced 30-90s
+    # random stalls (full-GC pauses over a mostly-garbage heap) for a
+    # 682s total, while 8g ran the same bench in 116s. Applied only at
     # JVM launch — getOrCreate on a live session ignores it, so set from
     # the first session of the process.
-    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "32g"),
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
 
