@@ -318,3 +318,84 @@ def range_join_price_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("sum_price"),
     )
+
+
+# --------------------------------------------------------------------------
+# Pivot (grouped transpose) — conditional-aggregation expansion
+# --------------------------------------------------------------------------
+@workload(
+    "pivot_status_by_priority",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_f,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_o,
+       COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_p,
+       CAST(COALESCE(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+            FILTER (WHERE o_orderstatus = 'F'), 0) AS DOUBLE) AS total_f
+FROM orders
+GROUP BY o_orderpriority
+""",
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT with an explicit value list: one grouped pass (single shuffle),
+    each pivot cell a conditional aggregate — the same plan `groupBy().
+    pivot(col, values)` produces, written explicitly so empty cells are 0
+    (Spark's pivot yields NULL there, DuckDB's FILTER yields 0/empty-sum).
+    Explicit values matter at scale: value-discovering pivot runs an extra
+    distinct job over the fact table first."""
+    o = load_table(spark, sf_dir, "orders")
+
+    def cnt(status: str) -> F.Column:
+        return F.count(F.when(F.col("o_orderstatus") == status, 1))
+
+    return o.groupBy("o_orderpriority").agg(
+        cnt("F").alias("status_f"),
+        cnt("O").alias("status_o"),
+        cnt("P").alias("status_p"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "F",
+                    F.col("o_totalprice").cast("decimal(18,2)"),
+                )
+            ),
+            F.lit(0).cast("decimal(18,2)"),
+        )
+        .cast("double")
+        .alias("total_f"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic hash sampling — reproducible TABLESAMPLE at any scale
+# --------------------------------------------------------------------------
+@workload(
+    "sample_hash_orders",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_sampled,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sampled_total
+FROM orders
+WHERE substring(md5(CAST(o_orderkey AS VARCHAR)), 1, 1) IN ('0', '1')
+GROUP BY o_orderpriority
+""",
+)
+def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 2/16 hash sample: keep rows whose key's md5 starts
+    with nibble 0 or 1. Unlike TABLESAMPLE/df.sample (RNG- and
+    partition-layout-dependent, irreproducible across engines, retries, or
+    repartitioning), a key-hash predicate picks the SAME logical rows
+    everywhere — the only sampling that is auditable on a 100 TB pipeline.
+    Embarrassingly parallel: no coordination, prunes before the shuffle."""
+    o = load_table(spark, sf_dir, "orders")
+    nibble = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1)
+    return (
+        o.filter(nibble.isin("0", "1"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sampled_total"),
+        )
+    )
