@@ -399,3 +399,32 @@ def sample_hash_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sampled_total"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Bucketed co-located join — storage-layout shuffle elimination
+# --------------------------------------------------------------------------
+@workload(
+    "join_bucketed_orders_lineitem",
+    oracle=f"""
+SELECT o_orderstatus,
+       COUNT(*) AS n_items,
+       CAST(SUM({_REV_DEC_SQL}) AS DOUBLE) AS revenue
+FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+GROUP BY o_orderstatus
+""",
+)
+def join_bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-fact join read from BUCKETED storage (both tables hash-
+    bucketed on the order key at write time): the join itself needs no
+    Exchange — only the final small groupBy shuffles. Results are
+    identical to the plain parquet join (the oracle); the timing includes
+    the one-time bucketed write, which is the trade a warehouse makes
+    once to never shuffle this join again."""
+    from sample_data_pipeline_project_spark.sources.bucketed import bucketed_join
+
+    joined = bucketed_join(spark, sf_dir)
+    return joined.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(_revenue_dec()).cast("double").alias("revenue"),
+    )
