@@ -428,3 +428,111 @@ def join_bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
         F.count(F.lit(1)).alias("n_items"),
         F.sum(_revenue_dec()).cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Array aggregation (collect to sorted array) + window-function variety
+# --------------------------------------------------------------------------
+@workload(
+    "agg_collect_sorted_segments",
+    oracle="""
+SELECT c_nationkey,
+       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       COUNT(DISTINCT c_mktsegment) AS n_segments
+FROM customer
+GROUP BY c_nationkey
+""",
+)
+def agg_collect_sorted_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-valued aggregation: distinct segments per nation collected to
+    a SORTED array (collect_set order is partition-dependent; sort_array
+    makes the value deterministic — the only way an array aggregate can be
+    compared across engines or retries)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_nationkey").agg(
+        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.count_distinct("c_mktsegment").alias("n_segments"),
+    )
+
+
+@workload(
+    "window_lead_first_seq",
+    oracle="""
+SELECT o_custkey, o_orderkey, o_orderdate,
+       LEAD(o_orderdate) OVER w AS next_order_date,
+       FIRST_VALUE(o_orderdate) OVER w AS first_order_date,
+       ROW_NUMBER() OVER w AS order_seq
+FROM orders
+WHERE o_custkey < 200
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+""",
+)
+def window_lead_first_seq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window-function variety beyond LAG/RANK: LEAD (next event),
+    FIRST_VALUE (anchor row), ROW_NUMBER (sequence) — all share ONE window
+    spec, so Spark computes them in a single shuffle+sort pass."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.lead("o_orderdate").over(w).alias("next_order_date"),
+        F.first("o_orderdate").over(w).alias("first_order_date"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Exact variance/stddev from associative partials
+# --------------------------------------------------------------------------
+@workload(
+    "agg_variance_exact",
+    oracle="""
+WITH partials AS (
+  SELECT o_orderpriority,
+         COUNT(*) AS n,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sq
+  FROM orders
+  GROUP BY o_orderpriority
+)
+SELECT o_orderpriority, n,
+       (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0 AS variance,
+       sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) / 100.0 AS stddev
+FROM partials
+""",
+)
+def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample variance/stddev from exact integer-cents partials (n, sum,
+    sum of squares) with the float math done once, identically, at the
+    end — engine-native stddev aggregates (Welford updates) are summation-
+    order-dependent and never bit-match across engines. Integer partials,
+    not decimal: sum-of-squares exceeds 2^53 in unscaled digits, and
+    decimal->double casts round engine-specifically there, while
+    int->double is IEEE-nearest everywhere. The partials are associative,
+    so this is also the form that merges across partitions, rollup tiers,
+    or incremental batches."""
+    o = load_table(spark, sf_dir, "orders")
+    # cents via the decimal(18,2) conversion every money workload relies on:
+    # double*100 -> bigint truncates in Spark but rounds in DuckDB.
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    partials = o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).alias("s"),
+        F.sum(cents * cents).alias("sq"),
+    )
+    var_cents2 = (
+        F.col("sq").cast("double")
+        - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
+    ) / (F.col("n") - 1)
+    return partials.select(
+        "o_orderpriority",
+        "n",
+        (var_cents2 / 10000.0).alias("variance"),
+        (F.sqrt(var_cents2) / 100.0).alias("stddev"),
+    )

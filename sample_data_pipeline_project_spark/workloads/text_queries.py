@@ -197,3 +197,35 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp.alias("fingerprint"),
         F.substring(fp, 1, 16).alias("fingerprint_prefix"),
     )
+
+
+@workload(
+    "text_token_document_frequency",
+    oracle="""
+WITH toks AS (
+  SELECT unnest(list_distinct(string_split_regex(lower(trim(text)), '\\s+'))) AS tok
+  FROM documents
+)
+SELECT tok, COUNT(*) AS doc_freq
+FROM toks
+GROUP BY tok
+ORDER BY doc_freq DESC, tok ASC
+LIMIT 20
+""",
+)
+def text_token_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index document frequency: explode per-doc DISTINCT tokens
+    (array_distinct before explode — dedup happens inside the row, so the
+    shuffle carries each (doc, token) once), count docs per token, global
+    top-20. The explode/lateral-view shape every text pipeline starts
+    from; top-k via TakeOrderedAndProject, not a global sort."""
+    from sample_data_pipeline_project_spark.operators.dedup import token_sets
+
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        token_sets(d)
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), F.col("tok").asc())
+        .limit(20)
+    )
