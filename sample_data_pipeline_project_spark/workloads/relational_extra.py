@@ -536,3 +536,50 @@ def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         (var_cents2 / 10000.0).alias("variance"),
         (F.sqrt(var_cents2) / 100.0).alias("stddev"),
     )
+
+
+# --------------------------------------------------------------------------
+# Parameterized SQL-text surface (the reference's native API shape)
+# --------------------------------------------------------------------------
+@workload(
+    "sql_text_param_revenue",
+    oracle="""
+SELECT o_orderpriority,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderstatus = 'F'
+GROUP BY o_orderpriority
+""",
+)
+def sql_text_param_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-TEXT entry path end-to-end (reference's native surface:
+    templated SQL + bound parameters, snowflake_tasks.py:173-178 et al.):
+    tables registered as views, query given as text with :name binds via
+    `spark.sql(text, args=...)` — same Catalyst plan as the DataFrame
+    form, so pushdown/pruning are identical. Parameters are BOUND, not
+    interpolated — no SQL-injection-shaped string formatting (the
+    reference f-strings dates into SQL at snowflake_tasks.py:525-526; we
+    deliberately do not)."""
+    from sample_data_pipeline_project_spark.sources.catalog import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        FROM orders
+        WHERE o_orderdate >= :start_ts
+          AND o_orderdate <  :end_ts
+          AND o_orderstatus = :status
+        GROUP BY o_orderpriority
+        """,
+        args={
+            "start_ts": "1996-01-01 00:00:00",
+            "end_ts": "1997-01-01 00:00:00",
+            "status": "F",
+        },
+    )
