@@ -48,6 +48,15 @@ def ensure_bucketed_table(
     key = _BUCKET_KEYS[table]
     name = f"{table}_bucketed_{_sf_tag(sf_dir)}"
     if not spark.catalog.tableExists(name):
+        # The in-memory catalog forgets tables across sessions but their
+        # warehouse directories persist; saveAsTable refuses to reuse an
+        # orphaned location (LOCATION_ALREADY_EXISTS), so clear it first.
+        warehouse = spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+        stale = os.path.join(re.sub(r"^file:/*", "/", warehouse), name)
+        if os.path.isdir(stale):
+            import shutil
+
+            shutil.rmtree(stale, ignore_errors=True)
         (
             load_table(spark, sf_dir, table)
             .write.bucketBy(num_buckets, key)
