@@ -104,6 +104,25 @@ def session_counts_stream(
     )
 
 
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming exact deduplication on event_id —
+    `dropDuplicatesWithinWatermark` keeps per-key state only until the
+    watermark passes the key's first-seen event time, so state is bounded
+    by (duplicate-arrival spread / watermark), not by stream length. The
+    batch twin is B1's `dropDuplicates`; this is the form a 100 TB
+    always-on ingest pipeline runs."""
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        ["event_id"]
+    ).select(
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "user_id",
+        "event_type",
+        "value",
+        "props",
+    )
+
+
 def click_view_join_stream(
     clicks: DataFrame, views: DataFrame, lookback: str = "1 hour"
 ) -> DataFrame:

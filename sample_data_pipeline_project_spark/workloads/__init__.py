@@ -56,6 +56,7 @@ def load_all() -> dict[str, Workload]:
         multimodal_queries,
         relational,
         relational_extra,
+        relational_extra3,
         relational_tpch2,
         similarity_queries,
         streaming_queries,

@@ -497,37 +497,59 @@ WITH partials AS (
   SELECT o_orderpriority,
          COUNT(*) AS n,
          SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS s,
-         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) * CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS sq
+         SUM(CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(18,0))
+             * CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS DECIMAL(18,0))) AS sq
   FROM orders
   GROUP BY o_orderpriority
 )
+, sq_double AS (
+  SELECT o_orderpriority, n, s,
+         CAST(CAST(sq AS HUGEINT) // 1000000000 AS DOUBLE) * 1000000000.0
+         + CAST(CAST(sq AS HUGEINT) % 1000000000 AS DOUBLE) AS sq_d
+  FROM partials
+)
 SELECT o_orderpriority, n,
-       (CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0 AS variance,
-       sqrt((CAST(sq AS DOUBLE) - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) / 100.0 AS stddev
-FROM partials
+       (sq_d - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1) / 10000.0 AS variance,
+       sqrt((sq_d - CAST(s AS DOUBLE) * CAST(s AS DOUBLE) / n) / (n - 1)) / 100.0 AS stddev
+FROM sq_double
 """,
 )
 def agg_variance_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample variance/stddev from exact integer-cents partials (n, sum,
     sum of squares) with the float math done once, identically, at the
     end — engine-native stddev aggregates (Welford updates) are summation-
-    order-dependent and never bit-match across engines. Integer partials,
-    not decimal: sum-of-squares exceeds 2^53 in unscaled digits, and
-    decimal->double casts round engine-specifically there, while
-    int->double is IEEE-nearest everywhere. The partials are associative,
+    order-dependent and never bit-match across engines. The count and sum
+    partials are int64; the sum-of-squares partial is exact DECIMAL(38,0)
+    (int64 overflows it past ~10^5 rows per group) — integer-valued either
+    way, so the one cast to double is IEEE-nearest identically in both
+    engines. The partials are associative,
     so this is also the form that merges across partitions, rollup tiers,
     or incremental batches."""
     o = load_table(spark, sf_dir, "orders")
     # cents via the decimal(18,2) conversion every money workload relies on:
     # double*100 -> bigint truncates in Spark but rounds in DuckDB.
     cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+    # The squares sum exceeds int64 around sf0.1 (8-digit cents squared,
+    # summed over 10^5+ rows) — hold it in exact wide DECIMAL instead:
+    # both engines sum 128-bit exactly, and an integer-valued decimal
+    # casts to double with the same IEEE-nearest rounding as an int.
+    cents_dec = cents.cast("decimal(18,0)")
     partials = o.groupBy("o_orderpriority").agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(cents).alias("s"),
-        F.sum(cents * cents).alias("sq"),
+        F.sum(cents_dec * cents_dec).alias("sq"),
+    )
+    # sq has ~20 digits: casting a >2^53 decimal to double is NOT
+    # correctly rounded in every engine (DuckDB's 128-bit path is 1 ulp
+    # off Spark's). Pin the conversion by splitting into two <2^53
+    # integers and reassembling with plain IEEE ops — deterministic
+    # everywhere (the oracle does the identical split via HUGEINT).
+    sq_d = F.expr(
+        "CAST(sq DIV 1000000000 AS DOUBLE) * 1000000000.0"
+        " + CAST(sq % 1000000000 AS DOUBLE)"
     )
     var_cents2 = (
-        F.col("sq").cast("double")
+        sq_d
         - F.col("s").cast("double") * F.col("s").cast("double") / F.col("n")
     ) / (F.col("n") - 1)
     return partials.select(

@@ -1,0 +1,154 @@
+"""Further relational operator breadth: GROUPING SETS, UNPIVOT (melt),
+distribution window functions (NTILE / PERCENT_RANK / CUME_DIST), and
+regex/string scalar functions. Each is a stock Catalyst operator — the
+point of these workloads is oracle-checked parity coverage, not custom
+machinery.
+
+Determinism notes:
+  - grouping-sets output is distinguished by NULL group keys (the data
+    has no NULL keys of its own, so the marker is unambiguous);
+  - percent_rank/cume_dist divide identically-derived integers on both
+    engines (one double division per row, same operands -> same bits);
+  - regex patterns stay within the common semantics of Java regex
+    (Spark) and RE2 (DuckDB): literal/char-class/anchor only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+from sample_data_pipeline_project_spark.workloads.relational import _dsum
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (beyond the cube/rollup already covered)
+# --------------------------------------------------------------------------
+@workload(
+    "grouping_sets_region_segment",
+    oracle="""
+SELECT r_name, c_mktsegment, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY GROUPING SETS ((r_name), (c_mktsegment), ())
+""",
+)
+def grouping_sets_region_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form of cube/rollup: per-region
+    totals, per-segment totals, and the grand total in ONE pass (a single
+    Expand + hash aggregate, not three scans unioned)."""
+    c = load_table(spark, sf_dir, "customer")
+    nt = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    joined = c.join(
+        F.broadcast(nt), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+    return joined.groupingSets(
+        [["r_name"], ["c_mktsegment"], []], "r_name", "c_mktsegment"
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        _dsum(F.col("c_acctbal"), "DECIMAL(18,2)").alias("total_bal"),
+    )
+
+
+# --------------------------------------------------------------------------
+# UNPIVOT / melt (wide -> long reshaping)
+# --------------------------------------------------------------------------
+@workload(
+    "unpivot_lineitem_measures",
+    oracle="""
+SELECT l_orderkey, l_linenumber, 'l_extendedprice' AS measure, l_extendedprice AS amount
+FROM lineitem WHERE l_orderkey < 50
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_discount', l_discount
+FROM lineitem WHERE l_orderkey < 50
+UNION ALL
+SELECT l_orderkey, l_linenumber, 'l_tax', l_tax
+FROM lineitem WHERE l_orderkey < 50
+""",
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt): three measure columns to (measure, amount) long
+    form — Spark's native `unpivot` plans one Expand over one scan, where
+    the UNION ALL oracle formulation scans three times."""
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_orderkey") < 50)
+    return l.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_extendedprice", "l_discount", "l_tax"],
+        "measure",
+        "amount",
+    )
+
+
+# --------------------------------------------------------------------------
+# Distribution window functions
+# --------------------------------------------------------------------------
+@workload(
+    "window_distribution_funcs",
+    oracle="""
+SELECT n_name, c_custkey, c_acctbal,
+       NTILE(4) OVER w AS quartile,
+       PERCENT_RANK() OVER w AS pct_rank,
+       CUME_DIST() OVER w AS cume
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal ASC, c_custkey ASC)
+""",
+)
+def window_distribution_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE / PERCENT_RANK / CUME_DIST sharing one window spec — one
+    shuffle on the partition key, one sort, three analytic outputs. The
+    order key is made unique (acctbal, custkey) so ranks are deterministic."""
+    c = load_table(spark, sf_dir, "customer")
+    nt = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        c.join(F.broadcast(nt), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.ntile(4).over(w).alias("quartile"),
+            F.percent_rank().over(w).alias("pct_rank"),
+            F.cume_dist().over(w).alias("cume"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Regex + string scalar functions
+# --------------------------------------------------------------------------
+@workload(
+    "scalar_regex_funcs",
+    oracle="""
+SELECT p_partkey,
+       regexp_extract(p_name, '([a-z]+)$', 1) AS noun,
+       regexp_replace(p_name, ' ', '_') AS snake_name,
+       split_part(p_name, ' ', 1) AS adjective,
+       lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_padded,
+       reverse(p_brand) AS brand_rev,
+       levenshtein(p_brand, 'Brand#1') AS brand_dist
+FROM part
+WHERE p_partkey <= 300
+""",
+)
+def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extraction/replacement + split_part/lpad/reverse/levenshtein —
+    all JVM-side codegen expressions (no UDF), patterns restricted to the
+    Java-regex/RE2 common subset."""
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_name", r"([a-z]+)$", 1).alias("noun"),
+        F.regexp_replace("p_name", " ", "_").alias("snake_name"),
+        F.split_part(F.col("p_name"), F.lit(" "), F.lit(1)).alias("adjective"),
+        F.lpad(F.col("p_size").cast("string"), 3, "0").alias("size_padded"),
+        F.reverse("p_brand").alias("brand_rev"),
+        F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).alias("brand_dist"),
+    )

@@ -65,3 +65,22 @@ def stream_click_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         click_view_join_stream(clicks, views), output_mode="append"
     )
+
+
+@workload(
+    "stream_dedup_exact",
+    oracle="""
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+""",
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1/B6 (streaming) — exact dedup under duplication: the event stream
+    unioned with itself (every event arrives twice) then
+    dropDuplicatesWithinWatermark on event_id, executed incrementally.
+    The oracle is simply the original table: recovering it exactly is the
+    correctness statement for streaming dedup."""
+    doubled = stream_events(spark, sf_dir).unionAll(stream_events(spark, sf_dir))
+    from sample_data_pipeline_project_spark.streaming.eventtime import dedup_stream
+
+    return run_stream_to_table(dedup_stream(doubled), output_mode="append")

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from sample_data_pipeline_project_spark.sources.catalog import load_table
 from sample_data_pipeline_project_spark.streaming.eventtime import (
+    dedup_stream,
     hourly_counts_stream,
     run_stream_to_table,
     session_counts_stream,
@@ -65,3 +66,15 @@ def test_stateful_user_totals_match_batch(spark, events_stream):
     s = {r["user_id"]: r["n_events"] for r in got.collect()}
     b = {r["user_id"]: r["n_events"] for r in batch.collect()}
     assert s == b
+
+
+def test_stream_dedup_recovers_original(spark):
+    """Doubling the stream (union with itself) then streaming dedup on
+    event_id must recover exactly the original events."""
+    doubled = stream_events(spark, _SF_DIR).unionAll(stream_events(spark, _SF_DIR))
+    got = run_stream_to_table(dedup_stream(doubled), "append")
+    n_orig = load_table(spark, _SF_DIR, "events").count()
+    rows = got.collect()
+    assert len(rows) == n_orig
+    ids = {r["event_id"] for r in rows}
+    assert len(ids) == n_orig
