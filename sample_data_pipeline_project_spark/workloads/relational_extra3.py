@@ -152,3 +152,36 @@ def scalar_regex_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.reverse("p_brand").alias("brand_rev"),
         F.levenshtein(F.col("p_brand"), F.lit("Brand#1")).alias("brand_dist"),
     )
+
+
+# --------------------------------------------------------------------------
+# Array / higher-order functions over the embedding column
+# --------------------------------------------------------------------------
+@workload(
+    "array_embedding_stats",
+    oracle="""
+SELECT vec_id,
+       len(embedding) AS dim,
+       list_min(embedding) AS mn,
+       list_max(embedding) AS mx,
+       len(list_filter(embedding, x -> x > 0)) AS n_pos,
+       embedding[1:3] AS head3
+FROM embeddings
+WHERE vec_id < 500
+""",
+)
+def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array + lambda higher-order functions over `embedding:
+    array<float>`: size, element min/max, a filtered count (HOF lambda),
+    and a slice — all JVM-side expressions on the nested type, no UDF.
+    Only comparisons and reshaping (no float arithmetic), so results are
+    bit-exact across engines."""
+    e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.array_min("embedding").alias("mn"),
+        F.array_max("embedding").alias("mx"),
+        F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
+        F.slice("embedding", 1, 3).alias("head3"),
+    )

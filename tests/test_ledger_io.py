@@ -34,3 +34,24 @@ def test_day_filter_prunes_partitions(spark, ledger, tmp_path):
     assert "PartitionFilters: [" in plan
     assert "2024-03-02" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
     assert back.count() == 3
+
+
+def test_dynamic_partition_pruning(spark, ledger, tmp_path):
+    """Runtime partition pruning: joining the day-partitioned ledger to a
+    small filtered dimension on the partition column must plan a
+    DynamicPruningExpression on the scan — at scale this skips whole
+    day partitions the dimension filter excludes, without a static
+    predicate on the fact side."""
+    import datetime as dt
+
+    path = str(tmp_path / "ledger3")
+    write_ledger(ledger, path)
+    fact = read_ledger(spark, path)
+    dim = spark.createDataFrame(
+        [(dt.date(2024, 3, 2), "keep"), (dt.date(2024, 3, 1), "drop")],
+        "day date, tag string",
+    ).filter(F.col("tag") == "keep")
+    joined = fact.join(dim, fact["query_window_start_day"] == dim["day"])
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower()
+    assert joined.count() == 3
