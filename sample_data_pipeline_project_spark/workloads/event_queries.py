@@ -278,3 +278,25 @@ def sketch_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@workload(
+    "cogroup_prior_view_counts",
+    oracle="""
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       (SELECT COUNT(*) FROM events v
+        WHERE v.event_type = 'view' AND v.user_id = c.user_id
+          AND v.ts < c.ts) AS prior_views
+FROM events c
+WHERE c.event_type = 'click'
+""",
+)
+def cogroup_prior_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cogrouped applyInPandas (operators/cogrouped.py): per-user two-table
+    alignment in one Arrow call per key, hash-matched against the
+    correlated-COUNT SQL formulation."""
+    from sample_data_pipeline_project_spark.operators.cogrouped import (
+        clicks_with_prior_view_counts,
+    )
+
+    return clicks_with_prior_view_counts(load_table(spark, sf_dir, "events"))
