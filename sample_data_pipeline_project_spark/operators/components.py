@@ -1,0 +1,72 @@
+"""Connected components over an edge DataFrame (dedup clustering).
+
+Collapses near-duplicate PAIRS (the output of the Jaccard / MinHash /
+SimHash operators in `operators/dedup.py`) into duplicate GROUPS: every
+vertex gets `component_id` = the smallest vertex id reachable through
+the near-dup relation — the canonical representative a dedup pipeline
+keeps, everything else being dropped as a duplicate.
+
+Algorithm: iterative min-label propagation (the hash-to-min family,
+Rastogi et al., "Finding Connected Components in Map-Reduce in
+Logarithmic Rounds", ICDE'13, simple-propagation variant): each round
+every vertex takes the min label among itself and its neighbors;
+converges in O(diameter) rounds. Each round is one shuffle join plus
+one shuffle aggregate, both sized by the EDGE list — at 100 TB corpus
+scale the edge list is the near-dup pair set, orders of magnitude
+smaller than the corpus, and the diameter of duplicate clusters is tiny
+(copies of one source document form near-cliques), so a handful of
+rounds suffice. Lineage is truncated every round with an eager
+localCheckpoint so the plan does not grow with iteration count, and the
+convergence check rides on the same materialization (no extra pass).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame,
+    id_col: str = "id",
+    a_col: str = "a",
+    b_col: str = "b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Label each vertex with the min vertex id in its connected component.
+
+    edges: undirected pair list with columns (a_col, b_col).
+    vertices: the complete vertex set (one column, id_col) — vertices
+    touching no edge come back as their own singleton component.
+    Returns columns (id_col, component_id).
+    """
+    sym = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    labels = vertices.select(
+        F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["src"] == labels["vid"])
+            .select(F.col("dst").alias("vid"), "comp")
+            .groupBy("vid")
+            .agg(F.min("comp").alias("nbr_comp"))
+        )
+        merged = (
+            labels.join(nbr_min, "vid", "left")
+            .select(
+                "vid",
+                F.col("comp").alias("old_comp"),
+                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = merged.filter(F.col("comp") < F.col("old_comp")).count()
+        labels = merged.select("vid", "comp")
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("vid").alias(id_col), F.col("comp").alias("component_id")
+    )

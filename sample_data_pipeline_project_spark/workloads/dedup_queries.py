@@ -192,6 +192,65 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(d, _NGRAM_THRESHOLD, ngram_n=_NGRAM_N)
 
 
+@workload(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({_DUCK_BIGRAMS}) AS tok FROM base
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT s.a, s.b
+  FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE CAST(s.shared AS DOUBLE) / (sa.n_tok + sb.n_tok - s.shared)
+        >= {_NGRAM_THRESHOLD}
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION SELECT b AS src, a AS dst FROM pairs),
+reach(node, lbl) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
+),
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY node)
+SELECT c.doc_id, c.component_id, s.n_members
+FROM comp c
+JOIN (SELECT component_id, COUNT(*) AS n_members FROM comp
+      GROUP BY component_id) s USING (component_id)
+""",
+)
+def dedup_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 — duplicate-CLUSTER assignment: collapse the bigram-Jaccard
+    near-dup pair graph into connected components via iterative min-label
+    propagation (operators/components.py); every document gets the min
+    doc_id reachable through the near-dup relation as its canonical
+    component_id, plus the component size. The oracle computes the same
+    closure with a recursive CTE — feasible there because dup clusters
+    are near-cliques of bounded size."""
+    from sample_data_pipeline_project_spark.operators.components import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_prefix(d, _NGRAM_THRESHOLD, ngram_n=_NGRAM_N).select("a", "b")
+    comp = connected_components(pairs, d.select("doc_id"), id_col="doc_id")
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("n_members"))
+    return comp.join(F.broadcast(sizes), "component_id").select(
+        "doc_id", "component_id", "n_members"
+    )
+
+
 @workload("dedup_minhash_lsh", oracle=_duck_minhash_oracle())
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """B2 — MinHash(k=12) + LSH banding (4 bands x 3 rows): candidate

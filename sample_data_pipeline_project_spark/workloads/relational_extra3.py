@@ -185,3 +185,50 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
         F.slice("embedding", 1, 3).alias("head3"),
     )
+
+
+# --------------------------------------------------------------------------
+# RANGE window frame (value-based, vs the ROWS frames covered elsewhere)
+# --------------------------------------------------------------------------
+@workload(
+    "window_trailing_7day_revenue",
+    oracle="""
+WITH t AS (
+  SELECT o_custkey, o_orderkey,
+         date_diff('day', DATE '1992-01-01', CAST(o_orderdate AS DATE))
+           AS day_num,
+         o_totalprice
+  FROM orders
+)
+SELECT o_custkey, o_orderkey, day_num,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY day_num
+         RANGE BETWEEN 6 PRECEDING AND CURRENT ROW) AS DOUBLE)
+         AS trailing_7day_revenue
+FROM t
+""",
+)
+def window_trailing_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer trailing-7-day revenue: a RANGE window frame
+    (rangeBetween over a day-number order key), i.e. value-based frame
+    bounds where peers with the same order date share one frame —
+    semantically different from any ROWS frame when dates repeat. The
+    exact-DECIMAL sum keeps the double cast order-independent."""
+    o = load_table(spark, sf_dir, "orders").withColumn(
+        "day_num",
+        F.datediff(F.to_date("o_orderdate"), F.lit("1992-01-01").cast("date")),
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_num")
+        .rangeBetween(-6, Window.currentRow)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "day_num",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_7day_revenue"),
+    )

@@ -229,3 +229,47 @@ def text_token_document_frequency(spark: SparkSession, sf_dir: str) -> DataFrame
         .orderBy(F.col("doc_freq").desc(), F.col("tok").asc())
         .limit(20)
     )
+
+
+# PII-style redaction patterns, kept inside the shared semantics of Java
+# regex (Spark) and RE2 (DuckDB): char classes + bounded quantifiers only,
+# no lookaround, no backreferences.
+_EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_LONGTOK_RE = "[a-z]{8,}"
+
+
+@workload(
+    "text_pii_redaction",
+    oracle=f"""
+SELECT doc_id,
+       len(regexp_extract_all(text, '{_EMAIL_RE}')) AS n_emails,
+       len(regexp_extract_all(text, '{_LONGTOK_RE}')) AS n_long_tokens,
+       md5(regexp_replace(regexp_replace(text, '{_EMAIL_RE}', '<EMAIL>', 'g'),
+                          '{_LONGTOK_RE}', '<TOK>', 'g')) AS redacted_md5
+FROM documents
+""",
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII-style regex redaction: count + replace email addresses and
+    long alphabetic tokens (stand-in for names/identifiers), returning the
+    md5 of the redacted text so the full rewritten document is checked
+    without shipping it. The synthetic corpus contains no '@' so n_emails
+    exercises the zero-match path portably; the long-token rule fires on
+    real data. Pure JVM regexp_replace — the standard pretraining scrub
+    stage, no UDF."""
+    d = load_table(spark, sf_dir, "documents")
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _EMAIL_RE, "<EMAIL>"),
+        _LONGTOK_RE,
+        "<TOK>",
+    )
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_EMAIL_RE), 0)).alias(
+            "n_emails"
+        ),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_LONGTOK_RE), 0)).alias(
+            "n_long_tokens"
+        ),
+        F.md5(redacted).alias("redacted_md5"),
+    )
