@@ -59,3 +59,70 @@ def duck_cosine(a: str, b: str) -> str:
         f"({duck_dot(a, b)} / "
         f"NULLIF(SQRT({duck_dot(a, a)}) * SQRT({duck_dot(b, b)}), 0))"
     )
+
+
+# --- int8 scalar quantization (B3 scale path) -----------------------------
+# Per-vector symmetric quantization: scale = 127 / max|x_i|, q_i =
+# round(x_i * scale) — 4x memory vs float32 and an EXACT-INTEGER dot
+# product, so the quantized score is deterministic across engines with no
+# float-summation-order caveats (only the final sqrt/divide are IEEE ops
+# on exactly-equal integers). round() ties go away-from-zero in both
+# Spark (HALF_UP) and DuckDB.
+
+Q_SCALE_SQL = (
+    "(CAST(127.0 AS DOUBLE) / "
+    "nullif(greatest(abs(array_min({a})), abs(array_max({a}))), CAST(0.0 AS DOUBLE)))"
+)
+
+QUANT_SQL = "transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * {s}) AS BIGINT))"
+
+INT_DOT_SQL = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+)
+
+
+def quantize_int8(a: str) -> Column:
+    return F.expr(QUANT_SQL.format(a=a, s=Q_SCALE_SQL.format(a=a)))
+
+
+def int_dot(a: str, b: str) -> Column:
+    return F.expr(INT_DOT_SQL.format(a=a, b=b))
+
+
+def quantized_cosine(a: str, b: str) -> Column:
+    """Cosine in the quantized domain: all three dots are exact integers."""
+    return int_dot(a, b) / F.nullif(
+        F.sqrt(int_dot(a, a)) * F.sqrt(int_dot(b, b)), F.lit(0.0)
+    )
+
+
+DUCK_Q_SCALE_SQL = (
+    "(CAST(127.0 AS DOUBLE) / "
+    "NULLIF(GREATEST(ABS(list_min({a})), ABS(list_max({a}))), CAST(0.0 AS DOUBLE)))"
+)
+
+DUCK_QUANT_SQL = (
+    "list_transform({a}, x -> CAST(round(CAST(x AS DOUBLE) * {s}) AS BIGINT))"
+)
+
+DUCK_INT_DOT_SQL = (
+    "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+    "list_transform(list_zip({a}, {b}), p -> p[1] * p[2])), "
+    "(acc, v) -> acc + v)"
+)
+
+
+def duck_quantize_int8(a: str) -> str:
+    return DUCK_QUANT_SQL.format(a=a, s=DUCK_Q_SCALE_SQL.format(a=a))
+
+
+def duck_int_dot(a: str, b: str) -> str:
+    return DUCK_INT_DOT_SQL.format(a=a, b=b)
+
+
+def duck_quantized_cosine(a: str, b: str) -> str:
+    return (
+        f"({duck_int_dot(a, b)} / "
+        f"NULLIF(SQRT({duck_int_dot(a, a)}) * SQRT({duck_int_dot(b, b)}), 0))"
+    )

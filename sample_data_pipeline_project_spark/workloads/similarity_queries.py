@@ -165,3 +165,46 @@ def sim_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return rp_lsh_neardup_pairs(emb, _NEARDUP_THRESHOLD)
+
+
+from sample_data_pipeline_project_spark.functions.vectors import (  # noqa: E402
+    duck_quantize_int8,
+    duck_quantized_cosine,
+    quantize_int8,
+    quantized_cosine,
+)
+
+_DUCK_QUANT_TOPK = f"""
+WITH qv AS (
+  SELECT vec_id, {duck_quantize_int8('embedding')} AS q
+  FROM embeddings
+),
+query AS (SELECT q AS qq FROM qv WHERE vec_id = {_QUERY_ID})
+SELECT v.vec_id,
+       {duck_quantized_cosine('v.q', 'query.qq')} AS q_cosine
+FROM qv v CROSS JOIN query
+WHERE v.vec_id != {_QUERY_ID}
+ORDER BY q_cosine DESC, v.vec_id ASC
+LIMIT {_K}
+"""
+
+
+@workload("sim_quantized_int8_topk", oracle=_DUCK_QUANT_TOPK)
+def sim_quantized_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 scale path — int8 scalar quantization: per-vector symmetric
+    quantize (scale = 127/max|x|), then top-k by EXACT-INTEGER dot products
+    (only the final sqrt/divide touch floats). 4x less memory/shuffle than
+    float32 brute force and integer SIMD on the hot path; quantized scores
+    are engine-deterministic, so unlike the LSH/k-means ANN variants this
+    approximate path still gets a full value-hash oracle."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "q", quantize_int8("embedding")
+    )
+    q = emb.filter(F.col("vec_id") == _QUERY_ID).select(F.col("q").alias("qq"))
+    corpus = emb.filter(F.col("vec_id") != _QUERY_ID)
+    return (
+        corpus.crossJoin(F.broadcast(q))
+        .select("vec_id", quantized_cosine("q", "qq").alias("q_cosine"))
+        .orderBy(F.col("q_cosine").desc(), F.col("vec_id").asc())
+        .limit(_K)
+    )

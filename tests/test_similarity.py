@@ -102,3 +102,43 @@ def test_lsh_topk_subset_of_corpus_with_exact_scores(spark):
     assert key == sorted(key)
     recall = len({r["vec_id"] for r in approx} & {r["vec_id"] for r in exact}) / k
     assert recall >= 0.3, recall
+
+
+def test_int8_quantized_cosine_error_bound_and_recall(spark):
+    """Quantized cosine tracks exact cosine within the int8 quantization
+    error envelope, and quantized top-k recovers the exact top-k on the
+    real testdata (recall@10)."""
+    from sample_data_pipeline_project_spark.functions.vectors import (
+        cosine,
+        quantize_int8,
+        quantized_cosine,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(200)
+    both = (
+        emb.withColumn("q", quantize_int8("embedding"))
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(
+            F.broadcast(
+                emb.filter("vec_id = 0").select(
+                    F.col("embedding").alias("q_emb"),
+                    quantize_int8("embedding").alias("qq"),
+                )
+            )
+        )
+        .select(
+            "vec_id",
+            cosine("embedding", "q_emb").alias("exact"),
+            quantized_cosine("q", "qq").alias("approx"),
+        )
+        .collect()
+    )
+    assert both
+    for r in both:
+        # int8 symmetric quantization: relative element error <= 1/254 per
+        # operand; 0.02 absolute on a unit-ish cosine is a loose envelope.
+        assert abs(r["exact"] - r["approx"]) < 0.02, r
+    exact10 = {r["vec_id"] for r in sorted(both, key=lambda r: -r["exact"])[:10]}
+    approx10 = {r["vec_id"] for r in sorted(both, key=lambda r: -r["approx"])[:10]}
+    assert len(exact10 & approx10) >= 8
