@@ -41,9 +41,16 @@ def connected_components(
     touching no edge come back as their own singleton component.
     Returns columns (id_col, component_id).
     """
-    sym = edges.select(
-        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).unionByName(edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst")))
+    # Materialize the symmetrized edge list ONCE: every round joins against
+    # it, and without this the whole upstream pair-generation pipeline
+    # (e.g. a prefix-filtered similarity join) would re-execute per round.
+    sym = (
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .localCheckpoint(eager=True)
+    )
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
     )

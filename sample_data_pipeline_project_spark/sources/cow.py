@@ -113,3 +113,76 @@ def cow_delete(
         return {"query_id": new_query_id(), "rows_affected": n}
 
     return run_task("cow_delete", _run, logger, path=path)
+
+
+def cow_merge(
+    spark: SparkSession,
+    path: str,
+    source: DataFrame,
+    key_cols: list[str],
+    partition_col: str | None = None,
+    logger: LogBlock | None = None,
+) -> dict[str, Any]:
+    """MERGE INTO <table> USING source ON keys — upsert semantics: target
+    rows matching a source key are replaced by the source row, unmatched
+    source rows are inserted. Copy-on-write like update/delete: only
+    partitions holding a matched target row or receiving a source row are
+    rewritten (dynamic partition overwrite); when partitioned, `source`
+    must carry `partition_col`. Source keys must be unique (the standard
+    MERGE precondition — table formats raise on multiple source matches).
+    -> {query_id, n_updated, n_inserted, rows_affected}.
+    """
+
+    def _run() -> dict[str, Any]:
+        target = spark.read.parquet(path)
+        cols = target.columns
+        keys = source.select(*key_cols).distinct()
+        n_updated = target.join(keys, key_cols, "left_semi").count()
+        n_source = source.count()
+        n_inserted = n_source - n_updated
+        if partition_col is None:
+            merged = (
+                target.join(source.select(*key_cols), key_cols, "left_anti")
+                .unionByName(source.select(*cols))
+                .localCheckpoint(eager=True)
+            )
+            merged.write.mode("overwrite").parquet(path)
+        else:
+            tgt_days = (
+                target.join(keys, key_cols, "left_semi")
+                .select(partition_col)
+                .distinct()
+            )
+            days = [
+                r[0]
+                for r in tgt_days.unionByName(
+                    source.select(partition_col).distinct()
+                )
+                .distinct()
+                .collect()
+            ]
+            scope = target.filter(F.col(partition_col).isin(days))
+            rewritten = (
+                scope.join(source.select(*key_cols), key_cols, "left_anti")
+                .unionByName(source.select(*cols))
+                .localCheckpoint(eager=True)
+            )
+            prev = spark.conf.get(_DYN, "static")
+            spark.conf.set(_DYN, "dynamic")
+            try:
+                (
+                    rewritten.repartition(1, partition_col)
+                    .write.mode("overwrite")
+                    .partitionBy(partition_col)
+                    .parquet(path)
+                )
+            finally:
+                spark.conf.set(_DYN, prev)
+        return {
+            "query_id": new_query_id(),
+            "n_updated": n_updated,
+            "n_inserted": n_inserted,
+            "rows_affected": n_source,
+        }
+
+    return run_task("cow_merge", _run, logger, path=path)

@@ -84,3 +84,43 @@ def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_data_pipeline_project_spark.streaming.eventtime import dedup_stream
 
     return run_stream_to_table(dedup_stream(doubled), output_mode="append")
+
+
+@workload(
+    "stream_sessionization",
+    oracle="""
+WITH flagged AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   > INTERVAL 6 HOUR
+              OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+              THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sessions AS (
+  SELECT user_id, ts,
+         SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       MIN(ts) AS session_start,
+       MAX(ts) + INTERVAL 6 HOUR AS session_end,
+       COUNT(*) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+""",
+)
+def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 (streaming) — sessionization via `session_window` state (open
+    sessions per user, merged incrementally across micro-batches), run to
+    completion and compared to the batch gaps-and-islands oracle. Spark's
+    session end = last event + gap, so the oracle adds the 6h gap to
+    MAX(ts); equality of the two independent formulations (stateful merge
+    vs lag/cumsum) is the correctness statement."""
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        session_counts_stream,
+    )
+
+    events = stream_events(spark, sf_dir)
+    return run_stream_to_table(session_counts_stream(events))

@@ -86,3 +86,55 @@ def test_delete_unpartitioned_full_rewrite(spark, ledger, tmp_path):
     out = cow_delete(spark, path, F.col("pipeline_name") == "etl")
     assert out["rows_affected"] == 12
     assert spark.read.parquet(path).count() == 6
+
+
+def test_merge_upsert_partition_scoped(spark, ledger, ledger_path):
+    from sample_data_pipeline_project_spark.sources.cow import cow_merge
+
+    before = _mtimes(ledger_path)
+    untouched_days_before = {
+        f: t for f, t in before.items() if f"{_PART}=2024-03-01" in f
+    }
+    # source: update run 4 (partition 2024-03-02), insert run 99 into the
+    # same partition, insert run 100 into a brand-new partition.
+    upd = ledger.filter(F.col("run_id") == 4).withColumn(
+        "pipeline_status", F.lit("merged")
+    )
+    ins_existing = ledger.filter(F.col("run_id") == 4).withColumn(
+        "run_id", F.lit(99).cast("long")
+    )
+    ins_new = (
+        ledger.filter(F.col("run_id") == 4)
+        .withColumn("run_id", F.lit(100).cast("long"))
+        .withColumn(_PART, F.to_date(F.lit("2024-03-20")))
+    )
+    source = upd.unionByName(ins_existing).unionByName(ins_new)
+    out = cow_merge(spark, ledger_path, source, ["run_id"], partition_col=_PART)
+    assert out["n_updated"] == 1
+    assert out["n_inserted"] == 2
+    assert out["rows_affected"] == 3
+    df = spark.read.parquet(ledger_path)
+    assert df.count() == 20
+    assert (
+        df.filter(F.col("run_id") == 4).first()["pipeline_status"] == "merged"
+    )
+    assert df.filter(F.col("run_id").isin(99, 100)).count() == 2
+    assert df.filter(F.col(_PART) == "2024-03-20").count() == 1
+    # partitions not named by the merge kept their exact files
+    after = _mtimes(ledger_path)
+    for f, t in untouched_days_before.items():
+        assert after.get(f) == t, f
+
+
+def test_merge_insert_only_unpartitioned(spark, ledger, tmp_path):
+    from sample_data_pipeline_project_spark.sources.cow import cow_merge
+
+    path = str(tmp_path / "flat_merge")
+    ledger.write.mode("overwrite").parquet(path)
+    source = ledger.filter(F.col("run_id") == 1).withColumn(
+        "run_id", F.lit(500).cast("long")
+    )
+    out = cow_merge(spark, path, source, ["run_id"])
+    assert out["n_updated"] == 0
+    assert out["n_inserted"] == 1
+    assert spark.read.parquet(path).count() == 19
