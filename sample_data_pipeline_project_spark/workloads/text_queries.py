@@ -273,3 +273,84 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.md5(redacted).alias("redacted_md5"),
     )
+
+
+_DECON_N = 3  # shingle width (words); benchmark set = doc_id < 5
+_DUCK_DECON_GRAMS = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+
+@workload(
+    "text_decontamination_overlap",
+    oracle=f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+grams AS (
+  SELECT doc_id, unnest({_DUCK_DECON_GRAMS}) AS gram FROM base
+),
+bench AS (SELECT doc_id AS bench_id, gram FROM grams WHERE doc_id < 5),
+corpus AS (
+  SELECT g.doc_id, COUNT(DISTINCT g.gram) AS n_grams
+  FROM grams g WHERE g.doc_id >= 5 GROUP BY g.doc_id
+),
+hits AS (
+  SELECT g.doc_id, b.bench_id, COUNT(*) AS n_shared
+  FROM grams g JOIN bench b ON g.gram = b.gram
+  WHERE g.doc_id >= 5
+  GROUP BY g.doc_id, b.bench_id
+)
+SELECT h.doc_id, h.bench_id, h.n_shared, c.n_grams,
+       CAST(h.n_shared AS DOUBLE) / c.n_grams AS contamination
+FROM hits h JOIN corpus c ON h.doc_id = c.doc_id
+WHERE CAST(h.n_shared AS DOUBLE) / c.n_grams >= 0.05
+""",
+)
+def text_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: word-3-gram overlap between every corpus
+    document (doc_id >= 5) and a benchmark set (doc_id < 5) — the standard
+    pretraining contamination check. Distinct shingles per doc explode
+    once; the benchmark side is tiny and BROADCAST, so the probe is one
+    shuffle-free hash lookup per corpus shingle; flagged pairs carry the
+    shared-gram count and contamination fraction (>= 5%)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    grams = d.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(
+                        F.lit(0),
+                        F.greatest(F.size("toks") - _DECON_N, F.lit(-1)),
+                    ),
+                    lambda i: F.array_join(F.slice("toks", i + 1, _DECON_N), " "),
+                )
+            )
+        ).alias("gram"),
+    )
+    bench = grams.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("bench_id"), "gram"
+    )
+    corpus = grams.filter(F.col("doc_id") >= 5)
+    n_grams = corpus.groupBy("doc_id").agg(
+        F.countDistinct("gram").alias("n_grams")
+    )
+    hits = (
+        corpus.join(F.broadcast(bench), "gram")
+        .groupBy("doc_id", "bench_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        hits.join(n_grams, "doc_id")
+        .withColumn(
+            "contamination", F.col("n_shared").cast("double") / F.col("n_grams")
+        )
+        .filter(F.col("contamination") >= 0.05)
+        .select("doc_id", "bench_id", "n_shared", "n_grams", "contamination")
+    )

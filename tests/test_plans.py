@@ -60,3 +60,38 @@ def test_q1_single_shuffle_and_codegen(spark):
     # AQE finalizes (and codegen-annotates) the plan only after execution
     q1.collect()
     assert len(wholestage_codegen_ids(q1)) >= 1
+
+
+def test_runtime_bloom_filter_prunes_shuffle_join(spark):
+    """Runtime row-group pruning for big-big joins: when the build side is
+    selectively filtered and neither side broadcasts, Catalyst injects a
+    bloom-filter semi-filter (might_contain over xxhash64) into the probe
+    scan. At 100 TB the default thresholds (10 GB probe scan / 10 MB build)
+    engage on their own; here they're lowered to pin the plan shape at
+    test scale."""
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "1KB",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    prev = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        o = load_table(spark, _SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        li = load_table(spark, _SF, "lineitem")
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
