@@ -300,3 +300,28 @@ def cogroup_prior_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return clicks_with_prior_view_counts(load_table(spark, sf_dir, "events"))
+
+
+@workload("sketch_hll_mergeable_rollup", oracle=None)
+def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier — MERGEABLE HyperLogLog (Apache DataSketches via
+    hll_sketch_agg/hll_union_agg): per (event_type, hour) binary sketches
+    are built once, then re-aggregated to event_type level by sketch UNION
+    — the pre-aggregated sketch-table pattern that makes 100 TB distinct
+    counts incremental (store hour-grain sketches, answer any coarser
+    rollup without touching raw data). Emits the unioned estimate next to
+    the exact count; rows-only driver check (estimates are
+    implementation-defined), error bounded in tests."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sketch"))
+    unioned = hourly.groupBy("event_type").agg(
+        F.expr("hll_sketch_estimate(hll_union_agg(sketch, true))").alias(
+            "approx_users"
+        )
+    )
+    exact = e.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return unioned.join(exact, "event_type").orderBy("event_type")

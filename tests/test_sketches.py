@@ -35,3 +35,16 @@ def test_approx_percentile_within_accuracy(spark):
     # percentile_approx(accuracy=1000) guarantees rank error <= n/1000;
     # translate to a loose value tolerance on this distribution
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+
+
+def test_hll_mergeable_rollup_matches_direct_estimate(spark):
+    """Union of hour-grain sketches must estimate within HLL error of the
+    exact distinct count — mergeability is what makes the sketch-table
+    rollup correct."""
+    from sample_data_pipeline_project_spark.workloads import load_all
+
+    rows = load_all()["sketch_hll_mergeable_rollup"].fn(spark, _SF).collect()
+    assert rows
+    for r in rows:
+        rel_err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
+        assert rel_err <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
