@@ -70,3 +70,19 @@ def wholestage_codegen_ids(df: DataFrame) -> list[str]:
         r"\*\((\d+)\)", plan
     )
     return sorted(set(ids))
+
+
+def scan_output_rows(df: DataFrame) -> int:
+    """Sum of `numOutputRows` across the executed plan's leaf (file-scan)
+    nodes — rows that SURVIVED parquet row-group min/max pruning plus the
+    pushed predicate. Requires the query to have executed (metrics are
+    runtime values). The direct measure of whether a storage layout's
+    clustering actually narrowed IO."""
+    plan = df._jdf.queryExecution().executedPlan()
+    leaves = plan.collectLeaves()
+    total = 0
+    for i in range(leaves.size()):
+        m = leaves.apply(i).metrics()
+        if m.contains("numOutputRows"):
+            total += m.apply("numOutputRows").value()
+    return total
