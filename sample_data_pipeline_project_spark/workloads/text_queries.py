@@ -354,3 +354,24 @@ def text_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("contamination") >= 0.05)
         .select("doc_id", "bench_id", "n_shared", "n_grams", "contamination")
     )
+
+
+@workload("sketch_heavy_hitter_tokens", oracle=None)
+def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier — frequent-items (heavy hitters) over the token stream
+    via approx_top_k: bounded-memory top-20 tokens by occurrence, the
+    streaming-safe alternative to an exact explode+groupBy+sort when the
+    vocabulary doesn't fit. Rows-only driver check (sketch counts are
+    capacity-dependent); tests pin it against the exact counts at test
+    scale, where the tracked capacity exceeds the vocabulary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    return (
+        toks.agg(F.expr("approx_top_k(tok, 20, 10000)").alias("top"))
+        .select(F.explode("top").alias("e"))
+        .select(
+            F.col("e.item").alias("tok"),
+            F.col("e.count").alias("approx_count"),
+        )
+        .orderBy(F.col("approx_count").desc(), F.col("tok").asc())
+    )

@@ -48,3 +48,25 @@ def test_hll_mergeable_rollup_matches_direct_estimate(spark):
     for r in rows:
         rel_err = abs(r["approx_users"] - r["exact_users"]) / r["exact_users"]
         assert rel_err <= 0.05, (r["event_type"], r["approx_users"], r["exact_users"])
+
+
+def test_heavy_hitter_tokens_exact_at_capacity(spark):
+    """With tracked capacity >= vocabulary the frequent-items sketch
+    degrades to exact counts — pin it against explode+groupBy."""
+    from sample_data_pipeline_project_spark.functions.text import tokens
+    from sample_data_pipeline_project_spark.workloads import load_all
+
+    got = {
+        (r["tok"], r["approx_count"])
+        for r in load_all()["sketch_heavy_hitter_tokens"].fn(spark, _SF).collect()
+    }
+    d = load_table(spark, _SF, "documents")
+    exact = (
+        d.select(F.explode(tokens("text")).alias("tok"))
+        .groupBy("tok")
+        .count()
+        .orderBy(F.col("count").desc(), F.col("tok").asc())
+        .limit(20)
+        .collect()
+    )
+    assert {(r["tok"], r["count"]) for r in exact} == got
