@@ -232,3 +232,55 @@ def window_trailing_7day_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_7day_revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Recursive CTE (WITH RECURSIVE, Spark 4.x): date-spine gap filling
+# --------------------------------------------------------------------------
+@workload(
+    "timeseries_recursive_date_spine",
+    oracle="""
+WITH RECURSIVE spine(day) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT day + 1 FROM spine WHERE day < DATE '1995-02-28'
+),
+daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+    AND o_orderdate < TIMESTAMP '1995-03-01'
+  GROUP BY CAST(o_orderdate AS DATE)
+)
+SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+       COALESCE(d.revenue, 0.0) AS revenue
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+""",
+)
+def timeseries_recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recursive CTE (WITH RECURSIVE — Spark 4.x SQL surface): generate a
+    dense daily date spine, left-join sparse per-day order aggregates, and
+    gap-fill with zeros — the dense-time-series shape every monitoring /
+    feature pipeline needs. Recursion is monotone (day+1 to a bound), so
+    it terminates within the engine's recursion budget; a 59-row spine
+    joined broadcast against the aggregated side."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_spine_src")
+    return spark.sql("""
+WITH RECURSIVE spine(day) AS (
+  SELECT DATE '1995-01-01'
+  UNION ALL
+  SELECT date_add(day, 1) FROM spine WHERE day < DATE '1995-02-28'
+),
+daily AS (
+  SELECT to_date(o_orderdate) AS day, COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+  FROM orders_spine_src
+  WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    AND o_orderdate < TIMESTAMP '1995-03-01 00:00:00'
+  GROUP BY to_date(o_orderdate)
+)
+SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
+       COALESCE(d.revenue, CAST(0.0 AS DOUBLE)) AS revenue
+FROM spine s LEFT JOIN daily d ON s.day = d.day
+""")
