@@ -45,3 +45,22 @@ def test_partitioned_write_file_cap(spark, ledger, tmp_path):
     for day_dir in glob.glob(f"{path}/query_window_start_day=*"):
         files = [f for f in glob.glob(f"{day_dir}/*.parquet")]
         assert len(files) == 1, day_dir
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    """Schema evolution over a growing table: files written before a column
+    existed read back as NULL for that column under mergeSchema — the
+    additive-evolution contract a long-lived 100 TB table needs (no
+    rewrite of old files to add a column)."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "evolving")
+    spark.range(0, 5).select("id").write.mode("append").parquet(path)
+    spark.range(5, 8).select(
+        "id", (F.col("id") * 10).alias("score")
+    ).write.mode("append").parquet(path)
+    df = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(df.columns) == {"id", "score"}
+    assert df.count() == 8
+    assert df.filter(F.col("score").isNull()).count() == 5
+    assert df.filter(F.col("score") == 70).count() == 1

@@ -106,3 +106,50 @@ def test_asof_join_equals_bruteforce(sess, rows):
                     best = cand
         expect[lid] = best[1] if best else None
     assert got == expect
+
+
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 14), st.integers(0, 14)),
+    min_size=0,
+    max_size=25,
+)
+
+
+@given(edges=_edges_strategy)
+@_SETTINGS
+def test_connected_components_matches_union_find(spark, edges):
+    """Min-label propagation must agree with a driver-side union-find on
+    arbitrary small graphs (self-loops and duplicate edges included)."""
+    from sample_data_pipeline_project_spark.operators.components import (
+        connected_components,
+    )
+
+    vertices = list(range(15))
+    parent = {v: v for v in vertices}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in vertices}
+    # normalize: label = min member of the component
+    comp_min = {}
+    for v, r in expected.items():
+        comp_min.setdefault(r, v)
+    expected = {v: comp_min[expected[v]] for v in vertices}
+
+    e = spark.createDataFrame(edges or [(None, None)], "a long, b long")
+    if not edges:
+        e = e.filter("a IS NOT NULL")
+    v = spark.createDataFrame([(x,) for x in vertices], "id long")
+    got = {
+        r["id"]: r["component_id"]
+        for r in connected_components(e, v).collect()
+    }
+    assert got == expected
