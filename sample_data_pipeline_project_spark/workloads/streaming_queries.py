@@ -124,3 +124,28 @@ def stream_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = stream_events(spark, sf_dir)
     return run_stream_to_table(session_counts_stream(events))
+
+
+@workload(
+    "stream_stateful_user_totals",
+    oracle="""
+SELECT user_id, COUNT(*) AS n_events FROM events GROUP BY user_id
+""",
+)
+def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 (streaming) — arbitrary stateful processing via
+    applyInPandasWithState: per-user running event counts held as O(1)
+    state per key. Update mode re-emits a key per micro-batch, so the
+    final per-key value is taken as max(n_events) (the count is
+    monotone); the float running total stays out of the oracle hash
+    (summation order is engine-specific), the exact integer count is the
+    checked surface."""
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        user_totals_stateful,
+    )
+
+    events = stream_events(spark, sf_dir)
+    out = run_stream_to_table(user_totals_stateful(events), "update")
+    return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
