@@ -284,3 +284,43 @@ SELECT s.day, COALESCE(d.n_orders, 0) AS n_orders,
        COALESCE(d.revenue, CAST(0.0 AS DOUBLE)) AS revenue
 FROM spine s LEFT JOIN daily d ON s.day = d.day
 """)
+
+
+# --------------------------------------------------------------------------
+# Equi-width histogram (bucketed distribution profile)
+# --------------------------------------------------------------------------
+@workload(
+    "agg_price_histogram",
+    oracle="""
+SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+       CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) * 50000.0 AS bucket_lo,
+       COUNT(*) AS n_orders,
+       MIN(o_totalprice) AS min_price,
+       MAX(o_totalprice) AS max_price
+FROM orders
+GROUP BY CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT)
+""",
+)
+def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-width histogram of order prices: one hash aggregate over
+    integer bucket keys (floor of one IEEE division — deterministic across
+    engines), the distribution-profiling shape data-quality monitoring
+    runs on every batch. Buckets carry min/max so empty-tail detection and
+    bucket boundaries are checkable without a second pass."""
+    o = load_table(spark, sf_dir, "orders")
+    bucket = F.floor(F.col("o_totalprice") / 50000.0).cast("long")
+    return (
+        o.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("o_totalprice").alias("min_price"),
+            F.max("o_totalprice").alias("max_price"),
+        )
+        .select(
+            "bucket",
+            (F.col("bucket") * 50000.0).alias("bucket_lo"),
+            "n_orders",
+            "min_price",
+            "max_price",
+        )
+    )
