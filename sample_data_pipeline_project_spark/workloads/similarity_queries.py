@@ -208,3 +208,86 @@ def sim_quantized_int8_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("q_cosine").desc(), F.col("vec_id").asc())
         .limit(_K)
     )
+
+
+from sample_data_pipeline_project_spark.functions.vectors import (  # noqa: E402
+    duck_int_dot,
+    int_dot,
+)
+
+_DUCK_CENTROID_CLASSIFY = f"""
+WITH qv AS (
+  SELECT vec_id, label, {duck_quantize_int8('embedding')} AS q
+  FROM embeddings
+),
+pos AS (
+  SELECT vec_id, label, t.i, q[t.i] AS val
+  FROM qv, range(1, 65) AS t(i)
+),
+cent AS (SELECT label, i, SUM(val) AS s FROM pos GROUP BY label, i),
+cents AS (SELECT label, list(s ORDER BY i) AS c FROM cent GROUP BY label),
+scored AS (
+  SELECT v.vec_id, v.label AS true_label, c.label AS cand,
+         {duck_int_dot('v.q', 'c.c')} /
+         NULLIF(SQRT({duck_int_dot('v.q', 'v.q')})
+                * SQRT({duck_int_dot('c.c', 'c.c')}), 0) AS cos_sim
+  FROM qv v CROSS JOIN cents c
+),
+ranked AS (
+  SELECT vec_id, true_label, cand,
+         ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos_sim DESC, cand ASC) AS rn
+  FROM scored
+)
+SELECT vec_id, true_label, cand AS predicted_label
+FROM ranked WHERE rn = 1
+"""
+
+
+@workload("sim_label_centroid_classify", oracle=_DUCK_CENTROID_CLASSIFY)
+def sim_label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 — nearest-class-centroid classification over labeled embeddings
+    (the embedding-eval shape): per-label centroids as element-wise SUMS of
+    int8-quantized vectors — posexplode + (label, position) re-aggregation,
+    THE distributed way to aggregate vectors element-wise — then each
+    vector scores against the 10 broadcast centroids by exact-integer dot
+    cosine and takes the argmax. All-integer until the final sqrt/divide,
+    so even this 'ML' workload is value-hash deterministic."""
+    emb = load_table(spark, sf_dir, "embeddings").withColumn(
+        "q", quantize_int8("embedding")
+    )
+    pos = emb.select("label", F.posexplode("q").alias("pos", "val"))
+    cents = (
+        pos.groupBy("label", "pos")
+        .agg(F.sum("val").alias("s"))
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"],
+            ).alias("c")
+        )
+        .select(F.col("label").alias("cand"), "c")
+    )
+    scored = emb.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        F.col("label").alias("true_label"),
+        "cand",
+        (
+            int_dot("q", "c")
+            / F.nullif(
+                F.sqrt(int_dot("q", "q")) * F.sqrt(int_dot("c", "c")),
+                F.lit(0.0),
+            )
+        ).alias("cos_sim"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("cand").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "true_label", F.col("cand").alias("predicted_label"))
+    )
