@@ -375,3 +375,51 @@ def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("approx_count").desc(), F.col("tok").asc())
     )
+
+
+@workload(
+    "text_corpus_mix_report",
+    oracle=f"""
+WITH per_doc AS (
+  SELECT source, lang, len({_DUCK_TOKENS}) AS n_tokens
+  FROM documents
+),
+tot AS (SELECT COUNT(*) AS n_docs_total, SUM(n_tokens) AS n_tokens_total
+        FROM per_doc)
+SELECT p.source, p.lang,
+       COUNT(*) AS n_docs,
+       SUM(p.n_tokens) AS n_tokens,
+       CAST(COUNT(*) AS DOUBLE) / t.n_docs_total AS doc_share,
+       CAST(SUM(p.n_tokens) AS DOUBLE) / t.n_tokens_total AS token_share
+FROM per_doc p CROSS JOIN tot t
+GROUP BY p.source, p.lang, t.n_docs_total, t.n_tokens_total
+""",
+)
+def text_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus composition (mix) report: per (source, lang) document and
+    token counts plus their shares of the whole corpus — the dataset-mix
+    accounting every pretraining run is planned against. Shares are exact
+    integer counts with one double division, so the report is
+    value-hash deterministic; the corpus total is a broadcast scalar,
+    not a second scan per group."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", token_count("text").alias("n_tokens")
+    )
+    per_group = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+    )
+    tot = per_group.agg(
+        F.sum("n_docs").alias("n_docs_total"),
+        F.sum("n_tokens").alias("n_tokens_total"),
+    )
+    return per_group.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.col("n_docs").cast("double") / F.col("n_docs_total")).alias("doc_share"),
+        (F.col("n_tokens").cast("double") / F.col("n_tokens_total")).alias(
+            "token_share"
+        ),
+    )
