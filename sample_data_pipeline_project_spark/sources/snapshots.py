@@ -1,0 +1,96 @@
+"""Manifest-based snapshot versioning over plain parquet (time travel).
+
+A minimal lakehouse commit protocol, self-contained on any filesystem:
+every write lands data files under an immutable `data/` pool and commits
+by writing `manifest/v{N}.json` naming exactly the files that version
+consists of. Readers resolve a manifest and load ONLY its files, so
+
+  - old versions stay readable after any rewrite (time travel),
+  - a reader never sees a half-written version (the manifest is the
+    atomic commit point, written after the data),
+  - storage is shared between versions: an append's manifest lists the
+    previous files plus the new ones — nothing is copied.
+
+This is the snapshot-isolation story the copy-on-write DML in
+`sources/cow.py` lacks (it overwrites in place); at 100 TB the same
+layout holds — manifests stay KB-sized lists of file paths while the
+data pool grows, and cleaning obsolete versions is manifest diffing.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_dir(path: str) -> str:
+    return os.path.join(path, "manifest")
+
+
+def _versions(path: str) -> list[int]:
+    mdir = _manifest_dir(path)
+    if not os.path.isdir(mdir):
+        return []
+    out = []
+    for f in os.listdir(mdir):
+        if f.startswith("v") and f.endswith(".json"):
+            try:
+                out.append(int(f[1:-5]))
+            except ValueError:
+                pass
+    return sorted(out)
+
+
+def latest_version(path: str) -> int | None:
+    vs = _versions(path)
+    return vs[-1] if vs else None
+
+
+def _read_manifest(path: str, version: int) -> list[str]:
+    with open(os.path.join(_manifest_dir(path), f"v{version}.json")) as fh:
+        return json.load(fh)["files"]
+
+
+def snapshot_write(
+    df: DataFrame,
+    path: str,
+    mode: str = "append",
+) -> int:
+    """Commit `df` as a new version. mode='append' keeps the previous
+    version's files and adds the new ones; mode='overwrite' starts the new
+    version from only the new files (old versions remain readable either
+    way — data files are never deleted here). Returns the version number."""
+    if mode not in ("append", "overwrite"):
+        raise ValueError(f"unsupported mode {mode!r}")
+    staging = os.path.join(path, "data", uuid.uuid4().hex[:12])
+    df.write.mode("error").parquet(staging)
+    new_files = sorted(
+        os.path.join(staging, f)
+        for f in os.listdir(staging)
+        if f.endswith(".parquet")
+    )
+    prev = latest_version(path)
+    files = list(new_files)
+    if mode == "append" and prev is not None:
+        files = _read_manifest(path, prev) + files
+    version = 1 if prev is None else prev + 1
+    os.makedirs(_manifest_dir(path), exist_ok=True)
+    tmp = os.path.join(_manifest_dir(path), f".v{version}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": version, "files": files}, fh)
+    os.rename(tmp, os.path.join(_manifest_dir(path), f"v{version}.json"))
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, path: str, version: int | None = None
+) -> DataFrame:
+    """Read a committed version (default: latest). Loads exactly the
+    manifest's files — concurrent/later writes are invisible."""
+    v = latest_version(path) if version is None else version
+    if v is None or v not in _versions(path):
+        raise ValueError(f"no version {version!r} at {path}")
+    return spark.read.parquet(*_read_manifest(path, v))
