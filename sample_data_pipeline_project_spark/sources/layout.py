@@ -35,3 +35,68 @@ def write_clustered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def zorder_value(cols: list[str], bits: int = 16):
+    """Z-order (Morton) key: interleave the low `bits` bits of each column
+    so files sorted by the key stay clustered on EVERY participating
+    column at once — row-group min/max stats then prune predicates on any
+    of them, not just the leading sort column. Columns must be
+    non-negative integers < 2**bits (rank/bucket-encode first if not).
+    Pure bitwise JVM expressions — codegen-friendly, no UDF."""
+    from pyspark.sql import functions as F
+
+    n = len(cols)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, c in enumerate(cols):
+            bit = F.shiftright(F.col(c).cast("long"), i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * n + j))
+    return z
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_cols: list[str],
+    num_files: int | None = None,
+    bits: int = 8,
+    mode: str = "overwrite",
+) -> None:
+    """Write parquet Z-ordered on `zorder_cols`: normalize each column to
+    the full `bits`-wide range (min/max linear scaling — one tiny
+    aggregate; without it a narrow-domain column contributes only
+    constant-zero high bits and gets no pruning), interleave, then
+    range-partition + sort by the key and drop it. The multi-column
+    generalization of `write_clustered` — one layout serves point/range
+    predicates on any participating column."""
+    from pyspark.sql import functions as F
+
+    stats = df.agg(
+        *[F.min(c).alias(f"mn_{c}") for c in zorder_cols],
+        *[F.max(c).alias(f"mx_{c}") for c in zorder_cols],
+    ).first()
+    top = (1 << bits) - 1
+    scaled = df
+    norm_cols = []
+    for c in zorder_cols:
+        mn, mx = stats[f"mn_{c}"], stats[f"mx_{c}"]
+        span = max(int(mx) - int(mn), 1)
+        nc = f"__z_{c}__"
+        scaled = scaled.withColumn(
+            nc,
+            ((F.col(c).cast("long") - F.lit(int(mn))) * top / F.lit(span)).cast(
+                "long"
+            ),
+        )
+        norm_cols.append(nc)
+    zcol = "__zorder__"
+    keyed = scaled.withColumn(zcol, zorder_value(norm_cols, bits))
+    n = num_files or df.sparkSession.sparkContext.defaultParallelism
+    (
+        keyed.repartitionByRange(n, zcol)
+        .sortWithinPartitions(zcol)
+        .drop(zcol, *norm_cols)
+        .write.mode(mode)
+        .parquet(path)
+    )
