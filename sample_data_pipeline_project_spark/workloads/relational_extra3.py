@@ -324,3 +324,86 @@ def agg_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_price",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# FULL OUTER join (null-producing on both sides)
+# --------------------------------------------------------------------------
+@workload(
+    "join_full_outer_user_activity",
+    oracle="""
+WITH clicks AS (
+  SELECT user_id, COUNT(*) AS n_clicks FROM events
+  WHERE event_type = 'click' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+  GROUP BY user_id
+),
+purchases AS (
+  SELECT user_id, COUNT(*) AS n_purchases FROM events
+  WHERE event_type = 'purchase' AND ts < TIMESTAMP '2024-01-02 00:00:00'
+  GROUP BY user_id
+)
+SELECT COALESCE(c.user_id, p.user_id) AS user_id,
+       COALESCE(c.n_clicks, 0) AS n_clicks,
+       COALESCE(p.n_purchases, 0) AS n_purchases
+FROM clicks c FULL OUTER JOIN purchases p ON c.user_id = p.user_id
+""",
+)
+def join_full_outer_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join over asymmetric key sets: day-one clickers vs
+    day-one purchasers — users appearing on only one side survive with the
+    other side's count null-coalesced to zero. The join type the
+    semi/anti/inner/left coverage elsewhere doesn't exercise."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("ts") < "2024-01-02 00:00:00"
+    )
+    clicks = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_clicks"))
+        .select(F.col("user_id").alias("c_uid"), "n_clicks")
+    )
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+        .select(F.col("user_id").alias("p_uid"), "n_purchases")
+    )
+    return clicks.join(
+        purchases, clicks["c_uid"] == purchases["p_uid"], "full_outer"
+    ).select(
+        F.coalesce("c_uid", "p_uid").alias("user_id"),
+        F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Stratified deterministic sampling (dataset-mix resampling)
+# --------------------------------------------------------------------------
+@workload(
+    "sample_stratified_mix",
+    oracle="""
+SELECT source, COUNT(*) AS n_sampled
+FROM documents
+WHERE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN
+      (CASE WHEN length(source) = 4 THEN '0' ELSE 'x' END,
+       '1', '2', '3', '4', '5')
+GROUP BY source
+""",
+)
+def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling for dataset-mix rebalancing:
+    per-stratum keep rates applied as key-hash nibble thresholds —
+    single-digit sources (length 4, e.g. src0) keep 6/16, double-digit
+    sources keep 5/16. Same auditable-hash idea as sample_hash_orders,
+    with the rate a function of the stratum — the op that reshapes a
+    corpus toward a target mix without RNG state."""
+    d = load_table(spark, sf_dir, "documents")
+    nibble = F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1)
+    base_keep = nibble.isin("1", "2", "3", "4", "5")
+    extra_keep = (F.length("source") == 4) & (nibble == "0")
+    return (
+        d.filter(base_keep | extra_keep)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
