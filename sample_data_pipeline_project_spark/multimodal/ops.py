@@ -213,3 +213,55 @@ def sample_frames(df: DataFrame, every_n: int = 2) -> DataFrame:
 
     vids = df.filter(F.col("kind") == "video").select("media_id", "payload", "meta")
     return vids.mapInPandas(compute, "media_id long, frame_idx int, frame binary")
+
+
+def audio_window_energy(df: DataFrame, window_samples: int = 256) -> DataFrame:
+    """Audio windowing for payloads of uint8 PCM-ish samples (fake decode:
+    payload bytes ARE the samples): fixed-size sample windows, per window
+    the RMS energy, peak amplitude, and midpoint-crossing count — the
+    framing/VAD-feature shape every speech pipeline starts from. One
+    output row per (media_id, window_idx); the tail window may be short.
+    All window math is one vectorized numpy reshape pass per blob."""
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for _, row in pdf.iterrows():
+                samples = np.frombuffer(row["payload"], dtype=np.uint8)
+                for w0 in range(0, len(samples), window_samples):
+                    win = samples[w0 : w0 + window_samples].astype(np.float64)
+                    centered = win - 128.0
+                    crossings = int(
+                        np.count_nonzero(np.diff(np.sign(centered)) != 0)
+                    )
+                    rows.append(
+                        (
+                            row["media_id"],
+                            w0 // window_samples,
+                            len(win),
+                            float(np.sqrt(np.mean(centered**2))),
+                            int(np.abs(centered).max()),
+                            crossings,
+                        )
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "window_idx",
+                    "n_samples",
+                    "rms",
+                    "peak",
+                    "crossings",
+                ],
+            )
+
+    aud = df.filter(F.col("kind") == "audio").select("media_id", "payload")
+    return aud.mapInPandas(
+        compute,
+        "media_id long, window_idx int, n_samples int, rms double, "
+        "peak int, crossings int",
+    )

@@ -66,3 +66,18 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frames.select(
         "media_id", "frame_idx", F.length(F.col("frame")).alias("frame_bytes")
     )
+
+
+@workload("multimodal_audio_windows", oracle=None)
+def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-style windowed feature extraction: every document payload
+    treated as a uint8 sample stream, split into 256-sample windows with
+    per-window RMS / peak / midpoint-crossing features (the speech-pipeline
+    framing shape). Rows-only check; numeric semantics pinned on known
+    waveforms in tests/test_multimodal.py."""
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        audio_window_energy,
+    )
+
+    media = _docs_as_media(spark, sf_dir, "audio")
+    return audio_window_energy(media, window_samples=256)

@@ -79,3 +79,45 @@ def test_decode_stub_raises_without_codec(media):
         pytest.skip("codec installed; stub path not reachable")
     with pytest.raises(NotImplementedError, match="no image codec"):
         decode_image(media)
+
+
+def test_audio_window_energy_known_waveform(spark):
+    """Constant and square waveforms have closed-form window features."""
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        audio_window_energy,
+    )
+
+    flat = bytes([128] * 8)            # centered silence: rms 0, peak 0
+    square = bytes([108, 148] * 4)     # +-20 square wave: rms 20, 7 crossings
+    rows = [
+        (1, "audio", bytearray(flat), (None, None, None, 8000, None)),
+        (2, "audio", bytearray(square), (None, None, None, 8000, None)),
+        (3, "image", bytearray(flat), (8, 1, 1, None, None)),  # filtered out
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        r["media_id"]: r for r in audio_window_energy(df, window_samples=8).collect()
+    }
+    assert set(got) == {1, 2}
+    assert got[1]["rms"] == 0.0 and got[1]["peak"] == 0 and got[1]["crossings"] == 0
+    assert got[2]["rms"] == 20.0 and got[2]["peak"] == 20
+    assert got[2]["crossings"] == 7
+    assert got[2]["n_samples"] == 8
+
+
+def test_audio_window_energy_tail_window(spark):
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        audio_window_energy,
+    )
+
+    df = spark.createDataFrame(
+        [(9, "audio", bytearray(bytes([128] * 10)), (None, None, None, 8000, None))],
+        MEDIA_SCHEMA,
+    )
+    rows = sorted(
+        audio_window_energy(df, window_samples=4).collect(),
+        key=lambda r: r["window_idx"],
+    )
+    assert [r["n_samples"] for r in rows] == [4, 4, 2]
