@@ -39,3 +39,44 @@ def test_unknown_version_raises(spark, tmp_path):
         snapshot_read(spark, path, 99)
     with pytest.raises(ValueError):
         snapshot_read(spark, str(tmp_path / "nothing"))
+
+
+def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
+    """foreachBatch + manifest commits: one version per micro-batch,
+    replayed batch ids are skipped, restart processes only new input."""
+    from sample_data_pipeline_project_spark.streaming.snapshot_sink import (
+        _commit_batch,
+        write_stream_snapshots,
+    )
+
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    spark.range(0, 40).coalesce(1).write.mode("append").parquet(src)
+    spark.range(40, 70).coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    write_stream_snapshots(stream, out, ckpt)
+    assert latest_version(out) == 2  # one version per micro-batch
+    assert snapshot_read(spark, out).count() == 70
+
+    # replayed batch id (failure rerun) must be a no-op
+    _commit_batch(spark.range(0, 40), 0, out)
+    assert latest_version(out) == 2
+    assert snapshot_read(spark, out).count() == 70
+
+    # restart with the same checkpoint: only newly-arrived input commits
+    spark.range(70, 75).coalesce(1).write.mode("append").parquet(src)
+    stream2 = (
+        spark.readStream.schema("id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    write_stream_snapshots(stream2, out, ckpt)
+    final = snapshot_read(spark, out)
+    assert final.count() == 75
+    assert final.select("id").distinct().count() == 75
