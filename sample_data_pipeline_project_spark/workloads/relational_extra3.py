@@ -407,3 +407,35 @@ def sample_stratified_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_sampled"))
     )
+
+
+# --------------------------------------------------------------------------
+# LISTAGG / string aggregation (ordered, deterministic)
+# --------------------------------------------------------------------------
+@workload(
+    "agg_listagg_nations_per_region",
+    oracle="""
+SELECT r_name,
+       string_agg(n_name, ',' ORDER BY n_name) AS nations,
+       COUNT(*) AS n_nations
+FROM nation JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name
+""",
+)
+def agg_listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG shape: per-region comma-joined nation names in explicit
+    alphabetical order (collect_list -> array_sort -> array_join; unordered
+    LISTAGG is nondeterministic by definition, so the sort IS the
+    semantics here)."""
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count(F.lit(1)).alias("n_nations"),
+        )
+    )
