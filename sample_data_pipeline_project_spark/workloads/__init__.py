@@ -57,6 +57,7 @@ def load_all() -> dict[str, Workload]:
         relational,
         relational_extra,
         relational_extra3,
+        pipeline_queries,
         relational_tpch2,
         similarity_queries,
         streaming_queries,

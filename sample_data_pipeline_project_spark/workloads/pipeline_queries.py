@@ -1,0 +1,253 @@
+"""Pipeline-lifecycle workloads: SCD2 history, data-quality profiling,
+curation funnel, edit-distance near-dup verification.
+
+These extend the reference's run-ledger bookkeeping (snowflake_tasks.py's
+status/gap/overlap auditing) with the surrounding operations a production
+training-data pipeline runs on the same cadence: dimension history
+maintenance, per-column data-quality profiles, the multi-stage curation
+funnel report, and an exact edit-distance verifier for near-dup pairs.
+Every workload here is SQL-expressible and carries a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.functions.text import token_count
+from sample_data_pipeline_project_spark.operators.scd2 import scd2_from_changelog
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+
+@workload(
+    "scd2_customer_priority_history",
+    oracle="""
+WITH dedup AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority
+  FROM (
+    SELECT o_custkey, o_orderdate, o_orderpriority,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey, o_orderdate
+                              ORDER BY o_orderkey DESC) AS rn
+    FROM orders
+  ) WHERE rn = 1
+), collapsed AS (
+  SELECT o_custkey, o_orderdate, o_orderpriority
+  FROM (
+    SELECT o_custkey, o_orderdate, o_orderpriority,
+           LAG(o_orderpriority) OVER (PARTITION BY o_custkey
+                                      ORDER BY o_orderdate) AS prev
+    FROM dedup
+  ) WHERE prev IS NULL OR prev <> o_orderpriority
+)
+SELECT o_custkey AS custkey,
+       o_orderpriority AS priority,
+       o_orderdate AS valid_from,
+       COALESCE(LEAD(o_orderdate) OVER w,
+                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+       (LEAD(o_orderdate) OVER w IS NULL) AS is_current
+FROM collapsed
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
+""",
+)
+def scd2_customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 dimension build: treat each customer's order stream as a
+    change log of their order priority and emit versioned history rows
+    (valid_from / valid_to / is_current). Same-day duplicate changes
+    resolve by highest orderkey; consecutive identical priorities collapse
+    into one version. One shuffle on the business key (operators/scd2.py)."""
+    changes = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderpriority").alias("priority"),
+        "o_orderkey",
+    )
+    return scd2_from_changelog(
+        changes,
+        key_cols=["custkey"],
+        ts_col="ts",
+        attr_cols=["priority"],
+        tiebreak_col="o_orderkey",
+    )
+
+
+# Per-column profile spec for `orders`: (column, value-expression kind).
+# `decimal2` routes doubles through ROUND+DECIMAL(18,2) so min/max render
+# identically in Spark and DuckDB (float->string repr is not portable).
+_PROFILE_COLS: list[tuple[str, str]] = [
+    ("o_orderkey", "plain"),
+    ("o_custkey", "plain"),
+    ("o_orderstatus", "plain"),
+    ("o_orderpriority", "plain"),
+    ("o_orderdate", "plain"),
+    ("o_totalprice", "decimal2"),
+]
+
+
+def _profile_sql_value(col: str, kind: str, agg: str) -> str:
+    if kind == "decimal2":
+        return f"CAST(CAST(ROUND({agg}({col}), 2) AS DECIMAL(18,2)) AS VARCHAR)"
+    return f"CAST({agg}({col}) AS VARCHAR)"
+
+
+def _build_profile_oracle() -> str:
+    aggs: list[str] = []
+    rows: list[str] = []
+    for col, kind in _PROFILE_COLS:
+        aggs += [
+            f"COUNT({col}) AS {col}__n_nonnull",
+            f"COUNT(*) - COUNT({col}) AS {col}__n_null",
+            f"COUNT(DISTINCT {col}) AS {col}__n_distinct",
+            f"{_profile_sql_value(col, kind, 'MIN')} AS {col}__min",
+            f"{_profile_sql_value(col, kind, 'MAX')} AS {col}__max",
+        ]
+        for metric in ("n_nonnull", "n_null", "n_distinct", "min", "max"):
+            rows.append(
+                f"SELECT '{col}' AS column_name, '{metric}' AS metric, "
+                f"CAST({col}__{metric} AS VARCHAR) AS value FROM a"
+            )
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+@workload("dq_profile_orders", oracle=_build_profile_oracle())
+def dq_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality column profile of `orders` in long form: per column,
+    non-null / null / distinct counts and min/max rendered as strings.
+    Single aggregation pass over the table (all 30 aggregates in one
+    groupBy().agg()), then an explode of literal structs — so the profile
+    costs ONE scan + ONE partial-aggregate shuffle regardless of how many
+    columns are profiled."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs, entries = [], []
+    for col, kind in _PROFILE_COLS:
+        if kind == "decimal2":
+            vmin = F.round(F.min(col), 2).cast("decimal(18,2)").cast("string")
+            vmax = F.round(F.max(col), 2).cast("decimal(18,2)").cast("string")
+        else:
+            vmin = F.min(col).cast("string")
+            vmax = F.max(col).cast("string")
+        aggs += [
+            F.count(col).alias(f"{col}__n_nonnull"),
+            (F.count(F.lit(1)) - F.count(col)).alias(f"{col}__n_null"),
+            F.countDistinct(col).alias(f"{col}__n_distinct"),
+            vmin.alias(f"{col}__min"),
+            vmax.alias(f"{col}__max"),
+        ]
+    one = o.agg(*aggs)
+    for col, _ in _PROFILE_COLS:
+        for metric in ("n_nonnull", "n_null", "n_distinct", "min", "max"):
+            entries.append(
+                F.struct(
+                    F.lit(col).alias("column_name"),
+                    F.lit(metric).alias("metric"),
+                    F.col(f"{col}__{metric}").cast("string").alias("value"),
+                )
+            )
+    return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
+
+
+_DUCK_NT = "len(string_split_regex(lower(trim(text)), '\\s+'))"
+
+
+@workload(
+    "text_curation_funnel",
+    oracle=f"""
+WITH t AS (
+  SELECT doc_id, lang, text, {_DUCK_NT} AS nt,
+         substr(text, 1, 40) AS fp
+  FROM documents
+), s1 AS (
+  SELECT * FROM t WHERE nt BETWEEN 15 AND 70
+), s2 AS (
+  SELECT * FROM s1 WHERE lang IN ('en','es','de','fr')
+), s3 AS (
+  SELECT * FROM s2
+  WHERE doc_id IN (SELECT MIN(doc_id) FROM s2 GROUP BY fp)
+)
+SELECT 0 AS stage_idx, 'raw' AS stage,
+       COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM t
+UNION ALL
+SELECT 1, 'length_gate', COUNT(*), SUM(nt) FROM s1
+UNION ALL
+SELECT 2, 'lang_gate', COUNT(*), SUM(nt) FROM s2
+UNION ALL
+SELECT 3, 'prefix_dedup', COUNT(*), SUM(nt) FROM s3
+""",
+)
+def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation funnel report: raw -> token-length gate ->
+    language allowlist -> prefix-fingerprint dedup (keep lowest doc_id per
+    40-char prefix), with surviving doc and token counts per stage. The
+    stages compose lazily as chained filters over ONE scan; the per-stage
+    counts are four small aggregates unioned — at 100 TB each stage is a
+    map-side predicate and the dedup is one shuffle on the fingerprint."""
+    t = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        token_count("text").alias("nt"),
+        F.substring("text", 1, 40).alias("fp"),
+    )
+    s1 = t.filter(F.col("nt").between(15, 70))
+    s2 = s1.filter(F.col("lang").isin("en", "es", "de", "fr"))
+    w = Window.partitionBy("fp")
+    s3 = s2.withColumn("keep", F.min("doc_id").over(w) == F.col("doc_id")).filter(
+        "keep"
+    )
+
+    def stage(df: DataFrame, idx: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(idx).alias("stage_idx"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").alias("n_tokens"),
+        )
+
+    return (
+        stage(t, 0, "raw")
+        .unionByName(stage(s1, 1, "length_gate"))
+        .unionByName(stage(s2, 2, "lang_gate"))
+        .unionByName(stage(s3, 3, "prefix_dedup"))
+    )
+
+
+@workload(
+    "dedup_levenshtein_pairs",
+    oracle="""
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) AS prefix_edit_distance
+FROM documents a
+JOIN documents b
+  ON a.lang = b.lang AND a.doc_id < b.doc_id
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+""",
+)
+def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: document pairs (blocked by
+    language) whose 40-char prefixes are within levenshtein distance 20.
+    Spark's threshold form levenshtein(l, r, k) abandons the DP early once
+    the band exceeds k, so cost per pair is O(k*len) not O(len^2). The
+    language block is an equi-join (hash, broadcastable); at corpus scale
+    this operator is the exact VERIFIER running after a candidate
+    generator (minhash/simhash prefix filters in operators/dedup.py), not
+    the candidate enumerator itself."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.substring("text", 1, 40).alias("p")
+    )
+    a, b = d.alias("a"), d.alias("b")
+    dist = F.levenshtein(F.col("a.p"), F.col("b.p"), 20)
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            dist.alias("prefix_edit_distance"),
+        )
+        .filter(F.col("prefix_edit_distance") >= 0)
+    )
