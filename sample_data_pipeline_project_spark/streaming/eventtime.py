@@ -157,6 +157,16 @@ def click_view_join_stream(
     )
 
 
+def enrich_stream(events: DataFrame, dim: DataFrame, on: str) -> DataFrame:
+    """Stream-static enrichment join: each streaming event picks up the
+    static dimension's attributes. The static side is broadcast (marked
+    explicitly), so the join is STATELESS — no watermark, no state store,
+    no shuffle of the stream; each micro-batch maps through the same
+    hashed dim. On a cluster the dim is re-resolved per micro-batch, so a
+    slowly-changing dim written in place is picked up between batches."""
+    return events.join(F.broadcast(dim), on, "inner")
+
+
 _STATE_SCHEMA = T.StructType(
     [
         T.StructField("n_events", T.LongType()),

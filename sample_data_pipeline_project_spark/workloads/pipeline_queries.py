@@ -251,3 +251,43 @@ def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("prefix_edit_distance") >= 0)
     )
+
+
+@workload(
+    "text_chunk_documents",
+    oracle="""
+WITH t AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+), e AS (
+  SELECT doc_id, toks,
+         unnest(range(0, CAST((len(toks)-1)//16 AS BIGINT) + 1)) AS i
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       array_to_string(toks[CAST(i*16+1 AS INT) : CAST(i*16+32 AS INT)], ' ') AS chunk_text,
+       CAST(len(toks[CAST(i*16+1 AS INT) : CAST(i*16+32 AS INT)]) AS INT) AS chunk_tokens
+FROM e
+""",
+)
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking via Python UDTF (lateral generator join):
+    every document fans out into 32-token chunks at stride 16 (50%%
+    overlap). Arrow-batched UDTF execution; the generator runs
+    executor-side so no per-doc array ever sits on the driver. At corpus
+    scale this is a map-only stage — no shuffle at all."""
+    from sample_data_pipeline_project_spark.operators.chunking import (
+        register_chunker,
+    )
+
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
+    register_chunker(spark)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("_docs_chunk_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_idx, c.chunk_text, c.chunk_tokens
+        FROM _docs_chunk_src d,
+             LATERAL token_chunker(d.text, 32, 16) c
+        """
+    )

@@ -149,3 +149,50 @@ def stream_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = stream_events(spark, sf_dir)
     out = run_stream_to_table(user_totals_stateful(events), "update")
     return out.groupBy("user_id").agg(F.max("n_events").alias("n_events"))
+
+
+@workload(
+    "stream_static_enrich",
+    oracle="""
+SELECT e.event_id, e.user_id, e.event_type, e.ts,
+       c.c_mktsegment AS segment, n.n_name AS nation
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+""",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 (streaming) — stream-static enrichment: the event stream joined
+    against a broadcast static dimension (customer x nation), stateless
+    append mode (no watermark, no state store). The checked surface is the
+    fully-enriched event rows vs the batch join oracle."""
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+    from sample_data_pipeline_project_spark.streaming.eventtime import enrich_stream
+
+    dim = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            F.col("c_custkey").alias("user_id"),
+            F.col("c_mktsegment").alias("segment"),
+            F.col("n_name").alias("nation"),
+        )
+    )
+    events = stream_events(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    out = enrich_stream(events, dim, "user_id")
+    out = out.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "segment",
+        "nation",
+    )
+    return run_stream_to_table(out, output_mode="append")
