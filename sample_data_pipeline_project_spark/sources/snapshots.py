@@ -94,3 +94,34 @@ def snapshot_read(
     if v is None or v not in _versions(path):
         raise ValueError(f"no version {version!r} at {path}")
     return spark.read.parquet(*_read_manifest(path, v))
+
+
+def expire_versions(path: str, keep_last: int = 1) -> dict:
+    """Retention / VACUUM: drop all but the newest `keep_last` version
+    manifests, then delete every data file no surviving manifest
+    references. Deleting manifests first makes the pass crash-safe: a
+    data file is only ever removed AFTER nothing points at it, so an
+    interrupted vacuum leaves a readable table (re-run to finish).
+    Returns {versions_dropped, files_deleted, bytes_deleted}."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    vs = _versions(path)
+    drop, keep = vs[:-keep_last], vs[-keep_last:]
+    live: set[str] = set()
+    for v in keep:
+        live.update(_read_manifest(path, v))
+    dead: set[str] = set()
+    for v in drop:
+        dead.update(f for f in _read_manifest(path, v) if f not in live)
+    for v in drop:
+        os.remove(os.path.join(_manifest_dir(path), f"v{v}.json"))
+    n_bytes = 0
+    for f in sorted(dead):
+        if os.path.exists(f):
+            n_bytes += os.path.getsize(f)
+            os.remove(f)
+    return {
+        "versions_dropped": len(drop),
+        "files_deleted": len(dead),
+        "bytes_deleted": n_bytes,
+    }

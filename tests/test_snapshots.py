@@ -80,3 +80,49 @@ def test_streaming_snapshot_sink_exactly_once(spark, tmp_path):
     final = snapshot_read(spark, out)
     assert final.count() == 75
     assert final.select("id").distinct().count() == 75
+
+
+def test_expire_versions_keeps_live_data(spark, tmp_path):
+    from sample_data_pipeline_project_spark.sources.snapshots import (
+        expire_versions,
+        latest_version,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "vac")
+    for i in range(4):
+        snapshot_write(spark.range(i * 10, (i + 1) * 10), path, mode="append")
+    before = sorted(r["id"] for r in snapshot_read(spark, path).collect())
+
+    out = expire_versions(path, keep_last=2)
+    assert out["versions_dropped"] == 2
+    # append-mode manifests share files: v3's files are all live via v4,
+    # so only files referenced by NO surviving manifest get deleted
+    assert out["files_deleted"] == 0
+    assert sorted(r["id"] for r in snapshot_read(spark, path).collect()) == before
+    assert latest_version(path) == 4
+
+    # overwrite orphans the old pool; vacuum to 1 version reclaims it
+    snapshot_write(spark.range(5), path, mode="overwrite")
+    out = expire_versions(path, keep_last=1)
+    assert out["versions_dropped"] == 2 and out["files_deleted"] > 0
+    assert out["bytes_deleted"] > 0
+    assert snapshot_read(spark, path).count() == 5
+
+
+def test_expire_versions_old_version_unreadable_after(spark, tmp_path):
+    import pytest
+
+    from sample_data_pipeline_project_spark.sources.snapshots import (
+        expire_versions,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    path = str(tmp_path / "vac2")
+    snapshot_write(spark.range(3), path)
+    snapshot_write(spark.range(3, 6), path, mode="append")
+    expire_versions(path, keep_last=1)
+    with pytest.raises(ValueError):
+        snapshot_read(spark, path, 1)
