@@ -50,18 +50,24 @@ def scd2_from_changelog(
     final row per key is open-ended at END_OF_TIME with is_current=true.
     """
     keys = [F.col(c) for c in key_cols]
-    order = [F.col(ts_col).asc()]
     if tiebreak_col is not None:
-        # Same-ts duplicates: keep the highest tiebreak (last writer wins).
-        w_dup = Window.partitionBy(*keys, F.col(ts_col)).orderBy(
-            F.col(tiebreak_col).desc()
+        # Same-ts duplicates: keep the highest tiebreak (last writer
+        # wins). Ordering the KEY-partitioned window by (ts, tiebreak
+        # desc) makes the winner the first row of each ts run, so the
+        # dedup shares the same exchange+sort as every later window —
+        # a (key, ts)-partitioned window here would cost a second
+        # shuffle for nothing.
+        w_dedup = Window.partitionBy(*keys).orderBy(
+            F.col(ts_col).asc(), F.col(tiebreak_col).desc()
         )
         changes = (
-            changes.withColumn("_rn", F.row_number().over(w_dup))
-            .filter(F.col("_rn") == 1)
-            .drop("_rn")
+            changes.withColumn("_prev_ts", F.lag(F.col(ts_col)).over(w_dedup))
+            .filter(
+                F.col("_prev_ts").isNull() | (F.col("_prev_ts") != F.col(ts_col))
+            )
+            .drop("_prev_ts")
         )
-    w_key = Window.partitionBy(*keys).orderBy(*order)
+    w_key = Window.partitionBy(*keys).orderBy(F.col(ts_col).asc())
     attrs = F.struct(*[F.col(c) for c in attr_cols])
     # Collapse runs of identical attribute values: a "change" event that
     # changes nothing must not open a new version (null-safe compare so a
