@@ -325,3 +325,100 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("user_id").alias("exact_users")
     )
     return unioned.join(exact, "event_type").orderBy("event_type")
+
+
+@workload(
+    "join_salted_events_segment",
+    oracle="""
+SELECT c.c_mktsegment AS segment,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events e
+JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment
+""",
+)
+def join_salted_events_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe salted equi-join (operators/skewjoin.py): events join
+    customer on user_id with the fact side salted over 16 shards and the
+    dim replicated to meet every shard, then segment totals. Identical
+    rows to the plain join (the oracle); only the shuffle topology
+    changes — no single reducer owns a hot user. The dim replication is
+    deliberately NOT broadcast here: this is the pattern for the middle
+    regime where the dim exceeds the broadcast threshold."""
+    from sample_data_pipeline_project_spark.operators.skewjoin import salted_join
+
+    e = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("c_custkey"), "value"
+    )
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(e, c, key="c_custkey", salt_from="c_custkey", n_salts=16)
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+    )
+
+
+@workload(
+    "events_funnel_conversion",
+    oracle="""
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts) AS first_click
+  FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.first_view
+  WHERE e.event_type = 'click' GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts) AS first_purchase
+  FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.first_click
+  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+)
+SELECT v.user_id, v.first_view, c.first_click, p.first_purchase,
+       1 + (c.user_id IS NOT NULL)::INT + (p.user_id IS NOT NULL)::INT AS funnel_depth
+FROM v
+LEFT JOIN c ON v.user_id = c.user_id
+LEFT JOIN p ON v.user_id = p.user_id
+""",
+)
+def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: per user, the first view, the first click
+    strictly AFTER that view, and the first purchase strictly after that
+    click — funnel_depth counts completed stages. Each stage is one
+    filtered aggregate joined back on user_id; all three stages shuffle on
+    the SAME key, so at scale the exchanges reuse one partitioning."""
+    e = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("first_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_purchase"))
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select(
+            "user_id",
+            "first_view",
+            "first_click",
+            "first_purchase",
+            (
+                F.lit(1)
+                + F.col("first_click").isNotNull().cast("int")
+                + F.col("first_purchase").isNotNull().cast("int")
+            ).alias("funnel_depth"),
+        )
+    )
