@@ -422,3 +422,120 @@ def events_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("funnel_depth"),
         )
     )
+
+
+@workload(
+    "events_retention_cohorts",
+    oracle="""
+WITH s AS (
+  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+  FROM events WHERE event_type = 'signup' GROUP BY user_id
+), a AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS active_week FROM events
+)
+SELECT s.cohort_week,
+       CAST(date_diff('day', s.cohort_week, a.active_week) // 7 AS INT) AS week_offset,
+       COUNT(DISTINCT a.user_id) AS n_active
+FROM s JOIN a ON a.user_id = s.user_id AND a.active_week >= s.cohort_week
+GROUP BY s.cohort_week, week_offset
+""",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users grouped by first-signup week, counted as
+    active in each subsequent week (offset 0 = the cohort week itself).
+    Two aggregates and one equi-join, all shuffling on user_id; the final
+    (cohort, offset) rollup is tiny. COUNT(DISTINCT) here is exact — at
+    100 TB swap in the mergeable HLL sketch rollup
+    (sketch_hll_mergeable_rollup) for the same shape approximately."""
+    e = load_table(spark, sf_dir, "events")
+    # DuckDB's date_trunc('week') yields DATE; cast to match its type.
+    s = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week"))
+    )
+    a = e.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("active_week")
+    ).distinct()
+    return (
+        a.join(s, "user_id")
+        .filter(F.col("active_week") >= F.col("cohort_week"))
+        .select(
+            "user_id",
+            "cohort_week",
+            (
+                F.datediff(
+                    F.col("active_week").cast("date"), F.col("cohort_week").cast("date")
+                )
+                / F.lit(7)
+            )
+            .cast("int")
+            .alias("week_offset"),
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@workload(
+    "events_anomaly_zscore",
+    oracle="""
+WITH hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, COUNT(*) AS cnt
+  FROM events GROUP BY event_type, date_trunc('hour', ts)
+), windowed AS (
+  SELECT event_type, hour, cnt,
+         SUM(cnt) OVER w AS s1,
+         SUM(cnt * cnt) OVER w AS s2,
+         COUNT(*) OVER w AS n
+  FROM hourly
+  WINDOW w AS (PARTITION BY event_type ORDER BY hour
+               ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+)
+SELECT event_type, hour, cnt,
+       CASE WHEN CAST(s2 AS DOUBLE) / n
+                 - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n) > 0
+            THEN (cnt - CAST(s1 AS DOUBLE) / n)
+                 / sqrt(CAST(s2 AS DOUBLE) / n
+                        - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+            ELSE NULL END AS zscore
+FROM windowed
+WHERE n >= 12
+""",
+)
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming-shaped anomaly detection in batch: each hour's event
+    count scored against the trailing 24h mean/stddev per event_type.
+    The window carries EXACT integer partials (sum, sum-of-squares,
+    count); the z-score is one fixed-shape IEEE expression over them, so
+    Spark and DuckDB agree bit-for-bit — the portable way to hash-check
+    float analytics. One shuffle (the hourly rollup); the window rides
+    the same event_type partitioning."""
+    from pyspark.sql import Window
+
+    hourly = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", F.date_trunc("hour", F.col("ts")).alias("hour"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(-24, -1)
+    )
+    s1 = F.sum("cnt").over(w)
+    s2 = F.sum(F.col("cnt") * F.col("cnt")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    windowed = hourly.select("event_type", "hour", "cnt",
+                             s1.alias("s1"), s2.alias("s2"), n.alias("n"))
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    return (
+        windowed.filter(F.col("n") >= 12)
+        .select(
+            "event_type",
+            "hour",
+            "cnt",
+            F.when(var > 0, (F.col("cnt") - mean) / F.sqrt(var)).alias("zscore"),
+        )
+    )
