@@ -389,3 +389,64 @@ def minhash_lsh_candidates(
         .select("a", "b")
         .distinct()
     )
+
+
+def edit_distance_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str = "lang",
+    prefix_len: int = 40,
+    threshold: int = 2,
+    q: int = 12,
+) -> DataFrame:
+    """Exact edit-distance near-dup pairs via q-gram prefilter + banded DP.
+
+    Pigeonhole guarantee: one edit destroys at most q of a string's
+    (prefix_len - q + 1) q-grams, so two prefixes within edit distance t
+    share at least (prefix_len - q + 1) - t*q q-grams — positive for the
+    chosen (prefix_len=40, q=12, t=2), hence the gram equi-join loses NO
+    true pair. Candidates therefore come from a sparse shuffle join on
+    (block, gram) instead of the quadratic per-block cross join, and only
+    they pay the DP verify (threshold-banded levenshtein, O(t*len)).
+
+    At corpus scale the gram join's fan-out is the count of *shared*
+    grams — near-dup clusters plus rare random collisions — so the plan
+    stays proportional to the true pair set, not to block_size^2.
+    Returns (doc_a, doc_b, prefix_edit_distance), doc_a < doc_b.
+    """
+    p = docs.select(
+        F.col(id_col).alias("_id"),
+        F.col(block_col).alias("_blk"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_p"),
+    )
+    n_grams = prefix_len - q + 1
+    grams = p.select(
+        "_id",
+        "_blk",
+        "_p",
+        F.explode(
+            F.array(*[F.substring("_p", i + 1, q) for i in range(n_grams)])
+        ).alias("_g"),
+    )
+    a, b = grams.alias("a"), grams.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a._blk") == F.col("b._blk"))
+            & (F.col("a._g") == F.col("b._g"))
+            & (F.col("a._id") < F.col("b._id")),
+        )
+        .select(
+            F.col("a._id").alias("doc_a"),
+            F.col("b._id").alias("doc_b"),
+            F.col("a._p").alias("p_a"),
+            F.col("b._p").alias("p_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    dist = F.levenshtein(F.col("p_a"), F.col("p_b"), threshold)
+    return (
+        cand.select("doc_a", "doc_b", dist.alias("prefix_edit_distance"))
+        .filter(F.col("prefix_edit_distance") >= 0)
+    )

