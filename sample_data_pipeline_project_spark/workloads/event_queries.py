@@ -539,3 +539,40 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(var > 0, (F.col("cnt") - mean) / F.sqrt(var)).alias("zscore"),
         )
     )
+
+
+@workload(
+    "events_variant_agg",
+    oracle="""
+SELECT event_type,
+       COUNT(k) AS n_with_k,
+       SUM(k) AS sum_k,
+       MIN(k) AS min_k,
+       MAX(k) AS max_k
+FROM (
+  SELECT event_type, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type
+""",
+)
+def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured VARIANT path (Spark 4): props parsed once into the
+    binary VARIANT encoding, fields pulled with variant_get — unlike
+    repeated get_json_object calls, the JSON text is parsed ONCE per row
+    regardless of how many fields are extracted, and the typed access is
+    a direct encoded-tree read. The oracle is DuckDB's JSON extraction of
+    the same field; the aggregate surface (exact integer stats per
+    event_type) is engine-portable."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json(F.col("props")), "$.k", "bigint")
+    return (
+        e.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count("k").alias("n_with_k"),
+            F.sum("k").alias("sum_k"),
+            F.min("k").alias("min_k"),
+            F.max("k").alias("max_k"),
+        )
+    )
