@@ -23,7 +23,7 @@ from sample_data_pipeline_project_spark.workloads import workload
     oracle="""
 SELECT event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
        MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
        MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
 FROM events
@@ -214,11 +214,13 @@ SELECT 'hour' AS resolution, bucket_start, n_events,
 FROM hourly
 UNION ALL
 SELECT 'day' AS resolution, date_trunc('day', bucket_start) AS bucket_start,
-       SUM(n_events) AS n_events, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
 FROM hourly GROUP BY date_trunc('day', bucket_start)
 UNION ALL
 SELECT 'week' AS resolution, date_trunc('week', bucket_start) AS bucket_start,
-       SUM(n_events) AS n_events, CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
+       CAST(SUM(n_events) AS BIGINT) AS n_events,
+       CAST(SUM(sum_dec) AS DOUBLE) AS sum_value
 FROM hourly GROUP BY date_trunc('week', bucket_start)
 """,
 )
@@ -546,7 +548,7 @@ def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT event_type,
        COUNT(k) AS n_with_k,
-       SUM(k) AS sum_k,
+       CAST(SUM(k) AS BIGINT) AS sum_k,
        MIN(k) AS min_k,
        MAX(k) AS max_k
 FROM (

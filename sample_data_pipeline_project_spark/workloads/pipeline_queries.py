@@ -168,13 +168,13 @@ WITH t AS (
   WHERE doc_id IN (SELECT MIN(doc_id) FROM s2 GROUP BY fp)
 )
 SELECT 0 AS stage_idx, 'raw' AS stage,
-       COUNT(*) AS n_docs, SUM(nt) AS n_tokens FROM t
+       COUNT(*) AS n_docs, CAST(SUM(nt) AS BIGINT) AS n_tokens FROM t
 UNION ALL
-SELECT 1, 'length_gate', COUNT(*), SUM(nt) FROM s1
+SELECT 1, 'length_gate', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s1
 UNION ALL
-SELECT 2, 'lang_gate', COUNT(*), SUM(nt) FROM s2
+SELECT 2, 'lang_gate', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s2
 UNION ALL
-SELECT 3, 'prefix_dedup', COUNT(*), SUM(nt) FROM s3
+SELECT 3, 'prefix_dedup', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s3
 """,
 )
 def text_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -388,7 +388,7 @@ tot AS (SELECT COUNT(*) AS n_docs_total, SUM(n_tokens) AS n_tokens_total
         FROM per_doc)
 SELECT p.source, p.lang,
        COUNT(*) AS n_docs,
-       SUM(p.n_tokens) AS n_tokens,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
        CAST(COUNT(*) AS DOUBLE) / t.n_docs_total AS doc_share,
        CAST(SUM(p.n_tokens) AS DOUBLE) / t.n_tokens_total AS token_share
 FROM per_doc p CROSS JOIN tot t

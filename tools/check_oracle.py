@@ -83,9 +83,21 @@ def main() -> int:
             print(f"skip  {name}: no oracle ({len(srows)} rows, {t1-t0:.1f}s)")
             continue
         try:
-            res = con.execute(w.oracle)
-            dcols = [d[0] for d in res.description]
-            drows = res.fetchall()
+            rel = con.sql(w.oracle)
+            # The driver's canonicalization distinguishes int64 from int128:
+            # an un-cast SUM(BIGINT) yields HUGEINT in DuckDB and hash-mismatches
+            # even when values are identical (round-1 root cause). Catch locally.
+            bad = [
+                c
+                for c, t in zip(rel.columns, rel.types)
+                if "HUGEINT" in str(t).upper()
+            ]
+            if bad:
+                print(f"FAIL  {name}: oracle HUGEINT column(s) {bad} — add CAST(... AS BIGINT)")
+                failures.append(name)
+                continue
+            dcols = list(rel.columns)
+            drows = rel.fetchall()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
