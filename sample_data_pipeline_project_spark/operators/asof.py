@@ -102,9 +102,10 @@ def asof_join(
         + [F.col(f"__l.{c}").alias(c) for c in left_payload]
         + [F.col(f"__match.{_right_out(c)}").alias(_right_out(c)) for c in right_payload]
     )
-    result = merged.select(*out_cols)
     if how == "inner":
-        first_right = _right_out(right_payload[0]) if right_payload else None
-        if first_right:
-            result = result.filter(F.col(first_right).isNotNull())
-    return result
+        # Filter on the carried struct itself: a matched right row whose
+        # payload columns are all legitimately NULL still has a non-null
+        # struct, so it is kept (null-checking a payload column would
+        # wrongly drop it).
+        merged = merged.filter(F.col("__match").isNotNull())
+    return merged.select(*out_cols)

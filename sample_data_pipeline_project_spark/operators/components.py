@@ -54,6 +54,7 @@ def connected_components(
     labels = vertices.select(
         F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, sym["src"] == labels["vid"])
@@ -74,6 +75,15 @@ def connected_components(
         labels = merged.select("vid", "comp")
         if changed == 0:
             break
+    if changed:
+        # Propagation needs O(diameter) rounds; exhausting max_iter first
+        # means the labels are NOT component minima. Silent wrong answers
+        # are worse than a loud one.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing); raise max_iter (the graph "
+            "diameter exceeds the round budget)"
+        )
     return labels.select(
         F.col("vid").alias(id_col), F.col("comp").alias("component_id")
     )

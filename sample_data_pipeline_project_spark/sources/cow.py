@@ -130,6 +130,9 @@ def cow_merge(
     rewritten (dynamic partition overwrite); when partitioned, `source`
     must carry `partition_col`. Source keys must be unique (the standard
     MERGE precondition — table formats raise on multiple source matches).
+    Target keys should be unique too: duplicate target rows per key are
+    all replaced by the single source row (the merge dedups them), and
+    n_updated counts matched KEYS, not the replaced row multiplicity.
     -> {query_id, n_updated, n_inserted, rows_affected}.
     """
 
@@ -137,7 +140,10 @@ def cow_merge(
         target = spark.read.parquet(path)
         cols = target.columns
         keys = source.select(*key_cols).distinct()
-        n_updated = target.join(keys, key_cols, "left_semi").count()
+        # Count matched distinct source keys (not matched target rows): with
+        # duplicate target rows per key the row count would exceed n_source
+        # and drive n_inserted negative.
+        n_updated = keys.join(target, key_cols, "left_semi").count()
         n_source = source.count()
         n_inserted = n_source - n_updated
         if partition_col is None:

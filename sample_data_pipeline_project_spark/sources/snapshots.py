@@ -58,11 +58,22 @@ def snapshot_write(
     df: DataFrame,
     path: str,
     mode: str = "append",
+    extra: dict | None = None,
 ) -> int:
     """Commit `df` as a new version. mode='append' keeps the previous
     version's files and adds the new ones; mode='overwrite' starts the new
     version from only the new files (old versions remain readable either
-    way — data files are never deleted here). Returns the version number."""
+    way — data files are never deleted here). `extra` metadata (e.g. a
+    streaming batch id) is written INSIDE the committed manifest, so the
+    manifest creation is the single atomic commit point — no second
+    rewrite that a crash could separate from the commit.
+
+    Concurrent writers are safe: the manifest is created via hard-link
+    (exclusive — fails with FileExistsError instead of clobbering), and a
+    loser of the race recomputes its version/file-list against the
+    winner's manifest and retries. VACUUM (`expire_versions`) is
+    single-writer: run it from one maintenance process, not concurrently
+    with appends."""
     if mode not in ("append", "overwrite"):
         raise ValueError(f"unsupported mode {mode!r}")
     staging = os.path.join(path, "data", uuid.uuid4().hex[:12])
@@ -72,17 +83,29 @@ def snapshot_write(
         for f in os.listdir(staging)
         if f.endswith(".parquet")
     )
-    prev = latest_version(path)
-    files = list(new_files)
-    if mode == "append" and prev is not None:
-        files = _read_manifest(path, prev) + files
-    version = 1 if prev is None else prev + 1
     os.makedirs(_manifest_dir(path), exist_ok=True)
-    tmp = os.path.join(_manifest_dir(path), f".v{version}.json.tmp")
-    with open(tmp, "w") as fh:
-        json.dump({"version": version, "files": files}, fh)
-    os.rename(tmp, os.path.join(_manifest_dir(path), f"v{version}.json"))
-    return version
+    while True:
+        prev = latest_version(path)
+        files = list(new_files)
+        if mode == "append" and prev is not None:
+            files = _read_manifest(path, prev) + files
+        version = 1 if prev is None else prev + 1
+        manifest = {"version": version, "files": files}
+        if extra:
+            manifest.update(extra)
+        tmp = os.path.join(
+            _manifest_dir(path), f".v{version}.{uuid.uuid4().hex[:8]}.tmp"
+        )
+        with open(tmp, "w") as fh:
+            json.dump(manifest, fh)
+        final = os.path.join(_manifest_dir(path), f"v{version}.json")
+        try:
+            os.link(tmp, final)  # atomic exclusive create: no clobber
+        except FileExistsError:
+            os.unlink(tmp)
+            continue  # lost the race — rebase on the winner's manifest
+        os.unlink(tmp)
+        return version
 
 
 def snapshot_read(

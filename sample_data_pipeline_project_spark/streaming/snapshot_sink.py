@@ -38,15 +38,11 @@ def _commit_batch(batch_df: DataFrame, batch_id: int, path: str) -> None:
     last = _last_committed_batch(path)
     if last is not None and batch_id <= last:
         return  # replayed batch — already committed, exactly-once preserved
-    version = snapshot_write(batch_df, path, mode="append")
-    mf = os.path.join(_manifest_dir(path), f"v{version}.json")
-    with open(mf) as fh:
-        manifest = json.load(fh)
-    manifest["batch_id"] = batch_id
-    tmp = mf + ".tmp"
-    with open(tmp, "w") as fh:
-        json.dump(manifest, fh)
-    os.rename(tmp, mf)
+    # batch_id rides inside the manifest itself, so the manifest link is
+    # the single atomic commit point: a crash/retry either sees no new
+    # version (and rewrites it idempotently) or a version that already
+    # carries its batch_id — never a committed version without one.
+    snapshot_write(batch_df, path, mode="append", extra={"batch_id": batch_id})
 
 
 def write_stream_snapshots(stream_df: DataFrame, path: str, checkpoint: str):

@@ -263,20 +263,38 @@ def events_hypertable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("sketch_approx_distinct_users", oracle=None)
+@workload(
+    "sketch_approx_distinct_users",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS approx_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def sketch_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier — HyperLogLog++ distinct-user counts per event type next
     to the exact count. O(1) memory per group vs the exact count's
     O(distinct) state: the sketch is what survives on an unbounded stream
-    or a 100 TB groupBy. No SQL oracle (sketch estimates are
-    implementation-defined); tests bound the relative error instead, and
-    the driver records the rows-only check."""
+    or a 100 TB groupBy. The estimate itself is implementation-defined, so
+    the hashed projection certifies it instead: approx_ok asserts the
+    estimate lands within 5% of the exact count (rsd=0.02; measured error
+    is <=0.4% at sf0.1), which the oracle states as a constant TRUE — a
+    degraded sketch flips the boolean and fails the hash."""
     e = load_table(spark, sf_dir, "events")
+    approx = F.approx_count_distinct("user_id", rsd=0.02)
+    exact = F.count_distinct("user_id")
     return (
         e.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.count_distinct("user_id").alias("exact_users"),
+        .agg(approx.alias("approx_users"), exact.alias("exact_users"))
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("approx_ok"),
         )
         .orderBy("event_type")
     )
@@ -304,16 +322,27 @@ def cogroup_prior_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return clicks_with_prior_view_counts(load_table(spark, sf_dir, "events"))
 
 
-@workload("sketch_hll_mergeable_rollup", oracle=None)
+@workload(
+    "sketch_hll_mergeable_rollup",
+    oracle="""
+SELECT event_type,
+       COUNT(DISTINCT user_id) AS exact_users,
+       TRUE AS union_ok
+FROM events
+GROUP BY event_type
+""",
+)
 def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier — MERGEABLE HyperLogLog (Apache DataSketches via
     hll_sketch_agg/hll_union_agg): per (event_type, hour) binary sketches
     are built once, then re-aggregated to event_type level by sketch UNION
     — the pre-aggregated sketch-table pattern that makes 100 TB distinct
     counts incremental (store hour-grain sketches, answer any coarser
-    rollup without touching raw data). Emits the unioned estimate next to
-    the exact count; rows-only driver check (estimates are
-    implementation-defined), error bounded in tests."""
+    rollup without touching raw data). The unioned estimate is
+    implementation-defined, so the hashed projection certifies it:
+    union_ok asserts the union-of-hourly-sketches estimate lands within
+    5% of the exact count (lgK=14 => rse ~0.8%; measured 0% at sf0.1);
+    the oracle states the invariant as TRUE."""
     e = load_table(spark, sf_dir, "events")
     hourly = e.groupBy(
         "event_type", F.date_trunc("hour", "ts").alias("hour")
@@ -326,7 +355,18 @@ def sketch_hll_mergeable_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact = e.groupBy("event_type").agg(
         F.count_distinct("user_id").alias("exact_users")
     )
-    return unioned.join(exact, "event_type").orderBy("event_type")
+    return (
+        unioned.join(exact, "event_type")
+        .select(
+            "event_type",
+            "exact_users",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= 0.05 * F.col("exact_users")
+            ).alias("union_ok"),
+        )
+        .orderBy("event_type")
+    )
 
 
 @workload(

@@ -44,40 +44,102 @@ def _docs_as_media(spark: SparkSession, sf_dir: str, kind: str, n_frames: int = 
     )
 
 
-@workload("multimodal_doc_features", oracle=None)
+@workload(
+    "multimodal_doc_features",
+    oracle="""
+SELECT doc_id AS media_id,
+       'image' AS kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       TRUE AS stats_ok
+FROM documents
+""",
+)
 def multimodal_doc_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched feature extraction (mean/std/min/max intensity) over
     every document payload — the image-featurization hot path with the
     decode stubbed to identity. One numpy pass per blob, no per-row Python
-    in the JVM boundary."""
+    in the JVM boundary. The raster stats are codec-dependent, so the
+    hashed projection keeps the codec-independent columns (per-row byte
+    count) and certifies the stats with stats_ok (min<=mean<=max,
+    std>=0, 0<=min<=max<=255), which the oracle states as TRUE."""
     media = _docs_as_media(spark, sf_dir, "image")
-    return image_features(media)
+    feats = image_features(media)
+    stats_ok = (
+        (F.col("min_intensity") <= F.col("mean_intensity"))
+        & (F.col("mean_intensity") <= F.col("max_intensity"))
+        & (F.col("std_intensity") >= 0)
+        & (F.col("min_intensity") >= 0)
+        & (F.col("max_intensity") <= 255)
+    )
+    return feats.select("media_id", "kind", "n_bytes", stats_ok.alias("stats_ok"))
 
 
-@workload("multimodal_frame_sample", oracle=None)
+@workload(
+    "multimodal_frame_sample",
+    oracle="""
+SELECT d.doc_id AS media_id,
+       f.frame_idx,
+       CAST(octet_length(encode(d.text)) // 4 AS BIGINT) AS frame_bytes
+FROM documents d
+CROSS JOIN (VALUES (0), (2)) AS f(frame_idx)
+""",
+)
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Video-style frame sampling: each payload split into 4 equal 'frames',
     every 2nd kept (posexplode shape — output rows > input rows). Returns
     frame sizes rather than frame bytes so the driver's collect stays
     light; the binary frames themselves are materialized inside the
-    executors."""
+    executors. Frame sizes are pure byte math (floor(n_bytes/4) for kept
+    frames 0 and 2), so the oracle reproduces them exactly from the
+    documents table."""
     media = _docs_as_media(spark, sf_dir, "video", n_frames=4)
     frames = sample_frames(media, every_n=2)
     return frames.select(
-        "media_id", "frame_idx", F.length(F.col("frame")).alias("frame_bytes")
+        "media_id",
+        "frame_idx",
+        F.length(F.col("frame")).cast("long").alias("frame_bytes"),
     )
 
 
-@workload("multimodal_audio_windows", oracle=None)
+@workload(
+    "multimodal_audio_windows",
+    oracle="""
+WITH win AS (
+  SELECT doc_id,
+         octet_length(encode(text)) AS nb,
+         unnest(generate_series(0, (octet_length(encode(text)) - 1) // 256)) AS w
+  FROM documents
+)
+SELECT doc_id AS media_id,
+       CAST(w AS INTEGER) AS window_idx,
+       CAST(LEAST(256, nb - 256 * w) AS INTEGER) AS n_samples,
+       TRUE AS feat_ok
+FROM win
+""",
+)
 def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-style windowed feature extraction: every document payload
     treated as a uint8 sample stream, split into 256-sample windows with
     per-window RMS / peak / midpoint-crossing features (the speech-pipeline
-    framing shape). Rows-only check; numeric semantics pinned on known
-    waveforms in tests/test_multimodal.py."""
+    framing shape). Window partitioning (count + per-window sample counts)
+    is pure byte math the oracle reproduces via generate_series; the
+    codec-dependent features are certified by feat_ok (0<=rms<=128,
+    0<=peak<=128, 0<=crossings<n_samples). Numeric semantics pinned on
+    known waveforms in tests/test_multimodal.py."""
     from sample_data_pipeline_project_spark.multimodal.ops import (
         audio_window_energy,
     )
 
     media = _docs_as_media(spark, sf_dir, "audio")
-    return audio_window_energy(media, window_samples=256)
+    wins = audio_window_energy(media, window_samples=256)
+    feat_ok = (
+        (F.col("rms") >= 0)
+        & (F.col("rms") <= 128.0)
+        & (F.col("peak") >= 0)
+        & (F.col("peak") <= 128)
+        & (F.col("crossings") >= 0)
+        & (F.col("crossings") < F.col("n_samples"))
+    )
+    return wins.select(
+        "media_id", "window_idx", "n_samples", feat_ok.alias("feat_ok")
+    )

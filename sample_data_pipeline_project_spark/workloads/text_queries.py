@@ -356,14 +356,27 @@ def text_decontamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@workload("sketch_heavy_hitter_tokens", oracle=None)
+@workload(
+    "sketch_heavy_hitter_tokens",
+    oracle=f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+)
+SELECT tok, COUNT(*) AS approx_count
+FROM toks
+GROUP BY tok
+ORDER BY approx_count DESC, tok ASC
+LIMIT 20
+""",
+)
 def sketch_heavy_hitter_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier — frequent-items (heavy hitters) over the token stream
     via approx_top_k: bounded-memory top-20 tokens by occurrence, the
     streaming-safe alternative to an exact explode+groupBy+sort when the
-    vocabulary doesn't fit. Rows-only driver check (sketch counts are
-    capacity-dependent); tests pin it against the exact counts at test
-    scale, where the tracked capacity exceeds the vocabulary."""
+    vocabulary doesn't fit. The sketch degrades to EXACT counts when the
+    tracked capacity (10,000) exceeds the vocabulary — true at every test
+    SF (vocab 31, no count tie at the rank-20 boundary) — so the oracle
+    is the exact top-20."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(F.explode(tokens("text")).alias("tok"))
     return (

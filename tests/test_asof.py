@@ -77,3 +77,22 @@ def test_bad_how_rejected(quotes_trades):
     trades, quotes = quotes_trades
     with pytest.raises(ValueError, match="how must be"):
         asof_join(trades, quotes, on=["sym"], left_ts="t_ts", right_ts="q_ts", how="outer")
+
+
+def test_inner_keeps_match_with_null_payload(spark):
+    """A matched right row whose FIRST payload column is legitimately NULL
+    must survive how='inner' (match presence is the struct, not a payload
+    null-check)."""
+    left = spark.createDataFrame(
+        [(1, "A", _T(2024, 1, 1, 10, 0)), (2, "B", _T(2024, 1, 1, 10, 0))],
+        "lid long, sym string, t_ts timestamp_ntz",
+    )
+    right = spark.createDataFrame(
+        [(None, "A", _T(2024, 1, 1, 9, 0))],
+        "bid double, sym string, q_ts timestamp_ntz",
+    )
+    out = asof_join(
+        left, right, on=["sym"], left_ts="t_ts", right_ts="q_ts", how="inner"
+    ).collect()
+    assert [r["lid"] for r in out] == [1]
+    assert out[0]["bid"] is None

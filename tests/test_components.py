@@ -37,3 +37,16 @@ def test_long_path_needs_iterations(spark):
 def test_no_edges(spark):
     got = _run(spark, [], [5, 6])
     assert got == {5: 5, 6: 6}
+
+
+def test_unconverged_raises(spark):
+    """Exhausting max_iter before convergence must raise, not silently
+    return wrong labels (min-label propagation needs O(diameter) rounds)."""
+    import pytest
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 8)], "a long, b long"
+    )
+    verts = spark.createDataFrame([(i,) for i in range(1, 9)], "id long")
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, verts, max_iter=2)

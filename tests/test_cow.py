@@ -138,3 +138,22 @@ def test_merge_insert_only_unpartitioned(spark, ledger, tmp_path):
     assert out["n_updated"] == 0
     assert out["n_inserted"] == 1
     assert spark.read.parquet(path).count() == 19
+
+
+def test_merge_duplicate_target_rows_counts_keys(spark, ledger, tmp_path):
+    """Duplicate target rows per key: merge replaces all of them with the
+    one source row, and n_updated counts matched KEYS (n_inserted must not
+    go negative)."""
+    from sample_data_pipeline_project_spark.sources.cow import cow_merge
+
+    path = str(tmp_path / "dup_merge")
+    dup = ledger.filter(F.col("run_id") == 1)
+    ledger.unionByName(dup).write.mode("overwrite").parquet(path)  # run 1 twice
+    source = ledger.filter(F.col("run_id") == 1).withColumn(
+        "pipeline_status", F.lit("merged")
+    )
+    out = cow_merge(spark, path, source, ["run_id"])
+    assert out["n_updated"] == 1
+    assert out["n_inserted"] == 0
+    got = spark.read.parquet(path).filter(F.col("run_id") == 1).collect()
+    assert len(got) == 1 and got[0]["pipeline_status"] == "merged"

@@ -126,3 +126,57 @@ def test_expire_versions_old_version_unreadable_after(spark, tmp_path):
     expire_versions(path, keep_last=1)
     with pytest.raises(ValueError):
         snapshot_read(spark, path, 1)
+
+
+def test_extra_metadata_in_committed_manifest(spark, tmp_path):
+    """`extra` rides inside the manifest that the atomic link commits —
+    no second rewrite after the commit point."""
+    import json
+    import os
+
+    from sample_data_pipeline_project_spark.sources.snapshots import _manifest_dir
+
+    path = str(tmp_path / "snap_extra")
+    v = snapshot_write(spark.range(3), path, extra={"batch_id": 7})
+    with open(os.path.join(_manifest_dir(path), f"v{v}.json")) as fh:
+        mf = json.load(fh)
+    assert mf["batch_id"] == 7
+    assert mf["version"] == v
+
+
+def test_concurrent_writer_race_rebases_not_clobbers(spark, tmp_path):
+    """If another writer commits the version this writer computed, the
+    exclusive link fails and the writer rebases to the next version —
+    the winner's manifest survives untouched."""
+    import json
+    import os
+
+    from sample_data_pipeline_project_spark.sources import snapshots as S
+
+    path = str(tmp_path / "snap_race")
+    snapshot_write(spark.range(5).withColumn("tag", F.lit("a")), path)
+
+    # Simulate a racing writer: the moment this writer reads latest_version,
+    # the rival commits v2 out from under it.
+    real_latest = S.latest_version
+    fired = {"done": False}
+
+    def racing_latest(p):
+        v = real_latest(p)
+        if not fired["done"]:
+            fired["done"] = True
+            mdir = S._manifest_dir(p)
+            rival = os.path.join(mdir, "v2.json")
+            with open(rival, "w") as fh:
+                json.dump({"version": 2, "files": S._read_manifest(p, 1)}, fh)
+        return v
+
+    S.latest_version, orig = racing_latest, S.latest_version
+    try:
+        v = snapshot_write(spark.range(5, 9).withColumn("tag", F.lit("b")), path)
+    finally:
+        S.latest_version = orig
+    assert v == 3  # rebased past the rival's v2, did not clobber it
+    with open(os.path.join(S._manifest_dir(path), "v2.json")) as fh:
+        assert json.load(fh)["version"] == 2  # winner intact
+    assert snapshot_read(spark, path, 3).count() == 9  # rebase includes rival files
