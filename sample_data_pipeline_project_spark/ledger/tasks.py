@@ -240,7 +240,14 @@ def overlap_pairs_df(
     predicate as a residual — a shuffled hash join keyed on low-skew
     columns, not a nested-loop cross product. Self-pair exclusion uses
     `run_id`, not the reference's lossy `start_ts != start_ts`
-    (snowflake_tasks.py:548), so distinct runs sharing a start_ts are kept."""
+    (snowflake_tasks.py:548), so distinct runs sharing a start_ts are kept.
+
+    The day filter is the reference's exact half-open day interval
+    (snowflake_tasks.py:525-537: `start_ts < DATEADD(day, 1, date) AND
+    end_ts > 'date 00:00:00'`) — a window ending exactly at the day's
+    midnight does NOT belong to the day. The coarse day-band runs first as
+    the sargable partition-pruning pre-filter, the timestamp test as the
+    exact residual."""
     df = ledger
     if pipeline_name is not None:
         df = df.filter(F.col("pipeline_name") == pipeline_name)
@@ -248,7 +255,13 @@ def overlap_pairs_df(
         df = df.filter(F.col("index_name") == index_name)
     if day is not None:
         d = F.to_date(F.lit(day))
-        df = df.filter(day_band(F.col(_DS), F.col(_DE), d, d))
+        day_start = d.cast("timestamp_ntz")
+        day_end = F.date_add(d, 1).cast("timestamp_ntz")
+        df = df.filter(
+            day_band(F.col(_DS), F.col(_DE), d, d)
+            & (F.col(_TS) < day_end)
+            & (F.col(_TE) > day_start)
+        )
     t1, t2 = df.alias("t1"), df.alias("t2")
     c = lambda side, name: F.col(f"{side}.{name}")  # noqa: E731
     cond = (

@@ -7,7 +7,10 @@ reference also *calls* `log_start`/`log_complete`/`log_failure`
 (`overlap_checks.py:39-97`) which its own LogBlock never defines — we
 implement the intended methods.
 
-No Spark dependency: plain stdlib logging, UTC timestamps.
+No Spark dependency: plain stdlib logging; dual-timezone timestamps
+(UTC always, plus a configurable local zone — the reference stamps both
+via pendulum with an America/Los_Angeles default, `utils/log_utils.py:
+26-37`; zoneinfo is the stdlib equivalent).
 """
 
 from __future__ import annotations
@@ -17,14 +20,21 @@ import logging
 import time
 from datetime import datetime, timezone
 from typing import Any
+from zoneinfo import ZoneInfo
 
 
 class LogBlock:
     """Structured logger with caller-chain context and lifecycle methods."""
 
-    def __init__(self, logger_name: str = "sdpp_spark", max_depth: int = 3) -> None:
+    def __init__(
+        self,
+        logger_name: str = "sdpp_spark",
+        max_depth: int = 3,
+        local_tz: str | None = "America/Los_Angeles",
+    ) -> None:
         self.logger = logging.getLogger(logger_name)
         self.max_depth = max_depth
+        self._local_tz = ZoneInfo(local_tz) if local_tz else None
 
     # -- plumbing ---------------------------------------------------------
     def _caller_chain(self) -> str:
@@ -33,7 +43,11 @@ class LogBlock:
         return " <- ".join(names) if names else "<top>"
 
     def _fmt(self, message: str, fields: dict[str, Any]) -> str:
-        ts = datetime.now(timezone.utc).isoformat(timespec="milliseconds")
+        now = datetime.now(timezone.utc)
+        ts = now.isoformat(timespec="milliseconds")
+        if self._local_tz is not None:
+            local = now.astimezone(self._local_tz).isoformat(timespec="milliseconds")
+            ts = f"{ts} | {self._local_tz.key} {local}"
         kv = " ".join(f"{k}={v!r}" for k, v in fields.items())
         return f"[{ts}] [{self._caller_chain()}] {message} {kv}".rstrip()
 

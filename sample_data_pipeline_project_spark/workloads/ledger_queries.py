@@ -130,6 +130,8 @@ scoped AS (
     AND index_name = 'idx_1'
     AND query_window_start_day <= DATE '{_DAY}'
     AND query_window_end_day >= DATE '{_DAY}'
+    AND query_window_start_ts < DATE '{_DAY}' + INTERVAL 1 DAY
+    AND query_window_end_ts > TIMESTAMP '{_DAY} 00:00:00'
 )
 SELECT t1.pipeline_name AS pipeline_name,
        t1.index_name AS index_name,

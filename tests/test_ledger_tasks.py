@@ -149,3 +149,34 @@ def test_overlap_input_envelope(ledger):
     )
     assert set(out) == {"query_id", "data"}
     assert {r["run_id"] for r in out["data"].collect()} == {7, 8}
+
+
+def test_overlap_pairs_day_plus_one_boundary(spark):
+    """Reference DATEADD(day, 1) semantics (snowflake_tasks.py:525-537):
+    the day filter is the exact half-open interval [day 00:00, day+1
+    00:00), so a window ending exactly at the probed day's midnight does
+    NOT belong to that day — even though its end_DAY column equals the
+    probed day (the coarse band alone would wrongly admit it)."""
+    from sample_data_pipeline_project_spark.schema import PIPELINE_RUNS_SCHEMA
+
+    def row(rid, start, end):
+        return (rid, "etl", "idx_d", "completed", start, end,
+                start.date(), end.date())
+
+    led = spark.createDataFrame(
+        [
+            # ends exactly at 03-08 midnight: belongs to 03-07 only
+            row(19, _T(2024, 3, 7, 23, 30), _T(2024, 3, 8, 0)),
+            # straddler genuinely in both days; overlaps run 19 on 03-07
+            row(20, _T(2024, 3, 7, 23), _T(2024, 3, 8, 1)),
+        ],
+        PIPELINE_RUNS_SCHEMA,
+    )
+    on_7 = {
+        (r["source_run_id"], r["overlaps_with_run_id"])
+        for r in overlap_pairs_df(led, "etl", "idx_d", "2024-03-07").collect()
+    }
+    assert on_7 == {(19, 20), (20, 19)}
+    # On 03-08 run 19 is out of scope (end_ts == midnight, not >), so the
+    # straddler has nothing to pair with.
+    assert overlap_pairs_df(led, "etl", "idx_d", "2024-03-08").count() == 0
