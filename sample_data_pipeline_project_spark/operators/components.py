@@ -41,19 +41,26 @@ def connected_components(
     touching no edge come back as their own singleton component.
     Returns columns (id_col, component_id).
     """
-    # Materialize the symmetrized edge list ONCE: every round joins against
-    # it, and without this the whole upstream pair-generation pipeline
-    # (e.g. a prefix-filtered similarity join) would re-execute per round.
-    sym = (
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-        .unionByName(
-            edges.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
-        )
-        .localCheckpoint(eager=True)
+    # Materialize the edge list BEFORE symmetrizing: the union reads it in
+    # both branches, so checkpointing after the union would execute the
+    # whole upstream pair-generation pipeline (e.g. a prefix-filtered
+    # similarity join) twice; checkpointing first runs it once and the
+    # swap is two narrow scans of the materialized result. Every round
+    # then joins the in-memory symmetric list, never the upstream plan.
+    edge_mat = edges.select(
+        F.col(a_col).alias("src"), F.col(b_col).alias("dst")
+    ).localCheckpoint(eager=True)
+    sym = edge_mat.unionByName(
+        edge_mat.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    labels = vertices.select(
-        F.col(id_col).alias("vid"), F.col(id_col).alias("comp")
+    # Propagate only over vertices that touch an edge: in a dedup graph
+    # the overwhelming majority of the corpus is singletons, and keeping
+    # them out of the loop shrinks every round's shuffle from |V| to
+    # |edge endpoints|. Singletons rejoin as their own component at the end.
+    active = (
+        sym.select(F.col("src").alias("vid")).distinct().localCheckpoint(eager=True)
     )
+    labels = active.select("vid", F.col("vid").alias("comp"))
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -84,6 +91,9 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter (the graph "
             "diameter exceeds the round budget)"
         )
-    return labels.select(
-        F.col("vid").alias(id_col), F.col("comp").alias("component_id")
+    singletons = vertices.select(F.col(id_col).alias("vid")).join(
+        active, "vid", "left_anti"
     )
+    return labels.unionByName(
+        singletons.select("vid", F.col("vid").alias("comp"))
+    ).select(F.col("vid").alias(id_col), F.col("comp").alias("component_id"))
