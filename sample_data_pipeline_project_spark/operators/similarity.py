@@ -15,11 +15,17 @@ replicate it; swap in k-means offline for real recall.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sample_data_pipeline_project_spark.functions.vectors import cosine, dot
+from sample_data_pipeline_project_spark.functions.vectors import (
+    cosine,
+    cosine_arrow,
+    dot,
+)
 
 
 def topk_cosine(
@@ -82,8 +88,6 @@ def neardup_cosine_pairs_blocked(
     are bit-identical to the naive operator and to the SQL oracle; the
     BLAS pass only prunes, never decides.
     """
-    import pandas as pd
-
     spark = corpus.sparkSession
     margin = 1e-6
     pairs_meta = [
@@ -161,32 +165,40 @@ def _rp_planes(dim: int, num_planes: int) -> list[list[float]]:
     ]
 
 
-def _rp_sign_bits(vec_col: str, dim: int, num_planes: int) -> list[F.Column]:
-    """Sign bit of <vec, plane_p> for each hyperplane, as JVM-side
-    higher-order-function expressions (no Python in the row path)."""
-    planes = _rp_planes(dim, num_planes)
-    return [
-        F.expr(
-            f"CASE WHEN aggregate(zip_with({vec_col}, "
-            f"array({', '.join(repr(v) + 'D' for v in planes[p])}), "
-            f"(x, h) -> CAST(x AS DOUBLE) * h), "
-            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) >= 0 THEN 1 ELSE 0 END"
-        ).alias(f"s_{p}")
-        for p in range(num_planes)
-    ]
+def _rp_sign_bits(vec_col: str, dim: int, num_planes: int) -> F.Column:
+    """All `num_planes` sign bits of <vec, plane_p> as ONE array<int>
+    column, computed by an Arrow-batched matmul: each batch does a single
+    (batch x dim) @ (dim x planes) BLAS call. The earlier per-plane
+    zip_with/aggregate expressions were JVM-side but *interpreted* (HOFs
+    don't enter whole-stage codegen), costing ~1 s per 2k x 64-dim x 16
+    planes; the matmul is microseconds. Deterministic for a fixed numpy —
+    the planes are md5-derived constants shipped in the closure."""
+    from pyspark.sql.types import ArrayType, IntegerType
+
+    planes_t = np.array(_rp_planes(dim, num_planes), dtype="float64").T
+
+    @F.pandas_udf(ArrayType(IntegerType()))
+    def _bits(v: pd.Series) -> pd.Series:
+        A = np.stack(v.to_numpy()).astype("float64")
+        S = (A @ planes_t >= 0).astype("int32")
+        return pd.Series(list(S))
+
+    return _bits(F.col(vec_col))
 
 
 def _rp_banded(
     df: DataFrame, id_col: str, num_planes: int, bands: int
 ) -> DataFrame:
-    """(id, band_idx, band_sig) — one row per band, band_sig the
-    concatenated sign bits of that band."""
+    """(id, band_idx, band_sig) — one row per band, band_sig the bits of
+    that band packed into an int (codegen-friendly join key). `df` must
+    carry the `bits` array column from `_rp_sign_bits`."""
     width = num_planes // bands
     band_cols = [
         F.struct(
             F.lit(b).alias("band_idx"),
-            F.concat_ws(
-                "", *[F.col(f"s_{b * width + j}") for j in range(width)]
+            sum(
+                (F.col("bits")[b * width + j] * (1 << j) for j in range(width)),
+                F.lit(0),
             ).alias("band_sig"),
         )
         for b in range(bands)
@@ -229,7 +241,7 @@ def rp_lsh_neardup_pairs(
     dim = len(corpus.select(vec_col).first()[0])
     # cached: both band-join sides read the signature table
     sig = corpus.select(
-        F.col(id_col), *_rp_sign_bits(vec_col, dim, num_planes)
+        F.col(id_col), _rp_sign_bits(vec_col, dim, num_planes).alias("bits")
     ).cache()
     banded = _rp_banded(sig, id_col, num_planes, bands)
     cands = (
@@ -244,10 +256,13 @@ def rp_lsh_neardup_pairs(
     )
     ea = corpus.select(F.col(id_col).alias("a"), F.col(vec_col).alias("va"))
     eb = corpus.select(F.col(id_col).alias("b"), F.col(vec_col).alias("vb"))
+    # candidate sets at a loose threshold run 10^5..10^6 pairs even at toy
+    # scale — the Arrow-batched cosine keeps the verify vectorized while
+    # staying bit-identical to the JVM fold (see functions/vectors.py)
     return (
         cands.join(ea, "a")
         .join(eb, "b")
-        .select("a", "b", cosine("va", "vb").alias("cosine_sim"))
+        .select("a", "b", cosine_arrow("va", "vb").alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
 
@@ -277,12 +292,17 @@ def rp_lsh_topk_cosine(
     if num_planes % bands:
         raise ValueError("bands must divide num_planes")
     dim = len(corpus.select(vec_col).first()[0])
-    sig = corpus.select(F.col(id_col), *_rp_sign_bits(vec_col, dim, num_planes))
+    sig = corpus.select(
+        F.col(id_col), _rp_sign_bits(vec_col, dim, num_planes).alias("bits")
+    )
     banded = _rp_banded(sig, id_col, num_planes, bands)
-    q_sig = query.select(*_rp_sign_bits(query_vec_col, dim, num_planes))
-    q_banded = _rp_banded(
-        q_sig.select(F.lit(0).alias("__qid"), "*"), "__qid", num_planes, bands
-    ).select("band_idx", "band_sig")
+    q_sig = query.select(
+        F.lit(0).alias("__qid"),
+        _rp_sign_bits(query_vec_col, dim, num_planes).alias("bits"),
+    )
+    q_banded = _rp_banded(q_sig, "__qid", num_planes, bands).select(
+        "band_idx", "band_sig"
+    )
     cand_ids = (
         banded.join(F.broadcast(q_banded), ["band_idx", "band_sig"])
         .select(id_col)

@@ -142,3 +142,42 @@ def test_int8_quantized_cosine_error_bound_and_recall(spark):
     exact10 = {r["vec_id"] for r in sorted(both, key=lambda r: -r["exact"])[:10]}
     approx10 = {r["vec_id"] for r in sorted(both, key=lambda r: -r["approx"])[:10]}
     assert len(exact10 & approx10) >= 8
+
+
+def test_cosine_arrow_bitexact_vs_jvm_fold(spark):
+    """cosine_arrow (Arrow/numpy cumsum left fold) must be BIT-identical to
+    the interpreted JVM aggregate() fold on real embeddings, including the
+    NULL-on-zero-norm contract — it substitutes for `cosine` on wide
+    verify stages, so any divergence would silently change oracle hashes."""
+    from sample_data_pipeline_project_spark.functions.vectors import (
+        cosine,
+        cosine_arrow,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    pairs = (
+        emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+        .join(
+            emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb")),
+            F.col("a") + 1 == F.col("b"),
+        )
+    )
+    rows = (
+        pairs.select(
+            "a",
+            cosine("va", "vb").alias("jvm"),
+            cosine_arrow("va", "vb").alias("arrow"),
+        )
+        .collect()
+    )
+    assert len(rows) > 50
+    for r in rows:
+        assert r["jvm"] == r["arrow"], (r["a"], r["jvm"], r["arrow"])
+
+    zero = spark.createDataFrame(
+        [(0, [0.0, 0.0], [1.0, 1.0]), (1, None, [1.0, 1.0])],
+        "i long, va array<float>, vb array<float>",
+    )
+    got = zero.select("i", cosine_arrow("va", "vb").alias("c")).collect()
+    assert all(r["c"] is None for r in got)
