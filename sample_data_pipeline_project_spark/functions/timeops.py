@@ -42,6 +42,22 @@ def ns_epoch_to_ntz(col_name: str) -> Column:
     return F.expr(NS_EPOCH_TO_NTZ_SQL.format(c=col_name))
 
 
+def ensure_ts_ntz(df, col: str = "ts"):
+    """Normalize an event-time column to TIMESTAMP_NTZ regardless of how the
+    parquet writer encoded it. Driver testdata has shipped both shapes:
+    TIMESTAMP(NANOS) (arrives as BIGINT under the nanosAsLong conf) and
+    TIMESTAMP(MICROS) (arrives as TIMESTAMP_NTZ directly). With the engine's
+    fixed UTC session timezone every cast here is wall-clock preserving."""
+    dtype = dict(df.dtypes).get(col)
+    if dtype is None:
+        raise ValueError(f"no column {col!r} in {df.columns}")
+    if dtype == "bigint":
+        return df.withColumn(col, ns_epoch_to_ntz(col))
+    if dtype == "timestamp_ntz":
+        return df
+    return df.withColumn(col, F.col(col).cast("timestamp_ntz"))
+
+
 def iso_format(col: Column) -> Column:
     """TIMESTAMP_NTZ -> ISO-8601 string, the reference's API edge format
     (reference: snowflake_tasks.py:213-216 `.isoformat()`)."""

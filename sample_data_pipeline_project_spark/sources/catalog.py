@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from sample_data_pipeline_project_spark.functions.timeops import (
     NANOS_AS_LONG_CONF,
-    ns_epoch_to_ntz,
+    ensure_ts_ntz,
 )
 from sample_data_pipeline_project_spark.schema import TESTDATA_TABLES
 
@@ -34,9 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # Dynamic conf: must be set before the read resolves the footer
         # schema AND still set at execution; leave it on for the session.
+        # Harmless when the writer used TIMESTAMP(MICROS) — the column then
+        # arrives as TIMESTAMP_NTZ and ensure_ts_ntz leaves it alone.
         spark.conf.set(NANOS_AS_LONG_CONF, "true")
-        df = spark.read.parquet(path)
-        return df.withColumn("ts", ns_epoch_to_ntz("ts"))
+        return ensure_ts_ntz(spark.read.parquet(path))
     return spark.read.parquet(path)
 
 

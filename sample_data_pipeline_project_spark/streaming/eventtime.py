@@ -30,39 +30,33 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from sample_data_pipeline_project_spark.functions.timeops import (
     NANOS_AS_LONG_CONF,
-    ns_epoch_to_ntz,
-)
-
-# Raw parquet schema of the events table (ts is TIMESTAMP(NANOS), read as
-# long under the nanosAsLong conf; the loader rebuilds TIMESTAMP_NTZ).
-_EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
+    ensure_ts_ntz,
 )
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The events table as an unbounded stream (file source; each parquet
-    file is one micro-batch unit)."""
+    file is one micro-batch unit).
+
+    The file source needs an explicit schema; probe it from the parquet
+    footer with a (lazy, metadata-only) batch read so both event-time
+    encodings the driver has shipped work: TIMESTAMP(NANOS) (BIGINT `ts`
+    under the nanosAsLong conf) and TIMESTAMP(MICROS) (TIMESTAMP_NTZ)."""
     spark.conf.set(NANOS_AS_LONG_CONF, "true")
+    path = f"{sf_dir.rstrip('/')}/events.parquet"
+    raw_schema = spark.read.parquet(path).schema
     # The file source wants a directory basePath; the testdata table is a
     # single file, so glob it — the source then infers the parent dir as
     # basePath (a bare file path would be rejected).
     raw = (
-        spark.readStream.schema(_EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(raw_schema)
         .format("parquet")
         .load(f"{sf_dir.rstrip('/')}/events.parque[t]")
     )
     # Watermarks require TIMESTAMP (not NTZ); with the engine's fixed UTC
     # session timezone the cast is wall-clock-preserving, and outputs are
     # cast back to NTZ at the sink edge for batch/oracle parity.
-    return raw.withColumn("ts", ns_epoch_to_ntz("ts").cast("timestamp"))
+    return ensure_ts_ntz(raw).withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
