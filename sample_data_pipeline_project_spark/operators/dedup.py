@@ -238,7 +238,13 @@ def jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", "shared", "n_a", "n_b", "jaccard")
     )
-    return verified.distinct()
+    # Cache the (tiny) verified pair set: multiple consumers in one session
+    # run this identical plan — the pair workload itself plus the
+    # connected-components clustering built on the same pairs — and Spark's
+    # plan-equality cache turns the second execution into a memory read.
+    # A real deployment materializes the near-dup pair table once for the
+    # same reason; pairs are O(dups), orders of magnitude below the corpus.
+    return verified.distinct().cache()
 
 
 def simhash_bit_sql(md5_expr: str, j: int) -> str:

@@ -139,12 +139,17 @@ def neardup_cosine_pairs_blocked(
     eb = corpus.select(
         F.col(id_col).cast("long").alias("b"), F.col(vec_col).alias("vb")
     )
-    return (
+    verified = (
         cands.join(ea, "a")
         .join(eb, "b")
         .select("a", "b", cosine("va", "vb").alias("cosine_sim"))
         .filter(F.col("cosine_sim") >= threshold)
     )
+    # Cache the (tiny) verified pair set: the pair workload and the LSH
+    # recall certification run this identical plan in one session, and
+    # Spark's plan-equality cache makes the second execution a memory read
+    # — the in-plan stand-in for materializing the pair table once.
+    return verified.cache()
 
 
 def _rp_planes(dim: int, num_planes: int) -> list[list[float]]:

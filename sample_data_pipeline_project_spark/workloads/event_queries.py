@@ -312,14 +312,18 @@ WHERE c.event_type = 'click'
 """,
 )
 def cogroup_prior_view_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cogrouped applyInPandas (operators/cogrouped.py): per-user two-table
-    alignment in one Arrow call per key, hash-matched against the
-    correlated-COUNT SQL formulation."""
+    """Cogrouped applyInPandas (operators/cogrouped.py) in its scale shape:
+    both tables shuffled on user-BUCKET (user_id % 64), one Arrow call per
+    bucket with a vectorized per-user lexsort+cumsum kernel inside — a
+    bounded number of Python invocations instead of one per user.
+    Hash-matched against the correlated-COUNT SQL formulation."""
     from sample_data_pipeline_project_spark.operators.cogrouped import (
         clicks_with_prior_view_counts,
     )
 
-    return clicks_with_prior_view_counts(load_table(spark, sf_dir, "events"))
+    return clicks_with_prior_view_counts(
+        load_table(spark, sf_dir, "events"), n_buckets=64
+    )
 
 
 @workload(

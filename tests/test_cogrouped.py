@@ -67,3 +67,46 @@ def test_cogroup_handles_one_sided_keys(spark):
         for r in clicks_with_prior_view_counts(events).collect()
     }
     assert got == {(1, 0), (3, 1), (3, 0)}
+
+
+def test_bucketed_cogroup_identical_to_per_user(spark):
+    """The n_buckets scale path (bucket cogroup + vectorized per-user
+    kernel) must produce byte-identical rows to the per-user path,
+    including equal-timestamp ties (a view at the click's exact ts is not
+    'strictly before')."""
+    events = load_table(spark, _SF_DIR, "events")
+    per_user = {
+        (r["user_id"], r["click_id"], r["click_ts"], r["prior_views"])
+        for r in clicks_with_prior_view_counts(events).collect()
+    }
+    for k in (1, 7, 64):
+        bucketed = {
+            (r["user_id"], r["click_id"], r["click_ts"], r["prior_views"])
+            for r in clicks_with_prior_view_counts(events, n_buckets=k).collect()
+        }
+        assert bucketed == per_user, k
+
+
+def test_bucketed_cogroup_tie_semantics(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, "view", 0),
+        (1, "click", 0),   # tie with the view -> not counted
+        (1, "view", 5),
+        (1, "click", 5),   # tie again, one earlier view counted
+        (2, "click", 1),   # no views at all
+    ]
+    events = spark.createDataFrame(
+        [
+            (i, base + dt.timedelta(seconds=s), u, t, 0.0, "{}")
+            for i, (u, t, s) in enumerate(rows)
+        ],
+        "event_id long, ts timestamp_ntz, user_id long, event_type string, value double, props string",
+    )
+    got = {
+        (r["user_id"], r["click_id"], r["prior_views"])
+        for r in clicks_with_prior_view_counts(events, n_buckets=4).collect()
+    }
+    assert got == {(1, 1, 0), (1, 3, 1), (2, 4, 0)}
