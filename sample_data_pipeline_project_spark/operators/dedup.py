@@ -133,17 +133,36 @@ def jaccard_pairs_prefix(
     document frequency the indexed ones are precisely the rarest, so the
     candidate join collapses. Verification touches candidates only.
     """
-    toks = token_sets(docs, id_col, text_col, ngram_n)
+    # Tokenize ONCE: the token table feeds both the document-frequency
+    # ranking and the per-doc signature build; without the cache the
+    # tokenize/explode subplan executes three times (df-rank job, rank-join
+    # side, per-doc side). In a deployment this is the materialized
+    # inverted index; in-plan we cache it for the operator's lifetime.
+    toks = token_sets(docs, id_col, text_col, ngram_n).cache()
     # Global token order: ascending document frequency, token as tiebreak.
-    # The vocabulary of distinct tokens is small relative to the corpus
-    # (else there'd be no frequent-token blow-up to fix) — broadcast it.
-    rank_w = Window.orderBy(F.col("df").asc(), F.col("tok").asc())
-    tok_rank = (
-        toks.groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .withColumn("rank", F.row_number().over(rank_w))
-        .select("tok", "rank")
+    # Small vocabularies (the common shingle case after distinct-per-doc)
+    # are collected to the driver and rebroadcast as a literal relation, so
+    # building the rank join side never re-runs a ranking subplan and the
+    # same pass yields the vocabulary size for the verify-strategy
+    # decision. A shingle vocabulary too big to collect (real 100 TB
+    # corpora) takes the distributed path: df-descending row_number — a
+    # rank exchange sized by |vocab|, not the corpus.
+    _VOCAB_COLLECT_CAP = 1_000_000
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    vocab = df_counts.orderBy(F.col("df").asc(), F.col("tok").asc()).take(
+        _VOCAB_COLLECT_CAP + 1
     )
+    if len(vocab) <= _VOCAB_COLLECT_CAP:
+        vocab_size = len(vocab)
+        tok_rank = docs.sparkSession.createDataFrame(
+            [(r["tok"], i + 1) for i, r in enumerate(vocab)], "tok string, rank int"
+        )
+    else:
+        vocab_size = df_counts.count()
+        rank_w = Window.orderBy(F.col("df").asc(), F.col("tok").asc())
+        tok_rank = df_counts.withColumn(
+            "rank", F.row_number().over(rank_w)
+        ).select("tok", "rank")
     # Adaptive verify strategy (an AQE-style stats decision, made once,
     # driver-side, from a tiny aggregate): with <= 64 distinct tokens a
     # doc's token SET is one 64-bit word, so verification is
@@ -151,7 +170,6 @@ def jaccard_pairs_prefix(
     # of an O(|a|+|b|) array_intersect. Degenerate small-vocabulary
     # corpora are exactly the ones whose candidate sets explode, so the
     # cheap-verify path kicks in precisely when candidate volume peaks.
-    vocab_size = tok_rank.count()
     ranked = toks.join(F.broadcast(tok_rank), "tok").select(id_col, "rank")
     agg_cols = [
         F.sort_array(F.collect_list("rank")).alias("ranks"),
