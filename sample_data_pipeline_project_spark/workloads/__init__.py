@@ -49,6 +49,7 @@ def workload(name: str, oracle: str | None = None):
 def load_all() -> dict[str, Workload]:
     """Import all workload modules (registration is an import side-effect)."""
     from sample_data_pipeline_project_spark.workloads import (  # noqa: F401
+        analytics_extra,
         asof_queries,
         dedup_queries,
         event_queries,
