@@ -299,6 +299,157 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Fixed-iteration PageRank over the near-dup graph
+# --------------------------------------------------------------------------
+_PR_ITERS = 3
+_PR_DAMPING = 0.85
+_PR_NGRAM_THRESHOLD = 0.8  # same edge set as dedup_connected_components
+
+# DuckDB twin of the bigram near-dup pair pipeline (dedup_queries.py),
+# then 3 unrolled power iterations. Arithmetic is written with the SAME
+# expression shape as the Spark operator — including (1 - 0.85) instead
+# of 0.15, because 1.0-0.85 and the literal 0.15 are DIFFERENT doubles —
+# and the consumers rank on ROUND(r,9) so sum-order ulps cannot flip the
+# ordering.
+_DUCK_PR_BIGRAMS = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 1, 0) + 1), "
+    "i -> array_to_string(toks[i:i+1], ' ')))"
+)
+
+
+def _pr_iteration(prev: str, cur: str) -> str:
+    return f"""
+{cur}_mass AS (
+  SELECT e.dst, SUM(p.r / deg.outdeg) AS m
+  FROM edges e JOIN {prev} p ON e.src = p.doc_id
+  JOIN deg ON deg.src = e.src
+  GROUP BY e.dst
+),
+{cur} AS (
+  SELECT d.doc_id,
+         ((CAST(1 AS DOUBLE) - {_PR_DAMPING}) / n.cnt)
+         + {_PR_DAMPING} * COALESCE(m.m, CAST(0 AS DOUBLE)) AS r
+  FROM documents d CROSS JOIN n LEFT JOIN {cur}_mass m ON m.dst = d.doc_id
+)"""
+
+
+def _pagerank_oracle() -> str:
+    iters = ",".join(
+        _pr_iteration(f"r{i}", f"r{i + 1}") for i in range(_PR_ITERS)
+    )
+    return f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+toks AS (SELECT doc_id, unnest({_DUCK_PR_BIGRAMS}) AS tok FROM base),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+pairs AS (
+  SELECT s.a, s.b FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE CAST(s.shared AS DOUBLE) / (sa.n_tok + sb.n_tok - s.shared)
+        >= {_PR_NGRAM_THRESHOLD}
+),
+edges AS (SELECT a AS src, b AS dst FROM pairs
+          UNION ALL SELECT b AS src, a AS dst FROM pairs),
+deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM documents),
+r0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / n.cnt AS r FROM documents CROSS JOIN n),
+{iters}
+SELECT doc_id,
+       CAST(COALESCE(deg.outdeg, 0) AS BIGINT) AS outdeg,
+       CAST(ROW_NUMBER() OVER (
+         ORDER BY ROUND(r{_PR_ITERS}.r, 9) DESC, doc_id ASC
+       ) AS BIGINT) AS rank_pos
+FROM r{_PR_ITERS} LEFT JOIN deg ON deg.src = r{_PR_ITERS}.doc_id
+"""
+
+
+@workload("graph_pagerank_neardup", oracle=_pagerank_oracle())
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph analytics beyond label propagation: 3-round
+    PageRank (operators/pagerank.py) over the symmetrized bigram-Jaccard
+    near-dup graph — the 'which duplicate cluster hubs matter' view of
+    the dedup relation. Per round: one edge join + one aggregate, edge-
+    list-sized, lineage truncated (same scaling argument as connected
+    components). The hashed projection ranks on ROUND(r,9) with doc_id
+    tiebreak and emits only integers, so double sum-order ulps between
+    engines cannot flip the hash; the oracle unrolls the identical
+    iterations in SQL."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+    from sample_data_pipeline_project_spark.operators.pagerank import pagerank_fixed
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_prefix(d, _PR_NGRAM_THRESHOLD, ngram_n=2).select("a", "b")
+    sym = pairs.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionByName(pairs.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    pr = pagerank_fixed(
+        sym,
+        d.select("doc_id"),
+        id_col="doc_id",
+        iters=_PR_ITERS,
+        damping=_PR_DAMPING,
+    )
+    w = Window.orderBy(F.round(F.col("r"), 9).desc(), F.col("doc_id").asc())
+    return pr.select(
+        "doc_id", "outdeg", F.row_number().over(w).cast("long").alias("rank_pos")
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic per-group sample (hash-ordered, no RNG state)
+# --------------------------------------------------------------------------
+_SAMPLE_K = 5
+
+_GROUP_SAMPLE_ORACLE = f"""
+WITH h AS (
+  SELECT event_type, event_id, md5(CAST(event_id AS VARCHAR)) AS hkey
+  FROM events
+),
+ranked AS (
+  SELECT event_type, event_id, hkey,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY hkey, event_id) AS rn
+  FROM h
+)
+SELECT event_type, event_id, hkey, CAST(rn AS BIGINT) AS rn
+FROM ranked WHERE rn <= {_SAMPLE_K}
+"""
+
+
+@workload("sample_group_hash_topk", oracle=_GROUP_SAMPLE_ORACLE)
+def sample_group_hash_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group uniform sample WITHOUT RNG state: keep the k rows with
+    the smallest md5(event_id) per event type — the distributed
+    reservoir-sample replacement (md5 order is uniform over ids,
+    reproducible across engines/runs/retries, and mergeable: the top-k of
+    a union is the top-k of per-partition top-ks). One window per group;
+    at scale Spark pushes the rank filter into per-partition top-k heaps
+    before the shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    h = e.select(
+        "event_type",
+        "event_id",
+        F.md5(F.col("event_id").cast("string")).alias("hkey"),
+    )
+    w = Window.partitionBy("event_type").orderBy("hkey", "event_id")
+    return (
+        h.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= _SAMPLE_K)
+    )
+
+
+# --------------------------------------------------------------------------
 # Bloom-filter pruned join (runtime-filter pattern, explicit)
 # --------------------------------------------------------------------------
 _BLOOM_REV_DEC_SQL = (
