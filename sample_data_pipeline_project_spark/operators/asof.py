@@ -33,8 +33,10 @@ def asof_join(
     right_ts: str,
     right_tiebreak: str | None = None,
     how: str = "left",
+    direction: str = "backward",
+    tolerance: str | None = None,
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join, backward (default) or forward.
 
     Args:
       on: equality key columns (present in both inputs).
@@ -44,12 +46,23 @@ def asof_join(
         deterministic only if provided.
       how: 'left' keeps unmatched left rows (right columns null);
         'inner' drops them.
+      direction: 'backward' matches the greatest right_ts <= left_ts;
+        'forward' the smallest right_ts >= left_ts (same union-merge pass,
+        scanned in descending time order).
+      tolerance: optional SQL interval literal body (e.g. '1 HOUR'): a
+        match farther than this from left_ts is nulled out (pandas
+        merge_asof / kdb wj semantics). Applied AFTER the window pass —
+        one extra projection, no extra shuffle.
 
     Right payload columns are returned with their own names; name-collide
     columns (the keys, the ts) are exposed as `right_<name>`.
     """
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
+    if direction not in ("backward", "forward"):
+        raise ValueError(
+            f"direction must be 'backward' or 'forward', got {direction!r}"
+        )
     key_cols = list(on)
     left_payload = [c for c in left.columns if c not in key_cols and c != left_ts]
     right_payload = [c for c in right.columns if c not in key_cols]
@@ -84,11 +97,17 @@ def asof_join(
         ).alias("__l"),
         r_struct,
     )
-    # At equal __ts the right row (side 0) precedes the left row, so a
-    # right event stamped exactly at left_ts is matchable (<=, not <).
+    # At equal __ts the right row (side 0) precedes the left row in scan
+    # order, so a right event stamped exactly at left_ts is matchable
+    # (<= backward, >= forward). Forward is the same pass scanned in
+    # DESCENDING time: the last right seen before a left row is then the
+    # EARLIEST right at-or-after it.
+    ts_order = (
+        F.col("__ts").asc() if direction == "backward" else F.col("__ts").desc()
+    )
     w = (
         Window.partitionBy(*key_cols)
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *order_tail)
+        .orderBy(ts_order, F.col("__side").asc(), *order_tail)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = (
@@ -96,6 +115,15 @@ def asof_join(
         .withColumn("__match", F.last("__r", ignorenulls=True).over(w))
         .filter(F.col("__side") == 1)
     )
+    if tolerance is not None:
+        match_ts = F.col(f"__match.{_right_out(right_ts)}")
+        if direction == "backward":
+            in_range = match_ts >= F.expr(f"__ts - INTERVAL {tolerance}")
+        else:
+            in_range = match_ts <= F.expr(f"__ts + INTERVAL {tolerance}")
+        merged = merged.withColumn(
+            "__match", F.when(in_range, F.col("__match"))
+        )
     out_cols = (
         [F.col(k) for k in key_cols]
         + [F.col("__ts").alias(left_ts)]

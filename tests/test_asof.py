@@ -96,3 +96,54 @@ def test_inner_keeps_match_with_null_payload(spark):
     ).collect()
     assert [r["lid"] for r in out] == [1]
     assert out[0]["bid"] is None
+
+
+def test_asof_forward_and_tolerance(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, base + dt.timedelta(minutes=m), f"L{m}") for m in (0, 30, 300)],
+        "k long, lts timestamp_ntz, lpay string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, base + dt.timedelta(minutes=-5), "R-5"),
+            (1, base + dt.timedelta(minutes=30), "R30"),   # exact tie with L30
+            (1, base + dt.timedelta(minutes=45), "R45"),
+        ],
+        "k long, rts timestamp_ntz, rpay string",
+    )
+    from sample_data_pipeline_project_spark.operators.asof import asof_join
+
+    fwd = {
+        r["lpay"]: r["rpay"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_tiebreak="rpay", direction="forward",
+        ).collect()
+    }
+    # L0 -> earliest at-or-after = R30; L30 -> tie matches (>=): R30;
+    # L300 -> nothing after: null
+    assert fwd == {"L0": "R30", "L30": "R30", "L300": None}
+
+    tol = {
+        r["lpay"]: r["rpay"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_tiebreak="rpay", direction="forward", tolerance="10 MINUTES",
+        ).collect()
+    }
+    # L0's nearest forward match R30 is outside the 10-minute tolerance
+    assert tol == {"L0": None, "L30": "R30", "L300": None}
+
+    back_tol = {
+        r["lpay"]: r["rpay"]
+        for r in asof_join(
+            left, right, on=["k"], left_ts="lts", right_ts="rts",
+            right_tiebreak="rpay", direction="backward", tolerance="10 MINUTES",
+        ).collect()
+    }
+    # backward: L0 <- R-5 (within 10m); L30 <- R30 (tie); L300's last
+    # view R45 is 4h15m back -> nulled
+    assert back_tol == {"L0": "R-5", "L30": "R30", "L300": None}
