@@ -33,13 +33,20 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     workloads = load_all()
 
-    # Warmup: absorb JVM/codegen/parquet-footer one-time costs.
-    try:
-        spark.read.parquet(f"{sf_dir}/lineitem.parquet").limit(1000).write.format(
-            "noop"
-        ).mode("overwrite").save()
-    except Exception:
-        pass
+    # Warmup: absorb JVM/codegen/parquet-footer/page-cache one-time costs
+    # for EVERY table, so per-query numbers reflect steady state instead of
+    # charging each table's first read to whichever workload runs first
+    # alphabetically.
+    for table in (
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ):
+        try:
+            spark.read.parquet(f"{sf_dir}/{table}.parquet").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception:
+            pass
 
     timings: dict[str, float] = {}
     for name, w in sorted(workloads.items()):
