@@ -43,17 +43,49 @@ def clicks_with_prior_view_counts(
     Identical output; this is the shape a 100 TB run uses (k ~ a few x
     cluster cores)."""
     import numpy as np
+    import pandas as pd
 
     clicks = events.filter(F.col("event_type") == "click").select(
         "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
     )
     views = events.filter(F.col("event_type") == "view").select("user_id", "ts")
 
+    def _empty_out():
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "click_id": pd.Series(dtype="int64"),
+                "click_ts": pd.Series(dtype="datetime64[ns]"),
+                "prior_views": pd.Series(dtype="int64"),
+            }
+        )
+
+    def _pruned_out(n_rows):
+        # Catalyst pruned the UDF inputs to zero columns (e.g. a terminal
+        # count() needs only cardinality): emit the right NUMBER of rows;
+        # the values are provably unread downstream.
+        return pd.DataFrame(
+            {
+                "user_id": np.zeros(n_rows, dtype="int64"),
+                "click_id": np.zeros(n_rows, dtype="int64"),
+                "click_ts": np.full(n_rows, np.datetime64("1970-01-01", "ns")),
+                "prior_views": np.zeros(n_rows, dtype="int64"),
+            }
+        )
+
+    def _inputs_pruned(left, right):
+        return not (
+            {"user_id", "click_id", "click_ts"} <= set(left.columns)
+            and {"user_id", "ts"} <= set(right.columns)
+        )
+
     if n_buckets is None:
 
         def count_prior(left, right):
-            if left.empty:
-                return left.assign(prior_views=np.int64(0)).head(0)
+            if len(left) == 0:
+                return _empty_out()
+            if _inputs_pruned(left, right):
+                return _pruned_out(len(left))
             view_ts = np.sort(right["ts"].to_numpy()) if not right.empty else np.array(
                 [], dtype="datetime64[ns]"
             )
@@ -70,11 +102,20 @@ def clicks_with_prior_view_counts(
         )
 
     def count_prior_bucket(left, right):
-        if left.empty:
-            return left.drop(columns=["__b"]).assign(prior_views=np.int64(0)).head(0)
+        if len(left) == 0:
+            return _empty_out()
+        if _inputs_pruned(left, right):
+            return _pruned_out(len(left))
         n_c, n_v = len(left), len(right)
+        # An empty cogroup side arrives as a pandas frame WITHOUT columns
+        # (not just without rows) — never index it.
         uid = np.concatenate(
-            [left["user_id"].to_numpy(), right["user_id"].to_numpy()]
+            [
+                left["user_id"].to_numpy(),
+                right["user_id"].to_numpy()
+                if n_v
+                else np.array([], dtype=np.int64),
+            ]
         )
         ts = np.concatenate(
             [
@@ -103,7 +144,7 @@ def clicks_with_prior_view_counts(
         click_pos = np.empty(n_c, dtype=np.int64)
         src_idx = order[kind_s == 0]  # original concat index of each click row
         click_pos[src_idx] = prior[kind_s == 0]
-        out = left.drop(columns=["__b"]).copy()
+        out = left.drop(columns=["__b"], errors="ignore").copy()
         out["prior_views"] = click_pos
         return out
 

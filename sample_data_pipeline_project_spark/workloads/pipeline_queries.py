@@ -283,3 +283,71 @@ def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
              LATERAL token_chunker(d.text, 32, 16) c
         """
     )
+
+
+# Declarative data-quality EXPECTATIONS over `orders`: each rule is a
+# boolean predicate; violations are counted in ONE aggregation pass
+# (conditional sums — no per-rule scans), uniqueness via a distinct
+# count in the same pass.
+_EXPECTATION_RULES: list[tuple[str, str]] = [
+    ("totalprice_positive", "o_totalprice > 0"),
+    ("orderdate_in_range",
+     "o_orderdate >= TIMESTAMP '1992-01-01 00:00:00' AND "
+     "o_orderdate < TIMESTAMP '1999-01-01 00:00:00'"),
+    ("status_in_domain", "o_orderstatus IN ('O', 'F', 'P')"),
+    ("custkey_not_null", "o_custkey IS NOT NULL"),
+]
+
+
+def _build_expectations_oracle() -> str:
+    aggs = [
+        f"SUM(CASE WHEN NOT ({pred}) OR ({pred}) IS NULL THEN 1 ELSE 0 END)"
+        f" AS v_{name}"
+        for name, pred in _EXPECTATION_RULES
+    ] + ["COUNT(*) - COUNT(DISTINCT o_orderkey) AS v_orderkey_unique"]
+    rows = [
+        f"SELECT '{name}' AS rule_name, CAST(v_{name} AS BIGINT) AS n_violations,"
+        f" v_{name} = 0 AS passed FROM a"
+        for name, _ in _EXPECTATION_RULES
+    ] + [
+        "SELECT 'orderkey_unique' AS rule_name,"
+        " CAST(v_orderkey_unique AS BIGINT) AS n_violations,"
+        " v_orderkey_unique = 0 AS passed FROM a"
+    ]
+    return (
+        "WITH a AS (SELECT " + ", ".join(aggs) + " FROM orders)\n"
+        + "\nUNION ALL ".join(rows)
+    )
+
+
+@workload("dq_expectations_orders", oracle=_build_expectations_oracle())
+def dq_expectations_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative DQ expectations (the assertion half of the DQ story,
+    next to dq_profile_orders' statistics half): every rule predicate is
+    counted in a single aggregation pass via conditional sums — adding a
+    rule adds one agg expression, never another scan — plus a same-pass
+    distinct count for key uniqueness. NULL predicate results count as
+    violations (a null price is not 'positive'). Long-form output: one
+    row per rule with its violation count and pass flag."""
+    o = load_table(spark, sf_dir, "orders")
+    aggs = [
+        F.sum(
+            F.when(F.expr(pred).isNull() | ~F.expr(pred), 1).otherwise(0)
+        ).alias(f"v_{name}")
+        for name, pred in _EXPECTATION_RULES
+    ] + [
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).alias(
+            "v_orderkey_unique"
+        )
+    ]
+    one = o.agg(*aggs)
+    names = [n for n, _ in _EXPECTATION_RULES] + ["orderkey_unique"]
+    entries = [
+        F.struct(
+            F.lit(name).alias("rule_name"),
+            F.col(f"v_{name}").cast("long").alias("n_violations"),
+            (F.col(f"v_{name}") == 0).alias("passed"),
+        )
+        for name in names
+    ]
+    return one.select(F.explode(F.array(*entries)).alias("e")).select("e.*")
