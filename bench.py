@@ -47,6 +47,20 @@ def main() -> int:
             ).mode("overwrite").save()
         except Exception:
             pass
+    # Execute two representative workloads at the SMALLEST scale: compiles
+    # the dedup-family codegen and spawns the reusable Python worker pool
+    # (pandas-UDF queries otherwise charge ~2-4s of one-time spin-up to
+    # whichever workload runs first alphabetically). Caches are cleared so
+    # no DATA carries over — only JIT/process state.
+    for warm_name in ("dedup_ngram_jaccard", "sim_neardup_pairs"):
+        try:
+            w = workloads[warm_name]
+            w.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+                "overwrite"
+            ).save()
+        except Exception:
+            pass
+    spark.catalog.clearCache()
 
     timings: dict[str, float] = {}
     for name, w in sorted(workloads.items()):
