@@ -153,3 +153,123 @@ def test_connected_components_matches_union_find(spark, edges):
         for r in connected_components(e, v).collect()
     }
     assert got == expected
+
+
+# ---------------------------------------------------------------------------
+# Round-2 operators: asof direction/tolerance, bloom pruning, partial-agg
+# merge — each against a brute-force relational twin on random inputs.
+# ---------------------------------------------------------------------------
+
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # minutes offset
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(lefts=_events_strategy, rights=_events_strategy,
+       direction=st.sampled_from(["backward", "forward"]),
+       tol=st.sampled_from([None, "10 MINUTES"]))
+@_SETTINGS
+def test_asof_direction_tolerance_equals_bruteforce(sess, lefts, rights, direction, tol):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    ldf = sess.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(lefts)],
+        "k long, lts timestamp_ntz, lid long",
+    )
+    rdf = sess.createDataFrame(
+        [(k, base + dt.timedelta(minutes=m), i) for i, (k, m) in enumerate(rights)],
+        "k long, rts timestamp_ntz, rid long",
+    )
+    got = {
+        (r["k"], r["lid"]): (r["rid"], r["rts"])
+        for r in asof_join(
+            ldf, rdf, on=["k"], left_ts="lts", right_ts="rts",
+            right_tiebreak="rid", direction=direction, tolerance=tol,
+        ).collect()
+    }
+    # brute force: best matching right per left under the same semantics
+    rrows = rdf.collect()
+    want = {}
+    for lrow in ldf.collect():
+        cands = [r for r in rrows if r["k"] == lrow["k"]]
+        if direction == "backward":
+            cands = [r for r in cands if r["rts"] <= lrow["lts"]]
+            best_ts = max((r["rts"] for r in cands), default=None)
+        else:
+            cands = [r for r in cands if r["rts"] >= lrow["lts"]]
+            best_ts = min((r["rts"] for r in cands), default=None)
+        match = None
+        if best_ts is not None:
+            within = tol is None or abs(
+                (lrow["lts"] - best_ts).total_seconds()
+            ) <= 600
+            if within:
+                # tiebreak: the LAST right in rid order wins
+                rid = max(r["rid"] for r in cands if r["rts"] == best_ts)
+                match = (rid, best_ts)
+        want[(lrow["k"], lrow["lid"])] = match if match else (None, None)
+    assert got == want
+
+
+@given(build_keys=st.lists(st.integers(min_value=0, max_value=500),
+                           min_size=0, max_size=30),
+       probe_span=st.integers(min_value=1, max_value=400))
+@_SETTINGS
+def test_bloom_superset_property(sess, build_keys, probe_span):
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.operators.bloomjoin import (
+        bloom_might_contain,
+        build_bloom,
+    )
+
+    build = sess.createDataFrame([(k,) for k in build_keys] or [(None,)], "k long")
+    build = build.filter(F.col("k").isNotNull())
+    blocks = build_bloom(build, "k", m_bits=1 << 12)
+    probe = sess.range(0, probe_span).select(F.col("id").alias("k"))
+    admitted = {
+        r["k"]
+        for r in probe.filter(
+            bloom_might_contain(F.col("k"), blocks, 1 << 12)
+        ).collect()
+    }
+    true_hits = set(build_keys) & set(range(probe_span))
+    assert true_hits <= admitted  # never a false negative
+
+
+@given(rows=st.lists(st.tuples(st.sampled_from(["a", "b", "c"]),
+                               st.integers(min_value=-100, max_value=100)),
+                     min_size=0, max_size=20),
+       split=st.integers(min_value=-100, max_value=100))
+@_SETTINGS
+def test_partial_agg_merge_equals_full(sess, rows, split):
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.operators.incremental import (
+        merge_partial_aggs,
+    )
+
+    df = sess.createDataFrame(rows or [("z", 0)], "k string, v long")
+
+    def part(d):
+        return d.groupBy("k").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("v").alias("s"),
+            F.min("v").alias("mn"),
+            F.max("v").alias("mx"),
+        )
+
+    merged = merge_partial_aggs(
+        part(df.filter(F.col("v") <= split)),
+        part(df.filter(F.col("v") > split)),
+        key_cols=["k"], sum_cols=["n", "s"], min_cols=["mn"], max_cols=["mx"],
+    )
+    got = {tuple(r) for r in merged.collect()}
+    want = {tuple(r) for r in part(df).collect()}
+    assert got == want
