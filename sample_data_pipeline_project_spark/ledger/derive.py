@@ -49,7 +49,14 @@ pipeline_runs AS (
 
 def derived_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Spark twin of LEDGER_CTE."""
-    e = load_table(spark, sf_dir, "events")
+    return ledger_columns(load_table(spark, sf_dir, "events"))
+
+
+def ledger_columns(e: DataFrame) -> DataFrame:
+    """The LEDGER_CTE column mapping applied to any events-shaped
+    DataFrame — batch (derived_ledger) or streaming
+    (streaming/eventtime.py ledger_runs_stream) share this one
+    definition."""
     end_ts = F.col("ts") + F.expr("INTERVAL 5 MINUTES")
     return e.select(
         F.col("event_id").alias("run_id"),

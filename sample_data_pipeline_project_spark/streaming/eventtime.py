@@ -234,3 +234,88 @@ def run_stream_to_table(
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# ---------------------------------------------------------------------------
+# Streaming ledger-gap detection (the reference's A13 gap check, online)
+# ---------------------------------------------------------------------------
+_GAP_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("pipeline_name", T.StringType()),
+        T.StructField("index_name", T.StringType()),
+        T.StructField("day", T.DateType()),
+        T.StructField("missing_from_ts", T.TimestampNTZType()),
+        T.StructField("missing_until_ts", T.TimestampNTZType()),
+    ]
+)
+# state = end_ts of the last (start_ts, run_id)-ordered row seen, as
+# epoch MICROS (int64 survives every state-store codec portably)
+_GAP_STATE_SCHEMA = T.StructType([T.StructField("last_end_us", T.LongType())])
+
+
+def ledger_runs_stream(events: DataFrame) -> DataFrame:
+    """The derived pipeline-run ledger over the event STREAM — same column
+    definitions as the batch ledger (ledger/derive.py ledger_columns)."""
+    from sample_data_pipeline_project_spark.ledger.derive import ledger_columns
+
+    return ledger_columns(events)
+
+
+def ledger_gaps_stateful(runs: DataFrame) -> DataFrame:
+    """Online gap detection (reference semantics: snowflake_tasks.py
+    385-405, partitioned for scale as in ledger/tasks.py gaps_df): per
+    (pipeline, index, start_day) group, emit a gap row whenever a run's
+    start_ts differs from the previous run's end_ts. State per group is
+    ONE timestamp (the last end_ts) — O(1), unbounded-stream-safe.
+
+    Ordering contract: rows are sorted (start_ts, run_id) WITHIN each
+    micro-batch; across batches the ledger append stream is assumed
+    chronological per group (the pipeline ledger appends runs as they
+    execute). Under the availableNow trigger on a finite source this
+    reproduces the batch LAG result exactly — the stream-vs-batch parity
+    the oracle checks."""
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdf_iter, state: GroupState):
+        pdfs = [p for p in pdf_iter if len(p)]
+        prev_us = state.get[0] if state.exists else None
+        frames = []
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+                ["query_window_start_ts", "run_id"], kind="mergesort"
+            )
+            start = pdf["query_window_start_ts"].to_numpy(dtype="datetime64[us]")
+            end = pdf["query_window_end_ts"].to_numpy(dtype="datetime64[us]")
+            prev = np.empty(len(pdf), dtype="datetime64[us]")
+            prev[0] = (
+                np.datetime64(prev_us, "us") if prev_us is not None
+                else np.datetime64("NaT")
+            )
+            prev[1:] = end[:-1]
+            mask = ~np.isnat(prev) & (start != prev)
+            if mask.any():
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "pipeline_name": [key[0]] * int(mask.sum()),
+                            "index_name": [key[1]] * int(mask.sum()),
+                            "day": [key[2]] * int(mask.sum()),
+                            "missing_from_ts": prev[mask],
+                            "missing_until_ts": start[mask],
+                        }
+                    )
+                )
+            state.update((int(end[-1].astype("int64")),))
+        if frames:
+            yield from iter(frames)
+
+    return runs.groupBy(
+        "pipeline_name", "index_name", "query_window_start_day"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=_GAP_OUT_SCHEMA,
+        stateStructType=_GAP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

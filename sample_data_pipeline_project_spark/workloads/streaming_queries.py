@@ -196,3 +196,42 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nation",
     )
     return run_stream_to_table(out, output_mode="append")
+
+
+from sample_data_pipeline_project_spark.ledger.derive import LEDGER_CTE  # noqa: E402
+
+
+@workload(
+    "stream_ledger_gaps",
+    oracle=f"""
+WITH {LEDGER_CTE},
+scoped AS (
+  SELECT *,
+         LAG(query_window_end_ts) OVER (
+           PARTITION BY pipeline_name, index_name, query_window_start_day
+           ORDER BY query_window_start_ts ASC, run_id ASC
+         ) AS prev_end_ts
+  FROM pipeline_runs
+)
+SELECT pipeline_name, index_name, query_window_start_day AS day,
+       prev_end_ts AS missing_from_ts,
+       query_window_start_ts AS missing_until_ts
+FROM scoped
+WHERE prev_end_ts IS NOT NULL AND query_window_start_ts != prev_end_ts
+""",
+)
+def stream_ledger_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 as a STREAM — the reference's gap check running online: the
+    event stream is mapped to ledger runs (same column definitions as the
+    batch ledger) and a stateful per-(pipeline, index, day) operator
+    (applyInPandasWithState, O(1) state = one timestamp per group) emits
+    a gap row the moment a run's start_ts mismatches the previous run's
+    end_ts. Cross-checked against the batch LAG oracle — stream-vs-batch
+    parity for the reference's core monitoring query."""
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        ledger_gaps_stateful,
+        ledger_runs_stream,
+    )
+
+    runs = ledger_runs_stream(stream_events(spark, sf_dir))
+    return run_stream_to_table(ledger_gaps_stateful(runs), output_mode="append")

@@ -1,0 +1,98 @@
+"""Streaming ledger-gap detection: cross-batch state (a gap spanning a
+micro-batch boundary is caught; a continuous boundary is not) and parity
+with the batch LAG formulation on real testdata."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.streaming.eventtime import (
+    ledger_gaps_stateful,
+)
+
+_RUN_SCHEMA = (
+    "run_id long, pipeline_name string, index_name string, "
+    "pipeline_status string, query_window_start_ts timestamp_ntz, "
+    "query_window_end_ts timestamp_ntz, query_window_start_day date, "
+    "query_window_end_day date"
+)
+
+
+def _runs(spark, rows):
+    base = dt.datetime(2024, 1, 1)
+    data = [
+        (
+            rid,
+            "p",
+            "i",
+            "completed",
+            base + dt.timedelta(minutes=start_m),
+            base + dt.timedelta(minutes=end_m),
+            base.date(),
+            base.date(),
+        )
+        for rid, start_m, end_m in rows
+    ]
+    return spark.createDataFrame(data, _RUN_SCHEMA)
+
+
+def _run_gaps(spark, src, ckpt, sink):
+    stream = spark.readStream.schema(_RUN_SCHEMA).parquet(src)
+    q = (
+        ledger_gaps_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+
+def test_gap_across_batch_boundary_and_continuity(spark, tmp_path):
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    # batch 1: [0,10) then [10,20) — continuous; state ends at minute 20
+    _runs(spark, [(1, 0, 10), (2, 10, 20)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_gaps(spark, src, ckpt, sink)
+    assert spark.read.parquet(sink).count() == 0
+
+    # batch 2: [30,40) — gap 20->30 ACROSS the batch boundary (state),
+    # then [40,50) continuous within the batch
+    _runs(spark, [(3, 30, 40), (4, 40, 50)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_gaps(spark, src, ckpt, sink)
+    out = spark.read.parquet(sink).collect()
+    assert len(out) == 1
+    gap = out[0]
+    base = dt.datetime(2024, 1, 1)
+    assert gap["missing_from_ts"] == base + dt.timedelta(minutes=20)
+    assert gap["missing_until_ts"] == base + dt.timedelta(minutes=30)
+
+
+def test_stream_gaps_match_batch_lag_on_testdata(spark):
+    from sample_data_pipeline_project_spark.ledger import tasks
+    from sample_data_pipeline_project_spark.ledger.derive import derived_ledger
+    from sample_data_pipeline_project_spark.workloads import load_all
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        tuple(r)
+        for r in load_all()["stream_ledger_gaps"].fn(spark, sf).collect()
+    }
+    want = {
+        tuple(r)
+        for r in tasks.gaps_df(derived_ledger(spark, sf))
+        .select(
+            "pipeline_name", "index_name", "day",
+            "missing_from_ts", "missing_until_ts",
+        )
+        .collect()
+    }
+    assert got == want and len(got) > 0
