@@ -11,7 +11,11 @@ Determinism contract (what makes Spark-vs-DuckDB value hashes stable):
   - double aggregates go through exact DECIMAL sums, cast to DOUBLE at the
     end (summation-order-independent, bit-identical across engines);
   - every ORDER BY ... LIMIT has a unique-key tiebreak;
-  - aggregate/computed columns are aliased identically on both sides.
+  - aggregate/computed columns are aliased identically on both sides;
+  - NEVER cast float->integer directly: Spark truncates, DuckDB rounds.
+    Route money through DECIMAL(18,2) first, and wrap fractional index
+    arithmetic in explicit FLOOR on BOTH sides (window_rolling_median
+    found both divergences).
 """
 
 from __future__ import annotations

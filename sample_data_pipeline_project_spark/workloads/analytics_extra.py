@@ -548,3 +548,65 @@ def incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_events").cast("long"),
         F.col("total_value_dec").cast("double").alias("total_value"),
     )
+
+
+# --------------------------------------------------------------------------
+# Rolling exact median (order statistic over a sliding window frame)
+# --------------------------------------------------------------------------
+_ROLLMED_ORACLE = """
+WITH daily AS (
+  SELECT o_orderpriority, CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS cents
+  FROM orders GROUP BY 1, 2
+),
+w AS (
+  SELECT o_orderpriority, day, cents,
+         list_sort(list(cents) OVER (
+           PARTITION BY o_orderpriority ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS win,
+         COUNT(*) OVER (
+           PARTITION BY o_orderpriority ORDER BY day
+           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n
+  FROM daily
+)
+SELECT o_orderpriority, day, cents,
+       win[CAST(FLOOR((n + 1) / 2.0) AS INTEGER)] AS rolling_median_cents
+FROM w
+"""
+
+
+@workload("window_rolling_median", oracle=_ROLLMED_ORACLE)
+def window_rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact rolling MEDIAN (lower order statistic) of daily revenue over
+    a 7-row trailing frame per priority — the order-statistic window no
+    engine ships as a fast primitive, composed portably: list-collect the
+    frame, sort, index at (n+1)/2. Values are integer cents, so both
+    engines index identical arrays. Frame size is bounded (7), so the
+    per-row cost is O(7 log 7) and the window shuffle is the only
+    exchange; an unbounded-frame median would need the sketch path
+    (sketch_approx_quantiles) instead."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = o.groupBy(
+        "o_orderpriority", F.to_date("o_orderdate").alias("day")
+    ).agg(
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = (
+        Window.partitionBy("o_orderpriority")
+        .orderBy("day")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    win = F.sort_array(F.collect_list("cents").over(w))
+    n = F.count(F.lit(1)).over(w)
+    return daily.select(
+        "o_orderpriority",
+        "day",
+        "cents",
+        F.element_at(
+            win, F.floor((n + F.lit(1)) / F.lit(2)).cast("int")
+        ).alias("rolling_median_cents"),
+    )
