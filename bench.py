@@ -37,14 +37,18 @@ def main() -> int:
     # for EVERY table, so per-query numbers reflect steady state instead of
     # charging each table's first read to whichever workload runs first
     # alphabetically.
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
     for table in (
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
     ):
         try:
-            spark.read.parquet(f"{sf_dir}/{table}.parquet").write.format(
-                "noop"
-            ).mode("overwrite").save()
+            # through the catalog loader: events needs the nanos/micros
+            # timestamp normalization a raw read would throw on
+            load_table(spark, sf_dir, table).write.format("noop").mode(
+                "overwrite"
+            ).save()
         except Exception:
             pass
     # Execute two representative workloads at the SMALLEST scale: compiles
@@ -108,7 +112,7 @@ def main() -> int:
             "dedup_minhash_lsh",
             "sim_topk_bruteforce",
             "events_hourly_tumbling",
-            "text_quality_scores",
+            "text_quality_score",
         )
         if n in timings
     }

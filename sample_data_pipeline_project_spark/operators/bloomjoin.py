@@ -89,7 +89,16 @@ def bloom_pruned_join(
     how: str = "inner",
 ) -> DataFrame:
     """probe |><| build with the probe side pre-pruned by a Bloom filter
-    built from the build side's keys. Bit-identical to the plain join."""
+    built from the build side's keys. Bit-identical to the plain join.
+
+    Only join types where dropping non-matching PROBE rows is semantics-
+    preserving are allowed: an outer join must keep them (null-extended),
+    so pre-filtering the probe side would silently lose rows."""
+    if how not in ("inner", "left_semi", "semi"):
+        raise ValueError(
+            "bloom pruning drops non-matching probe rows pre-join; "
+            f"only inner/semi joins preserve semantics, got how={how!r}"
+        )
     blocks = build_bloom(build, build_key, m_bits)
     pruned = probe.filter(bloom_might_contain(F.col(probe_key), blocks, m_bits))
     return pruned.join(

@@ -32,14 +32,21 @@ def connected_components(
     id_col: str = "id",
     a_col: str = "a",
     b_col: str = "b",
-    max_iter: int = 25,
+    max_iter: int = 50,
 ) -> DataFrame:
     """Label each vertex with the min vertex id in its connected component.
 
-    edges: undirected pair list with columns (a_col, b_col).
+    edges: undirected pair list with columns (a_col, b_col); endpoints
+    are expected to be drawn from `vertices` (endpoints outside it still
+    relay labels during propagation but are excluded from the output).
     vertices: the complete vertex set (one column, id_col) — vertices
     touching no edge come back as their own singleton component.
-    Returns columns (id_col, component_id).
+    Returns columns (id_col, component_id), exactly one row per vertex.
+
+    max_iter bounds the PROPAGATION rounds and must exceed the graph
+    diameter by one: confirming convergence inherently costs a final
+    zero-change round. Extra budget is free — the loop exits on the
+    first zero-change round — so the default is generous.
     """
     # Materialize the edge list BEFORE symmetrizing: the union reads it in
     # both branches, so checkpointing after the union would execute the
@@ -91,9 +98,12 @@ def connected_components(
             f"({changed} labels still changing); raise max_iter (the graph "
             "diameter exceeds the round budget)"
         )
-    singletons = vertices.select(F.col(id_col).alias("vid")).join(
-        active, "vid", "left_anti"
+    v = vertices.select(F.col(id_col).alias("vid"))
+    singletons = v.join(active, "vid", "left_anti")
+    # Restrict to the caller's vertex set: stray edge endpoints relayed
+    # labels above but must not appear as output rows.
+    return (
+        labels.join(v, "vid", "left_semi")
+        .unionByName(singletons.select("vid", F.col("vid").alias("comp")))
+        .select(F.col("vid").alias(id_col), F.col("comp").alias("component_id"))
     )
-    return labels.unionByName(
-        singletons.select("vid", F.col("vid").alias("comp"))
-    ).select(F.col("vid").alias(id_col), F.col("comp").alias("component_id"))

@@ -147,7 +147,7 @@ def jaccard_pairs_prefix(
     # decision. A shingle vocabulary too big to collect (real 100 TB
     # corpora) takes the distributed path: df-descending row_number — a
     # rank exchange sized by |vocab|, not the corpus.
-    _VOCAB_COLLECT_CAP = 1_000_000
+    _VOCAB_COLLECT_CAP = 100_000
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     vocab = df_counts.orderBy(F.col("df").asc(), F.col("tok").asc()).take(
         _VOCAB_COLLECT_CAP + 1

@@ -305,16 +305,15 @@ _PR_ITERS = 3
 _PR_DAMPING = 0.85
 _PR_NGRAM_THRESHOLD = 0.8  # same edge set as dedup_connected_components
 
-# DuckDB twin of the bigram near-dup pair pipeline (dedup_queries.py),
-# then 3 unrolled power iterations. Arithmetic is written with the SAME
+# DuckDB twin of the bigram near-dup pair pipeline — the shingle fragment
+# is IMPORTED from dedup_queries so the two oracles cannot drift — then 3
+# unrolled power iterations. Arithmetic is written with the SAME
 # expression shape as the Spark operator — including (1 - 0.85) instead
 # of 0.15, because 1.0-0.85 and the literal 0.15 are DIFFERENT doubles —
 # and the consumers rank on ROUND(r,9) so sum-order ulps cannot flip the
 # ordering.
-_DUCK_PR_BIGRAMS = (
-    "list_distinct(list_transform("
-    "range(1, greatest(len(toks) - 1, 0) + 1), "
-    "i -> array_to_string(toks[i:i+1], ' ')))"
+from sample_data_pipeline_project_spark.workloads.dedup_queries import (  # noqa: E402
+    _DUCK_BIGRAMS as _DUCK_PR_BIGRAMS,
 )
 
 
