@@ -10,6 +10,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from sample_data_pipeline_project_spark.functions.text import (
     LANG_STOPWORDS,
@@ -435,4 +436,128 @@ def text_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_tokens").cast("double") / F.col("n_tokens_total")).alias(
             "token_share"
         ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Training-sequence packing: concat-and-chunk documents into fixed token
+# budgets (the packing pass between curation and tokenization)
+# --------------------------------------------------------------------------
+_PACK_BUDGET = 512
+
+_PACK_ORACLE = f"""
+WITH sized AS (
+  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+  FROM documents
+),
+packed AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS cum_tok
+  FROM sized
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(FLOOR((cum_tok - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
+       CAST(cum_tok - n_tok - FLOOR((cum_tok - n_tok) / {_PACK_BUDGET}.0)
+            * {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
+FROM packed
+"""
+
+
+@workload("text_sequence_packing", oracle=_PACK_ORACLE)
+def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-SEQUENCE PACKING: documents are concatenated in stable
+    doc_id order and chunked into fixed {budget}-token sequences — each
+    doc gets the sequence id and intra-sequence offset where its tokens
+    begin (docs may straddle a boundary; the tokenizer downstream splits
+    them). One global running-sum window computes every placement; at
+    100 TB the same math runs per-shard (partitionBy shard) so each
+    writer packs independently — the global form here is what the
+    single-sequence-stream oracle can state. All-integer output."""
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select("doc_id", token_count("text").cast("long").alias("n_tok"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = sized.withColumn("cum_tok", F.sum("n_tok").over(w))
+    start = F.col("cum_tok") - F.col("n_tok")
+    seq = F.floor(start / F.lit(float(_PACK_BUDGET)))
+    return packed.select(
+        "doc_id",
+        "n_tok",
+        seq.cast("long").alias("seq_id"),
+        (start - seq * _PACK_BUDGET).cast("long").alias("offset_in_seq"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bigram language-model counts (LM-style corpus statistics)
+# --------------------------------------------------------------------------
+_LM_TOP_K = 50
+
+_LM_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+bigrams AS (
+  -- two unnests in one SELECT advance in lockstep (zip) in DuckDB
+  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks
+),
+pair_counts AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM bigrams GROUP BY w1, w2
+),
+prefix_counts AS (
+  SELECT w1, SUM(n_pair) AS n_prefix FROM pair_counts GROUP BY w1
+),
+ranked AS (
+  SELECT p.w1, p.w2, p.n_pair, x.n_prefix,
+         ROW_NUMBER() OVER (ORDER BY p.n_pair DESC, p.w1 ASC, p.w2 ASC) AS rnk
+  FROM pair_counts p JOIN prefix_counts x USING (w1)
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair,
+       CAST(n_prefix AS BIGINT) AS n_prefix, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_LM_TOP_K}
+"""
+
+
+@workload("text_bigram_lm_counts", oracle=_LM_ORACLE)
+def text_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram LM statistics: corpus-wide (w1, w2) pair counts next to the
+    w1 prefix totals — the integer sufficient statistics of conditional
+    probability P(w2|w1) = n_pair/n_prefix, kept as exact integers so the
+    hash is engine-portable (the division is the consumer's one cheap
+    op). Sequence bigrams keep DUPLICATES and ORDER (transform over the
+    index range — unlike the distinct shingle sets the dedup operators
+    use). Top-{k} by pair count, deterministic pair tiebreak."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigram_arr = F.expr(
+        "transform(sequence(1, greatest(size(__t) - 1, 0)), "
+        "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+    )
+    bigrams = (
+        d.select(toks.alias("__t"))
+        .select(F.explode(bigram_arr).alias("b"))
+        .select("b.w1", "b.w2")
+    )
+    pair_counts = bigrams.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).alias("n_pair")
+    )
+    prefix_counts = pair_counts.groupBy("w1").agg(
+        F.sum("n_pair").alias("n_prefix")
+    )
+    w = Window.orderBy(
+        F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc()
+    )
+    return (
+        pair_counts.join(F.broadcast(prefix_counts), "w1")
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LM_TOP_K)
+        .select(
+            "w1",
+            "w2",
+            F.col("n_pair").cast("long"),
+            F.col("n_prefix").cast("long"),
+            F.col("rnk").cast("long"),
+        )
     )
