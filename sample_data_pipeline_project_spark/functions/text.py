@@ -57,3 +57,18 @@ def md5_fingerprint(text: str | Column) -> Column:
     """Portable document fingerprint: md5 of normalized text."""
     c = F.col(text) if isinstance(text, str) else text
     return F.md5(F.lower(F.trim(c)))
+
+
+def md5_prefix_uint32_sql(expr: str) -> str:
+    """Portable SQL fragment: the first 8 hex chars of md5(`expr`) as a
+    0..2^32-1 integer, written with only substr/instr/multiply — the same
+    string evaluates identically in Spark SQL and DuckDB (the technique
+    of `simhash_bit_sql`, widened to a full word). Uniform over inputs,
+    so `u32 < p * 2^32` is deterministic p-probability sampling."""
+    h = f"md5({expr})"
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
+        f" * CAST({16 ** (8 - k)} AS BIGINT)"
+        for k in range(1, 9)
+    ]
+    return "(" + " + ".join(terms) + ")"

@@ -561,3 +561,66 @@ def text_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rnk").cast("long"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Quality-weighted deterministic sampling (importance sampling, no RNG)
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.functions.text import (  # noqa: E402
+    md5_prefix_uint32_sql,
+)
+
+_QW_U32 = md5_prefix_uint32_sql("CAST(doc_id AS STRING)")
+
+_QW_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+),
+scored AS (
+  SELECT doc_id,
+         (CASE WHEN len(toks) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(len(list_filter(toks, t -> t IN ({_DUCK_STOP_EN}))) AS DOUBLE)
+                      / len(toks) BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END
+          + CASE WHEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) >= 0.1
+                 THEN 1 ELSE 0 END) AS quality_score,
+         {_QW_U32} AS hash_u32
+  FROM t
+)
+SELECT doc_id, CAST(quality_score AS BIGINT) AS quality_score,
+       CAST(hash_u32 AS BIGINT) AS hash_u32
+FROM scored
+WHERE 3 * hash_u32 < quality_score * 4294967296
+"""
+
+
+@workload("text_quality_weighted_sample", oracle=_QW_ORACLE)
+def text_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-WEIGHTED corpus sampling with NO RNG: a doc is kept with
+    probability quality_score/3, decided by whether the first 32 bits of
+    md5(doc_id) fall under the integer threshold 3*u32 < q*2^32 — exact
+    integer arithmetic, so the sample is reproducible across engines,
+    runs, retries and partitionings (rand()-based sampling is none of
+    these). The curation form of importance sampling: higher-quality
+    docs are proportionally up-weighted; score-0 docs can never pass."""
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    n_tokens = F.size(F.col("toks"))
+    n_stop = stopword_count("toks", "en")
+    score = (
+        F.when(n_tokens.between(20, 1000), 1).otherwise(0)
+        + F.when((n_stop.cast("double") / n_tokens).between(0.01, 0.6), 1)
+        .otherwise(0)
+        + F.when(
+            F.size(F.array_distinct(F.col("toks"))).cast("double") / n_tokens
+            >= 0.1,
+            1,
+        ).otherwise(0)
+    )
+    u32 = F.expr(_QW_U32)
+    return (
+        d.select(
+            "doc_id",
+            score.cast("long").alias("quality_score"),
+            u32.cast("long").alias("hash_u32"),
+        )
+        .filter(F.lit(3) * F.col("hash_u32") < F.col("quality_score") * F.lit(4294967296))
+    )
