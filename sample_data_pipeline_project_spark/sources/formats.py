@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-_FORMATS = ("parquet", "csv", "json")
+_FORMATS = ("parquet", "orc", "csv", "json")
 
 _TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
@@ -35,7 +35,7 @@ def read_table(
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
-    elif fmt != "parquet":
+    elif fmt not in ("parquet", "orc"):
         raise ValueError(f"{fmt} has no reliable embedded schema; pass one")
     # FAILFAST: a row that doesn't parse under the declared schema is an
     # error at the read boundary, not a silent null downstream (the
@@ -46,6 +46,8 @@ def read_table(
         ).csv(path)
     if fmt == "json":
         return reader.options(timestampNTZFormat=_TS_FMT, mode="FAILFAST").json(path)
+    if fmt == "orc":
+        return reader.orc(path)
     return reader.parquet(path)
 
 
@@ -74,5 +76,7 @@ def write_table(
         writer.options(header=True, timestampNTZFormat=_TS_FMT).csv(path)
     elif fmt == "json":
         writer.option("timestampNTZFormat", _TS_FMT).json(path)
+    elif fmt == "orc":
+        writer.orc(path)
     else:
         writer.parquet(path)

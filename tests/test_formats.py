@@ -9,7 +9,7 @@ from sample_data_pipeline_project_spark.schema import PIPELINE_RUNS_SCHEMA
 from sample_data_pipeline_project_spark.sources.formats import read_table, write_table
 
 
-@pytest.mark.parametrize("fmt", ["parquet", "csv", "json"])
+@pytest.mark.parametrize("fmt", ["parquet", "orc", "csv", "json"])
 def test_roundtrip_all_formats(spark, ledger, tmp_path, fmt):
     path = str(tmp_path / f"out_{fmt}")
     write_table(ledger, path, fmt=fmt)
