@@ -9,6 +9,7 @@ from pyspark.sql import functions as F
 from sample_data_pipeline_project_spark.plans.introspect import (
     exchange_count,
     join_strategies,
+    physical_plan,
     pushed_filters,
     scan_schemas,
     wholestage_codegen_ids,
@@ -95,3 +96,37 @@ def test_runtime_bloom_filter_prunes_shuffle_join(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_tfidf_idf_join_broadcasts(spark):
+    """The vocabulary-side idf join must be a broadcast, never a shuffle
+    of the tf table on term."""
+    df = load_all()["text_tfidf_top_terms"].fn(spark, _SF)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_gapfill_spine_join_strategies_and_exchanges(spark):
+    """Gap-fill: the spine comes from a per-group bounds aggregate (tiny)
+    — its join back to the daily aggregate must broadcast, and the whole
+    plan needs only the group-key exchanges (agg + windows), bounded."""
+    df = load_all()["timeseries_gapfill_interpolate"].fn(spark, _SF)
+    strategies = join_strategies(df)
+    assert strategies and all(s == "BroadcastHashJoin" for s in strategies), strategies
+    assert exchange_count(df) <= 4, exchange_count(df)
+
+
+def test_bloom_pruned_join_pushes_membership_before_join(spark):
+    """The Bloom membership predicate (xxhash64) must sit in the probe
+    scan's subtree, not above the join."""
+    df = load_all()["join_bloom_pruned_revenue"].fn(spark, _SF)
+    plan = physical_plan(df)
+    join_pos = plan.find("Join")
+    hash_pos = plan.find("xxhash64")
+    assert join_pos != -1 and hash_pos > join_pos, (join_pos, hash_pos)
+
+
+def test_transition_matrix_single_window_exchange(spark):
+    """LEAD window + tiny-domain aggregate: one exchange for the per-user
+    window, one for the final aggregate — nothing else."""
+    df = load_all()["events_transition_matrix"].fn(spark, _SF)
+    assert exchange_count(df) <= 2, exchange_count(df)
