@@ -624,3 +624,103 @@ def text_quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.lit(3) * F.col("hash_u32") < F.col("quality_score") * F.lit(4294967296))
     )
+
+
+
+# --------------------------------------------------------------------------
+# Count-Min sketch: mergeable frequency estimates with an EXACT oracle
+# --------------------------------------------------------------------------
+_CM_SEEDS = 3
+_CM_BUCKETS = 1024
+_CM_TOP = 20
+
+
+def _cm_bucket_sql(seed: int) -> str:
+    """Bucket of `tok` for one CM row: first 32 md5 bits of 'seed|tok',
+    mod the bucket count — portable hex arithmetic (functions/text.py),
+    identical in Spark SQL and DuckDB."""
+    return (
+        "(" + md5_prefix_uint32_sql(f"'{seed}|' || tok") + f" % {_CM_BUCKETS})"
+    )
+
+
+def _cm_oracle() -> str:
+    bucket_rows = "\n  UNION ALL ".join(
+        f"SELECT tok, {s} AS seed, {_cm_bucket_sql(s)} AS bucket FROM toks"
+        for s in range(_CM_SEEDS)
+    )
+    return f"""
+WITH toks AS (
+  SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents
+),
+hashed AS (
+  {bucket_rows}
+),
+cm AS (
+  SELECT seed, bucket, COUNT(*) AS c FROM hashed GROUP BY seed, bucket
+),
+exact AS (
+  SELECT tok, COUNT(*) AS exact_count FROM toks GROUP BY tok
+),
+top AS (
+  SELECT tok, exact_count FROM exact
+  ORDER BY exact_count DESC, tok ASC LIMIT {_CM_TOP}
+),
+probes AS (
+  {bucket_rows.replace("FROM toks", "FROM top")}
+),
+est AS (
+  SELECT p.tok, MIN(cm.c) AS cm_estimate
+  FROM probes p JOIN cm ON cm.seed = p.seed AND cm.bucket = p.bucket
+  GROUP BY p.tok
+)
+SELECT t.tok, CAST(t.exact_count AS BIGINT) AS exact_count,
+       CAST(e.cm_estimate AS BIGINT) AS cm_estimate,
+       e.cm_estimate >= t.exact_count AS overestimate_ok
+FROM top t JOIN est e USING (tok)
+"""
+
+
+@workload("sketch_countmin_token_counts", oracle=_cm_oracle())
+def sketch_countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch tier — COUNT-MIN frequency estimation over the raw token
+    stream: {seeds} hash rows x {buckets} counters of bounded, MERGEABLE
+    state (counter matrices add — the shape that survives shards and
+    streams), point-queried for the exact top-{top} tokens as
+    min-over-rows. Because the bucketing is the engine-portable md5
+    arithmetic, the oracle rebuilds the IDENTICAL sketch in SQL and even
+    the estimates value-hash — plus the structural guarantee
+    overestimate_ok (CM never undercounts) stated as TRUE."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(tokens("text")).alias("tok"))
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.expr(_cm_bucket_sql(s)).alias("bucket"),
+            )
+            for s in range(_CM_SEEDS)
+        ]
+    )
+    hashed = toks.select(F.explode(bucket_structs).alias("h")).select(
+        "h.seed", "h.bucket"
+    )
+    cm = hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    top = exact.orderBy(
+        F.col("exact_count").desc(), F.col("tok").asc()
+    ).limit(_CM_TOP)
+    probes = top.select("tok", "exact_count", F.explode(bucket_structs).alias("h")).select(
+        "tok", "exact_count", "h.seed", "h.bucket"
+    )
+    est = (
+        probes.join(F.broadcast(cm), ["seed", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact_count").cast("long"),
+        F.col("cm_estimate").cast("long"),
+        (F.col("cm_estimate") >= F.col("exact_count")).alias("overestimate_ok"),
+    )
