@@ -319,3 +319,97 @@ def ledger_gaps_stateful(runs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Out-of-order-correct streaming gap detection (watermark-buffered)
+# ---------------------------------------------------------------------------
+# `ledger_gaps_stateful` assumes per-group chronological arrival; this
+# variant buffers rows in state until the WATERMARK passes them, then
+# emits gaps in true event-time order — the correct answer under
+# bounded disorder, at the cost of O(pending-rows) state per group
+# (bounded by delay x arrival rate; truly-late rows beyond the delay are
+# dropped by the watermark upstream, standard streaming semantics).
+_GAP_OOO_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_end_us", T.LongType()),
+        T.StructField("starts", T.ArrayType(T.LongType())),
+        T.StructField("ends", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def ledger_gaps_ooo(runs: DataFrame, delay: str = "10 minutes") -> DataFrame:
+    """Gap detection under OUT-OF-ORDER arrival: rows buffer in state and
+    flush (sorted) only once the event-time watermark passes their
+    start_ts — EventTimeTimeout drives flushes even when a group
+    receives no further data. Emitted gaps are identical to the batch
+    LAG result restricted to flushed rows."""
+    import numpy as np
+    import pandas as pd
+
+    with_wm = runs.withColumn(
+        "__evt", F.col("query_window_start_ts").cast("timestamp")
+    ).withWatermark("__evt", delay)
+
+    def update(key, pdf_iter, state: GroupState):
+        wm_us = state.getCurrentWatermarkMs() * 1000
+        if state.exists:
+            last_end_us, starts, ends = state.get
+            starts, ends = list(starts), list(ends)
+        else:
+            last_end_us, starts, ends = None, [], []
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            s = pdf["query_window_start_ts"].to_numpy(dtype="datetime64[us]")
+            e = pdf["query_window_end_ts"].to_numpy(dtype="datetime64[us]")
+            starts.extend(s.astype("int64").tolist())
+            ends.extend(e.astype("int64").tolist())
+        order = np.lexsort((np.array(ends or [0]), np.array(starts or [0])))
+        if starts:
+            sa = np.array(starts, dtype="int64")[order]
+            ea = np.array(ends, dtype="int64")[order]
+        else:
+            sa = np.array([], dtype="int64")
+            ea = np.array([], dtype="int64")
+        ready = sa <= wm_us
+        out = None
+        if ready.any():
+            rs, re_ = sa[ready], ea[ready]
+            prev = np.empty(len(rs), dtype="int64")
+            prev[0] = last_end_us if last_end_us is not None else -1
+            prev[1:] = re_[:-1]
+            has_prev = prev >= 0
+            mask = has_prev & (rs != prev)
+            if mask.any():
+                out = pd.DataFrame(
+                    {
+                        "pipeline_name": [key[0]] * int(mask.sum()),
+                        "index_name": [key[1]] * int(mask.sum()),
+                        "day": [key[2]] * int(mask.sum()),
+                        "missing_from_ts": prev[mask].astype("datetime64[us]"),
+                        "missing_until_ts": rs[mask].astype("datetime64[us]"),
+                    }
+                )
+            last_end_us = int(re_[-1])
+        pend_s = sa[~ready]
+        pend_e = ea[~ready]
+        state.update(
+            (last_end_us, pend_s.astype("int64").tolist(), pend_e.astype("int64").tolist())
+        )
+        if len(pend_s):
+            # fire once the watermark passes the earliest pending row
+            state.setTimeoutTimestamp(max(int(pend_s.min()) // 1000, wm_us // 1000 + 1))
+        if out is not None:
+            yield out
+
+    return with_wm.groupBy(
+        "pipeline_name", "index_name", "query_window_start_day"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=_GAP_OUT_SCHEMA,
+        stateStructType=_GAP_OOO_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

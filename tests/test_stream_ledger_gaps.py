@@ -96,3 +96,52 @@ def test_stream_gaps_match_batch_lag_on_testdata(spark):
         .collect()
     }
     assert got == want and len(got) > 0
+
+
+def _run_gaps_ooo(spark, src, ckpt, sink, delay):
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        ledger_gaps_ooo,
+    )
+
+    stream = (
+        spark.readStream.schema(_RUN_SCHEMA)
+        .option("maxFilesPerTrigger", 1)  # one micro-batch per file
+        .parquet(src)
+    )
+    q = (
+        ledger_gaps_ooo(stream, delay=delay)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+
+def test_ooo_gaps_reorder_within_watermark(spark, tmp_path):
+    """A row arriving LATE but inside the watermark delay must be
+    re-sequenced before gap emission: arrival order A,B then C (C's
+    event time is between A and B) yields the gap A.end->C.start, and
+    NO false gap A.end->B.start."""
+    src, ckpt, sink = (str(tmp_path / d) for d in ("src", "ckpt", "sink"))
+    base = dt.datetime(2024, 1, 1)
+    # minutes: A=[0,10) B=[30,40) arrive first; C=[25,30) arrives late;
+    # sentinels D,E only advance the watermark (delay 30 min).
+    for batch in ([(1, 0, 10), (2, 30, 40)], [(3, 25, 30)],
+                  [(4, 120, 130)], [(5, 180, 190)]):
+        _runs(spark, batch).coalesce(1).write.mode("append").parquet(src)
+    _run_gaps_ooo(spark, src, ckpt, sink, delay="30 minutes")
+    out = spark.read.parquet(sink).collect()
+    gaps = {(r["missing_from_ts"], r["missing_until_ts"]) for r in out}
+    assert (
+        base + dt.timedelta(minutes=10),
+        base + dt.timedelta(minutes=25),
+    ) in gaps, gaps
+    # the naive in-arrival-order gap [10 -> 30) must NOT appear
+    assert (
+        base + dt.timedelta(minutes=10),
+        base + dt.timedelta(minutes=30),
+    ) not in gaps, gaps
