@@ -86,3 +86,69 @@ def scan_output_rows(df: DataFrame) -> int:
         if m.contains("numOutputRows"):
             total += m.apply("numOutputRows").value()
     return total
+
+
+def _tree_nodes(plan: str) -> list[tuple[int, str]]:
+    """(indent_depth, node_text) per line of an explain tree string.
+    Depth is the column where the operator name starts (tree markers
+    `+-`, `:-`, `:`, `|` and spaces stripped); parent of a line is the
+    nearest earlier line with a smaller depth."""
+    nodes = []
+    for line in plan.splitlines():
+        stripped = line.lstrip(" :+|-")
+        if not stripped:
+            continue
+        nodes.append((len(line) - len(stripped), stripped))
+    return nodes
+
+
+# Nodes that may legally sit between a Window and the shuffle that feeds
+# it: anything else (a join, an aggregate, another exchange) means the
+# single-partition exchange belongs to a DIFFERENT operator further down
+# the tree (e.g. a bounded limit inside a broadcast subtree).
+_WINDOW_FEED_PASSTHROUGH = (
+    "Sort",
+    "Project",
+    "Filter",
+    "WindowGroupLimit",
+    "InputAdapter",
+    "WholeStageCodegen",
+    "AQEShuffleRead",
+    "ShuffleQueryStage",
+    "ColumnarToRow",
+)
+
+
+def single_partition_window_sites(df: DataFrame) -> list[str]:
+    """Every `Exchange SinglePartition` that DIRECTLY feeds a Window node
+    (only sort/project-class nodes in between) — i.e. a window function
+    whose input was coalesced to one partition, the textbook 100x-scale
+    killer: the whole windowed input funnels through a single task.
+    Returns the offending Window node texts; empty list == the plan has
+    no global-window bottleneck.
+
+    An `Exchange SinglePartition` that feeds some bounded operator inside
+    a Window's wider subtree (a k-row limit below a broadcast join, the
+    final agg of a partial aggregate) is NOT flagged — only a direct
+    Window feed is."""
+    plan = physical_plan(df, "executed")
+    nodes = _tree_nodes(plan)
+    offenders = []
+    for i, (depth, text) in enumerate(nodes):
+        if "Exchange SinglePartition" not in text:
+            continue
+        d = depth
+        for j in range(i - 1, -1, -1):
+            pdepth, ptext = nodes[j]
+            if pdepth >= d:
+                continue  # sibling subtree, not an ancestor
+            d = pdepth
+            name = ptext.lstrip("*(0123456789) ").split(" ")[0].split("[")[0]
+            if name.startswith("Window") and "WindowGroupLimit" not in name:
+                offenders.append(ptext)
+                break
+            if not any(name.startswith(p) for p in _WINDOW_FEED_PASSTHROUGH):
+                break  # chain interrupted: exchange feeds something else
+            if d == 0:
+                break
+    return offenders

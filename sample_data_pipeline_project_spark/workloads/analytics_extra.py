@@ -244,29 +244,57 @@ FROM (VALUES {", ".join(f"({p})" for p in _QUANTILE_PS)}) AS ps(p)
 """
 
 
+_QUANTILE_BUCKETS = 64
+
+
 @workload("sketch_approx_quantiles", oracle=_QUANTILE_ORACLE)
 def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch tier — approximate quantiles of the order price
     (percentile_approx: a mergeable rank sketch, O(accuracy) state — the
     form that survives a 100 TB groupBy or an unbounded stream) certified
     against the EXACT discrete quantile (the value at row ceil(p*n) of
-    the sorted order — the oracle states the same definition). The
-    estimate itself is implementation-defined, so the hashed projection
-    carries the exact quantile plus a relative-error-bound boolean, as
-    with the HLL workloads."""
+    the sorted order — the oracle states the same definition). The exact
+    order statistic is computed DISTRIBUTED: rows are bucketed by value
+    range (deterministic arithmetic on the collected min/max — no
+    sampling, so the bucket of a row is stable across jobs), the global
+    rank is the bucket-local row_number plus the summed counts of lower
+    buckets (a bucket-count collect bounded by the constant bucket
+    count), and only the rows at the target ranks survive. No global
+    window, no single-partition sort — skewed buckets cost only balance,
+    never correctness. The estimate itself is implementation-defined, so
+    the hashed projection carries the exact quantile plus a
+    relative-error-bound boolean, as with the HLL workloads."""
+    import math
+
     o = load_table(spark, sf_dir, "orders")
     ps = list(_QUANTILE_PS)
-    w = Window.orderBy("o_totalprice", "o_orderkey")
-    ranked = o.select(
-        "o_totalprice",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    nb = _QUANTILE_BUCKETS
+    mn, mx = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
+    mn, mx = float(mn), float(mx)
+    span = (mx - mn) if mx > mn else 1.0
+    bucket = F.least(
+        F.lit(nb - 1),
+        F.floor((F.col("o_totalprice") - F.lit(mn)) / F.lit(span) * nb),
+    ).cast("int")
+    ob = o.select("o_totalprice", "o_orderkey").withColumn("bkt", bucket)
+    counts = {
+        row["bkt"]: row["cnt"]
+        for row in ob.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    offsets, acc = [], 0
+    for b in range(nb):
+        offsets.append((b, acc))
+        acc += counts.get(b, 0)
+    off_df = spark.createDataFrame(offsets, "bkt int, off long")
+    targets = spark.createDataFrame(
+        [(p, int(math.ceil(p * n))) for p in ps], "p double, target_rn long"
     )
+    wb = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
     exact = (
-        ranked.crossJoin(
-            spark.createDataFrame([(p,) for p in ps], "p double")
-        )
-        .filter(F.col("rn") == F.ceil(F.col("p") * F.col("n")).cast("long"))
+        ob.join(F.broadcast(off_df), "bkt")
+        .withColumn("rn", F.row_number().over(wb) + F.col("off"))
+        .join(F.broadcast(targets), F.col("rn") == F.col("target_rn"))
         .select(
             "p",
             F.col("o_totalprice")
@@ -304,6 +332,7 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PR_ITERS = 3
 _PR_DAMPING = 0.85
 _PR_NGRAM_THRESHOLD = 0.8  # same edge set as dedup_connected_components
+_PR_TOP_K = 50  # hub ranking emits only the top-k (scale-bounded output)
 
 # DuckDB twin of the bigram near-dup pair pipeline — the shingle fragment
 # is IMPORTED from dedup_queries so the two oracles cannot drift — then 3
@@ -361,13 +390,16 @@ edges AS (SELECT a AS src, b AS dst FROM pairs
 deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
 n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS cnt FROM documents),
 r0 AS (SELECT doc_id, CAST(1 AS DOUBLE) / n.cnt AS r FROM documents CROSS JOIN n),
-{iters}
-SELECT doc_id,
-       CAST(COALESCE(deg.outdeg, 0) AS BIGINT) AS outdeg,
-       CAST(ROW_NUMBER() OVER (
-         ORDER BY ROUND(r{_PR_ITERS}.r, 9) DESC, doc_id ASC
-       ) AS BIGINT) AS rank_pos
-FROM r{_PR_ITERS} LEFT JOIN deg ON deg.src = r{_PR_ITERS}.doc_id
+{iters},
+ranked_all AS (
+  SELECT doc_id,
+         CAST(COALESCE(deg.outdeg, 0) AS BIGINT) AS outdeg,
+         CAST(ROW_NUMBER() OVER (
+           ORDER BY ROUND(r{_PR_ITERS}.r, 9) DESC, doc_id ASC
+         ) AS BIGINT) AS rank_pos
+  FROM r{_PR_ITERS} LEFT JOIN deg ON deg.src = r{_PR_ITERS}.doc_id
+)
+SELECT doc_id, outdeg, rank_pos FROM ranked_all WHERE rank_pos <= {_PR_TOP_K}
 """
 
 
@@ -378,10 +410,14 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup graph — the 'which duplicate cluster hubs matter' view of
     the dedup relation. Per round: one edge join + one aggregate, edge-
     list-sized, lineage truncated (same scaling argument as connected
-    components). The hashed projection ranks on ROUND(r,9) with doc_id
-    tiebreak and emits only integers, so double sum-order ulps between
-    engines cannot flip the hash; the oracle unrolls the identical
-    iterations in SQL."""
+    components). The hashed projection emits only the TOP-{k} hub
+    ranking: TakeOrderedAndProject on (ROUND(r,9) desc, doc_id) — each
+    partition keeps a local top-k, the driver merges, no global window,
+    output driver-bounded — then ranks the k survivors with a k x k
+    bounded self-join (rnk = 1 + |rows strictly ahead|). Only integers
+    are hashed and the ordering key rounds to 9 decimals, so double
+    sum-order ulps between engines cannot flip the hash; the oracle
+    unrolls the identical iterations in SQL."""
     from sample_data_pipeline_project_spark.operators.dedup import (
         jaccard_pairs_prefix,
     )
@@ -399,9 +435,24 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         iters=_PR_ITERS,
         damping=_PR_DAMPING,
     )
-    w = Window.orderBy(F.round(F.col("r"), 9).desc(), F.col("doc_id").asc())
-    return pr.select(
-        "doc_id", "outdeg", F.row_number().over(w).cast("long").alias("rank_pos")
+    top = (
+        pr.select("doc_id", "outdeg", F.round(F.col("r"), 9).alias("r9"))
+        .orderBy(F.col("r9").desc(), F.col("doc_id").asc())
+        .limit(_PR_TOP_K)
+    )
+    lhs, rhs = top.alias("l"), top.alias("r")
+    ahead = (F.col("r.r9") > F.col("l.r9")) | (
+        (F.col("r.r9") == F.col("l.r9")) & (F.col("r.doc_id") < F.col("l.doc_id"))
+    )
+    return (
+        lhs.join(rhs, ahead, "left")
+        .groupBy(F.col("l.doc_id"), F.col("l.outdeg"))
+        .agg((F.count(F.col("r.doc_id")) + 1).cast("long").alias("rank_pos"))
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("l.outdeg").alias("outdeg"),
+            "rank_pos",
+        )
     )
 
 

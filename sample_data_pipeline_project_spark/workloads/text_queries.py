@@ -444,19 +444,32 @@ def text_corpus_mix_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 # budgets (the packing pass between curation and tokenization)
 # --------------------------------------------------------------------------
 _PACK_BUDGET = 512
+_PACK_SHARDS = 8
+
+from sample_data_pipeline_project_spark.functions.text import (  # noqa: E402
+    md5_prefix_uint32_sql as _md5_u32,
+)
+
+# Engine-portable shard assignment: first 32 bits of md5(doc_id) mod
+# n_shards — the same SQL fragment evaluates identically in Spark and
+# DuckDB, so the oracle states the identical shard arithmetic.
+_PACK_SHARD_SQL = f"({_md5_u32('CAST(doc_id AS STRING)')} % {_PACK_SHARDS})"
 
 _PACK_ORACLE = f"""
 WITH sized AS (
-  SELECT doc_id, len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok
+  SELECT doc_id,
+         len(string_split_regex(lower(trim(text)), '\\s+')) AS n_tok,
+         {_PACK_SHARD_SQL} AS shard
   FROM documents
 ),
 packed AS (
-  SELECT doc_id, n_tok,
-         SUM(n_tok) OVER (ORDER BY doc_id
+  SELECT doc_id, n_tok, shard,
+         SUM(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
                           ROWS UNBOUNDED PRECEDING) AS cum_tok
   FROM sized
 )
 SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(shard AS BIGINT) AS shard,
        CAST(FLOOR((cum_tok - n_tok) / {_PACK_BUDGET}.0) AS BIGINT) AS seq_id,
        CAST(cum_tok - n_tok - FLOOR((cum_tok - n_tok) / {_PACK_BUDGET}.0)
             * {_PACK_BUDGET} AS BIGINT) AS offset_in_seq
@@ -466,23 +479,35 @@ FROM packed
 
 @workload("text_sequence_packing", oracle=_PACK_ORACLE)
 def text_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Training-SEQUENCE PACKING: documents are concatenated in stable
-    doc_id order and chunked into fixed {budget}-token sequences — each
-    doc gets the sequence id and intra-sequence offset where its tokens
-    begin (docs may straddle a boundary; the tokenizer downstream splits
-    them). One global running-sum window computes every placement; at
-    100 TB the same math runs per-shard (partitionBy shard) so each
-    writer packs independently — the global form here is what the
-    single-sequence-stream oracle can state. All-integer output."""
+    """Training-SEQUENCE PACKING: documents are hash-sharded (first 32
+    bits of md5(doc_id) mod n_shards — deterministic, engine-portable),
+    then concatenated in stable doc_id order WITHIN each shard and
+    chunked into fixed {budget}-token sequences — each doc gets its
+    shard, the shard-local sequence id, and the intra-sequence offset
+    where its tokens begin (docs may straddle a boundary; the tokenizer
+    downstream splits them). The running sum is partitioned by shard, so
+    every shard packs independently in parallel — the form that scales
+    to 100 TB writers (a single global running sum would force the whole
+    corpus through one partition). All-integer output; the oracle states
+    the identical shard + placement arithmetic."""
     d = load_table(spark, sf_dir, "documents")
-    sized = d.select("doc_id", token_count("text").cast("long").alias("n_tok"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    sized = d.select(
+        "doc_id",
+        token_count("text").cast("long").alias("n_tok"),
+        F.expr(_PACK_SHARD_SQL).cast("long").alias("shard"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     packed = sized.withColumn("cum_tok", F.sum("n_tok").over(w))
     start = F.col("cum_tok") - F.col("n_tok")
     seq = F.floor(start / F.lit(float(_PACK_BUDGET)))
     return packed.select(
         "doc_id",
         "n_tok",
+        "shard",
         seq.cast("long").alias("seq_id"),
         (start - seq * _PACK_BUDGET).cast("long").alias("offset_in_seq"),
     )
@@ -546,13 +571,45 @@ def text_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     prefix_counts = pair_counts.groupBy("w1").agg(
         F.sum("n_pair").alias("n_prefix")
     )
-    w = Window.orderBy(
+    # Top-k via orderBy().limit() -> TakeOrderedAndProject: each partition
+    # keeps its local top-k, the driver merges k*npart rows — no global
+    # window, no single-partition Exchange (the pair-count table is
+    # vocabulary^2-sized at 100 TB). (w1,w2) pairs are unique, so the
+    # total order (n_pair desc, w1, w2) is strict and the limit is
+    # deterministic.
+    top = pair_counts.orderBy(
         F.col("n_pair").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_LM_TOP_K)
+    # Rank the k survivors without any window: rnk = 1 + |rows strictly
+    # ahead in the same total order|, a k x k bounded self-join.
+    lhs, rhs = top.alias("l"), top.alias("r")
+    ahead = (
+        (F.col("r.n_pair") > F.col("l.n_pair"))
+        | (
+            (F.col("r.n_pair") == F.col("l.n_pair"))
+            & (F.col("r.w1") < F.col("l.w1"))
+        )
+        | (
+            (F.col("r.n_pair") == F.col("l.n_pair"))
+            & (F.col("r.w1") == F.col("l.w1"))
+            & (F.col("r.w2") < F.col("l.w2"))
+        )
     )
+    ranked = (
+        lhs.join(rhs, ahead, "left")
+        .groupBy(F.col("l.w1"), F.col("l.w2"), F.col("l.n_pair"))
+        .agg((F.count(F.col("r.w1")) + 1).alias("rnk"))
+        .select(
+            F.col("l.w1").alias("w1"),
+            F.col("l.w2").alias("w2"),
+            F.col("l.n_pair").alias("n_pair"),
+            "rnk",
+        )
+    )
+    # Prefix totals join AFTER the limit: the k-row side broadcasts, the
+    # vocabulary-sized prefix table streams through a broadcast hash join.
     return (
-        pair_counts.join(F.broadcast(prefix_counts), "w1")
-        .withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _LM_TOP_K)
+        prefix_counts.join(F.broadcast(ranked), "w1")
         .select(
             "w1",
             "w2",

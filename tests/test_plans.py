@@ -130,3 +130,65 @@ def test_transition_matrix_single_window_exchange(spark):
     window, one for the final aggregate — nothing else."""
     df = load_all()["events_transition_matrix"].fn(spark, _SF)
     assert exchange_count(df) <= 2, exchange_count(df)
+
+
+# --------------------------------------------------------------------------
+# Global-window guard: no workload may feed a Window from an
+# Exchange SinglePartition (the whole windowed input through one task —
+# the plan class VERDICT r02 graded `weak`). Structural invariant over
+# the ENTIRE registry, not per-workload whack-a-mole.
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.plans.introspect import (  # noqa: E402
+    single_partition_window_sites,
+)
+
+# Workloads whose docstring documents an accepted single-partition window
+# (none today — add here only with a written scale justification).
+_GLOBAL_WINDOW_ALLOWLIST: set[str] = set()
+
+
+def test_detector_catches_true_global_window(spark):
+    from pyspark.sql.window import Window as W
+
+    df = spark.range(10).withColumn("rn", F.row_number().over(W.orderBy("id")))
+    assert single_partition_window_sites(df)
+
+
+def test_detector_ignores_partitioned_window(spark):
+    from pyspark.sql.window import Window as W
+
+    df = (
+        spark.range(10)
+        .withColumn("g", F.col("id") % 2)
+        .withColumn("rn", F.row_number().over(W.partitionBy("g").orderBy("id")))
+    )
+    assert single_partition_window_sites(df) == []
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "text_bigram_lm_counts",
+        "text_sequence_packing",
+        "graph_pagerank_neardup",
+        "sketch_approx_quantiles",
+    ],
+)
+def test_r02_weak_workloads_have_no_global_window(spark, name):
+    """The four plans VERDICT r02 flagged, individually pinned."""
+    df = load_all()[name].fn(spark, _SF)
+    sites = single_partition_window_sites(df)
+    assert sites == [], sites
+
+
+def test_registry_has_no_single_partition_window(spark):
+    """Every registered workload's physical plan is free of
+    Exchange SinglePartition directly feeding a Window."""
+    offenders = {}
+    for name, w in sorted(load_all().items()):
+        if name in _GLOBAL_WINDOW_ALLOWLIST:
+            continue
+        sites = single_partition_window_sites(w.fn(spark, _SF))
+        if sites:
+            offenders[name] = sites[0]
+    assert offenders == {}, offenders
