@@ -56,14 +56,27 @@ def main() -> int:
     # (pandas-UDF queries otherwise charge ~2-4s of one-time spin-up to
     # whichever workload runs first alphabetically). Caches are cleared so
     # no DATA carries over — only JIT/process state.
+    # Derive the warmup dir from the bench sf_dir root (smallest sibling
+    # sf* if present, else sf_dir itself) — a hardcoded path would
+    # silently skip warmup on hosts without /root/testdata, charging
+    # Python-worker spin-up to the first pandas workload again.
+    import glob
+
+    siblings = sorted(
+        glob.glob(os.path.join(os.path.dirname(sf_dir.rstrip("/")), "sf*")),
+        key=lambda p: float(re.search(r"sf([0-9.]+)$", p).group(1).rstrip("."))
+        if re.search(r"sf([0-9.]+)$", p)
+        else float("inf"),
+    )
+    warm_dir = siblings[0] if siblings else sf_dir
     for warm_name in ("dedup_ngram_jaccard", "sim_neardup_pairs"):
         try:
             w = workloads[warm_name]
-            w.fn(spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            w.fn(spark, warm_dir).write.format("noop").mode(
                 "overwrite"
             ).save()
-        except Exception:
-            pass
+        except Exception as exc:
+            print(f"bench: warmup {warm_name} skipped: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
 
     timings: dict[str, float] = {}

@@ -74,10 +74,23 @@ def clicks_with_prior_view_counts(
         )
 
     def _inputs_pruned(left, right):
-        return not (
-            {"user_id", "click_id", "click_ts"} <= set(left.columns)
-            and {"user_id", "ts"} <= set(right.columns)
-        )
+        have_all = {"user_id", "click_id", "click_ts"} <= set(left.columns) and {
+            "user_id",
+            "ts",
+        } <= set(right.columns)
+        if have_all:
+            return False
+        # Only a FULL prune (terminal count(): zero columns on both
+        # sides) may take the fabricated-output path. A partial column
+        # set means downstream still reads values — fabricating zeros
+        # there would be silent corruption, so fail loudly instead.
+        if len(left.columns) > 0 or len(right.columns) > 0:
+            raise ValueError(
+                "cogrouped UDF got a PARTIAL column prune "
+                f"(left={list(left.columns)}, right={list(right.columns)}); "
+                "only a full zero-column prune is supported"
+            )
+        return True
 
     if n_buckets is None:
 

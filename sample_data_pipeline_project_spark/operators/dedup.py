@@ -26,6 +26,11 @@ from pyspark.sql.window import Window
 
 from sample_data_pipeline_project_spark.functions.text import tokens, word_ngrams
 
+# Vocabulary size above which jaccard_pairs_prefix switches from a
+# driver-collected token ranking to the distributed bucket-offset rank
+# (module-level so tests can force the distributed path on small data).
+VOCAB_COLLECT_CAP = 100_000
+
 
 def exact_dedup(
     df: DataFrame, key_cols: list[str], tiebreak: str
@@ -132,6 +137,12 @@ def jaccard_pairs_prefix(
     (1-t)*|d| tokens per doc, and because tokens are ranked by ascending
     document frequency the indexed ones are precisely the rarest, so the
     candidate join collapses. Verification touches candidates only.
+
+    Caching contract: the returned DataFrame and internal signature
+    tables are `.cache()`'d (they are referenced multiple times in-plan);
+    the CALLER owns the lifecycle — call `spark.catalog.clearCache()` (or
+    `.unpersist()` the result) between repeated invocations in one
+    session, as bench.py does, or cached blocks accumulate.
     """
     # Tokenize ONCE: the token table feeds both the document-frequency
     # ranking and the per-doc signature build; without the cache the
@@ -147,22 +158,51 @@ def jaccard_pairs_prefix(
     # decision. A shingle vocabulary too big to collect (real 100 TB
     # corpora) takes the distributed path: df-descending row_number — a
     # rank exchange sized by |vocab|, not the corpus.
-    _VOCAB_COLLECT_CAP = 100_000
     df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     vocab = df_counts.orderBy(F.col("df").asc(), F.col("tok").asc()).take(
-        _VOCAB_COLLECT_CAP + 1
+        VOCAB_COLLECT_CAP + 1
     )
-    if len(vocab) <= _VOCAB_COLLECT_CAP:
+    if len(vocab) <= VOCAB_COLLECT_CAP:
         vocab_size = len(vocab)
         tok_rank = docs.sparkSession.createDataFrame(
             [(r["tok"], i + 1) for i, r in enumerate(vocab)], "tok string, rank int"
         )
     else:
+        # Distributed two-level rank — NO global window (a vocab-sized
+        # single-partition sort is the plan class the engine bans): bucket
+        # tokens by df value range (deterministic arithmetic on the
+        # collected min/max, monotone in df so cross-bucket order is
+        # consistent with (df, tok)), rank within each bucket, then add
+        # the summed counts of lower buckets (a constant-sized collect).
+        # Bucket skew costs balance only, never rank correctness.
         vocab_size = df_counts.count()
-        rank_w = Window.orderBy(F.col("df").asc(), F.col("tok").asc())
-        tok_rank = df_counts.withColumn(
-            "rank", F.row_number().over(rank_w)
-        ).select("tok", "rank")
+        nb = 256
+        mn, mx = (int(x) for x in df_counts.agg(F.min("df"), F.max("df")).first())
+        span = (mx - mn) if mx > mn else 1
+        bkt = F.least(
+            F.lit(nb - 1),
+            F.floor((F.col("df") - F.lit(mn)) * nb / F.lit(span)),
+        ).cast("int")
+        dfb = df_counts.withColumn("bkt", bkt)
+        bcounts = {
+            r["bkt"]: r["cnt"]
+            for r in dfb.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
+        }
+        offsets, acc = [], 0
+        for b in range(nb):
+            offsets.append((b, acc))
+            acc += bcounts.get(b, 0)
+        off_df = docs.sparkSession.createDataFrame(offsets, "bkt int, off long")
+        rank_w = Window.partitionBy("bkt").orderBy(
+            F.col("df").asc(), F.col("tok").asc()
+        )
+        tok_rank = (
+            dfb.join(F.broadcast(off_df), "bkt")
+            .withColumn(
+                "rank", (F.row_number().over(rank_w) + F.col("off")).cast("int")
+            )
+            .select("tok", "rank")
+        )
     # Adaptive verify strategy (an AQE-style stats decision, made once,
     # driver-side, from a tiny aggregate): with <= 64 distinct tokens a
     # doc's token SET is one 64-bit word, so verification is

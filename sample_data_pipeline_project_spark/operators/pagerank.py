@@ -37,6 +37,8 @@ def pagerank_fixed(
     graphs). vertices: complete vertex set (one column `id_col`).
     Returns (id_col, outdeg, rank)."""
     n = vertices.count()
+    if n == 0:
+        raise ValueError("pagerank_fixed: empty vertex set (n=0)")
     base = float((1.0 - damping) / n)
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")

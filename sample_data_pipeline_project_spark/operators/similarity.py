@@ -74,6 +74,11 @@ def neardup_cosine_pairs_blocked(
     output as `neardup_cosine_pairs`, without the row-at-a-time quadratic
     join.
 
+    Caching contract: the returned pair set is `.cache()`'d (two
+    workloads re-run the identical plan in one session); the CALLER owns
+    the lifecycle — `spark.catalog.clearCache()` or `.unpersist()`
+    between repeated invocations, as bench.py does.
+
     Stage 1 (filter): hash-assign vectors to `num_blocks` blocks; replicate
     each block into its (B*(B+1)/2) block-pair groups; inside each group an
     Arrow-batched pandas UDF runs ONE BLAS matmul over the normalized

@@ -335,6 +335,11 @@ _GAP_OOO_STATE_SCHEMA = T.StructType(
         T.StructField("last_end_us", T.LongType()),
         T.StructField("starts", T.ArrayType(T.LongType())),
         T.StructField("ends", T.ArrayType(T.LongType())),
+        # run_id rides in state so pending rows flush in the SAME
+        # (start_ts, run_id) order the batch LAG uses — without it, two
+        # runs sharing a start_ts could flush in a different relative
+        # order than the batch tiebreak and break stream-vs-batch parity.
+        T.StructField("run_ids", T.ArrayType(T.LongType())),
     ]
 )
 
@@ -355,10 +360,10 @@ def ledger_gaps_ooo(runs: DataFrame, delay: str = "10 minutes") -> DataFrame:
     def update(key, pdf_iter, state: GroupState):
         wm_us = state.getCurrentWatermarkMs() * 1000
         if state.exists:
-            last_end_us, starts, ends = state.get
-            starts, ends = list(starts), list(ends)
+            last_end_us, starts, ends, run_ids = state.get
+            starts, ends, run_ids = list(starts), list(ends), list(run_ids)
         else:
-            last_end_us, starts, ends = None, [], []
+            last_end_us, starts, ends, run_ids = None, [], [], []
         for pdf in pdf_iter:
             if len(pdf) == 0:
                 continue
@@ -366,13 +371,18 @@ def ledger_gaps_ooo(runs: DataFrame, delay: str = "10 minutes") -> DataFrame:
             e = pdf["query_window_end_ts"].to_numpy(dtype="datetime64[us]")
             starts.extend(s.astype("int64").tolist())
             ends.extend(e.astype("int64").tolist())
-        order = np.lexsort((np.array(ends or [0]), np.array(starts or [0])))
+            run_ids.extend(int(x) for x in pdf["run_id"].to_numpy())
+        # (start_ts, run_id) — the batch LAG's exact sort key, so flush
+        # order matches batch even when two runs share a start_ts
+        order = np.lexsort((np.array(run_ids or [0]), np.array(starts or [0])))
         if starts:
             sa = np.array(starts, dtype="int64")[order]
             ea = np.array(ends, dtype="int64")[order]
+            ra = np.array(run_ids, dtype="int64")[order]
         else:
             sa = np.array([], dtype="int64")
             ea = np.array([], dtype="int64")
+            ra = np.array([], dtype="int64")
         ready = sa <= wm_us
         out = None
         if ready.any():
@@ -395,8 +405,14 @@ def ledger_gaps_ooo(runs: DataFrame, delay: str = "10 minutes") -> DataFrame:
             last_end_us = int(re_[-1])
         pend_s = sa[~ready]
         pend_e = ea[~ready]
+        pend_r = ra[~ready]
         state.update(
-            (last_end_us, pend_s.astype("int64").tolist(), pend_e.astype("int64").tolist())
+            (
+                last_end_us,
+                pend_s.astype("int64").tolist(),
+                pend_e.astype("int64").tolist(),
+                pend_r.astype("int64").tolist(),
+            )
         )
         if len(pend_s):
             # fire once the watermark passes the earliest pending row

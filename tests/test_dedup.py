@@ -77,3 +77,27 @@ def test_lsh_candidates_include_exact_dups(docs):
     assert (1, 3) in cands  # identical docs always collide in every band
     for a, b in cands:
         assert a < b
+
+
+def test_prefix_filter_distributed_rank_path(spark, monkeypatch):
+    """Force the >cap vocabulary fallback (bucket-offset distributed rank)
+    and require bit-identical output to the collected-rank path, with no
+    single-partition window anywhere in its plan."""
+    import sample_data_pipeline_project_spark.operators.dedup as dd
+    from sample_data_pipeline_project_spark.plans.introspect import (
+        single_partition_window_sites,
+    )
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy cat"),
+        (3, "the quick brown fox jumps over the lazy dog"),
+        (4, "entirely different words compose this sample text"),
+        (5, "pack my box with five dozen liquor jugs"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    collected = _pairs(jaccard_pairs_prefix(docs, 0.5))
+    monkeypatch.setattr(dd, "VOCAB_COLLECT_CAP", 3)
+    fallback_df = jaccard_pairs_prefix(docs, 0.5)
+    assert single_partition_window_sites(fallback_df) == []
+    assert _pairs(fallback_df) == collected and len(collected) > 0
