@@ -88,20 +88,62 @@ def have_image_codec() -> bool:
         return False
 
 
-def decode_image(df: DataFrame) -> DataFrame:
-    """REAL decode path — requires an image codec library.
+_DECODED_SCHEMA = (
+    "media_id long, kind string, width int, height int, channels int, "
+    "raster binary"
+)
 
-    STUB: this container has none, so calling it raises
-    NotImplementedError. The plumbing below it (`image_features`,
-    `resize_image`) runs on the deterministic fake raster instead and is
-    fully tested; plug PIL in here and nothing else changes."""
+
+def decode_image(df: DataFrame) -> DataFrame:
+    """REAL decode path — dispatches to PIL when importable (decodes each
+    payload blob to a row-major grayscale uint8 raster via an
+    Arrow-batched mapInPandas, per-blob work like every other multimodal
+    op), otherwise raises NotImplementedError (this container ships no
+    codec library). The fake-raster ops below (`image_features`,
+    `resize_image`) exercise the identical Spark plumbing either way;
+    enabling the codec changes nothing but this function's body."""
     if not have_image_codec():
         raise NotImplementedError(
             "no image codec available in this environment; "
             "install pillow to enable real decoding (fake-raster ops below "
             "exercise the identical Spark plumbing)"
         )
-    raise NotImplementedError("real codec path intentionally unimplemented here")
+
+    def compute(batches):
+        import io
+
+        import pandas as pd
+        from PIL import Image
+
+        for pdf in batches:
+            out = []
+            for _, row in pdf.iterrows():
+                img = Image.open(io.BytesIO(row["payload"])).convert("L")
+                out.append(
+                    (
+                        row["media_id"],
+                        row["kind"],
+                        img.width,
+                        img.height,
+                        1,
+                        bytearray(img.tobytes()),
+                    )
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "media_id",
+                    "kind",
+                    "width",
+                    "height",
+                    "channels",
+                    "raster",
+                ],
+            )
+
+    return df.select("media_id", "kind", "payload").mapInPandas(
+        compute, _DECODED_SCHEMA
+    )
 
 
 _FEATURE_SCHEMA = (

@@ -168,6 +168,48 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @workload(
+    "sim_ivf_index_topk",
+    oracle=f"""
+SELECT TRUE AS matches_inmemory, CAST({_K} AS BIGINT) AS n_returned,
+       TRUE AS recall_ok
+""",
+)
+def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 at 100 TB — the PERSISTED IVF index (operators/ann_index.py):
+    train the coarse quantizer once, write centroids + the corpus
+    hive-partitioned by cluster, then probe as a planning-time
+    partition-pruned scan reading nprobe/k of the corpus bytes. The
+    hashed projection certifies the build-once/probe-many contract:
+    exactly k rows return, recall@10 vs exact brute force clears 0.2,
+    and the probed result is BIT-IDENTICAL (same (vec_id, cosine)
+    multiset) to the in-memory kmeans_ivf_topk operator with the same
+    quantizer parameters — a drifted index layout or broken partition
+    pruning flips matches_inmemory and fails the hash."""
+    from sample_data_pipeline_project_spark.operators.ann_index import (
+        build_ivf_index,
+        ivf_index_topk,
+    )
+    from sample_data_pipeline_project_spark.operators.kmeans import kmeans_ivf_topk
+
+    corpus, q, exact = _exact_topk_ids(spark, sf_dir)
+    # under the gitignored warehouse dir: rebuilt per invocation (the
+    # build IS part of what this workload measures)
+    path = "spark-warehouse/ivf_index_workload"
+    build_ivf_index(corpus, path, k_clusters=8, max_iters=3)
+    probed = ivf_index_topk(spark, path, q, _K, nprobe=2)
+    inmem = kmeans_ivf_topk(
+        corpus, q, k_clusters=8, top_k=_K, nprobe=2, max_iters=3
+    )
+    pv = probed.select("vec_id", "cosine_sim")
+    iv = inmem.select("vec_id", "cosine_sim")
+    diff = pv.exceptAll(iv).unionAll(iv.exceptAll(pv))
+    return (
+        diff.agg((F.count(F.lit(1)) == 0).alias("matches_inmemory"))
+        .crossJoin(_topk_certification(probed, exact, min_recall=0.2))
+    )
+
+
+@workload(
     "sim_lsh_topk",
     oracle=f"SELECT CAST({_K} AS BIGINT) AS n_returned, TRUE AS recall_ok",
 )

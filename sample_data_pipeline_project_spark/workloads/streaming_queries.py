@@ -235,3 +235,101 @@ def stream_ledger_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     runs = ledger_runs_stream(stream_events(spark, sf_dir))
     return run_stream_to_table(ledger_gaps_stateful(runs), output_mode="append")
+
+
+_OOO_DELAY_MIN = 10
+_OOO_BATCHES = 4
+
+
+@workload(
+    "stream_ledger_gaps_ooo",
+    oracle=f"""
+WITH {LEDGER_CTE},
+cutoff AS (
+  SELECT MAX(query_window_start_ts) - INTERVAL {_OOO_DELAY_MIN} MINUTE AS c
+  FROM pipeline_runs
+),
+flushed AS (
+  SELECT r.* FROM pipeline_runs r, cutoff WHERE r.query_window_start_ts <= cutoff.c
+),
+scoped AS (
+  SELECT *,
+         LAG(query_window_end_ts) OVER (
+           PARTITION BY pipeline_name, index_name, query_window_start_day
+           ORDER BY query_window_start_ts ASC, run_id ASC
+         ) AS prev_end_ts
+  FROM flushed
+)
+SELECT pipeline_name, index_name, query_window_start_day AS day,
+       prev_end_ts AS missing_from_ts,
+       query_window_start_ts AS missing_until_ts
+FROM scoped
+WHERE prev_end_ts IS NOT NULL AND query_window_start_ts != prev_end_ts
+""",
+)
+def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A13 as a stream under OUT-OF-ORDER arrival (streaming/eventtime.py
+    ledger_gaps_ooo): rows buffer in per-group state and flush re-sorted
+    on (start_ts, run_id) — the batch LAG's exact key — once the
+    event-time watermark passes them. The workload STAGES the ledger runs
+    as {nb} micro-batch files partitioned into ascending start_ts value
+    ranges but SHUFFLED (md5 order) within each batch, so every batch
+    delivers its rows in scrambled order and later-range rows wait in
+    state across batch boundaries; ascending ranges guarantee no row ever
+    arrives below the watermark (nothing is dropped), which makes the
+    flushed set exact: every run with start_ts <= max(start_ts) - delay
+    (the terminal watermark; Spark's availableNow trigger runs a final
+    timeout-only batch that flushes it). The oracle states the identical
+    cutoff over the batch ledger CTE — stream-vs-batch parity including
+    the watermark boundary."""
+    import shutil
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.ledger.derive import derived_ledger
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        ledger_gaps_ooo,
+    )
+
+    runs = derived_ledger(spark, sf_dir).select(
+        "run_id",
+        "pipeline_name",
+        "index_name",
+        "query_window_start_day",
+        "query_window_start_ts",
+        "query_window_end_ts",
+    )
+    # value-range micro-batches: bucket bounds from collected min/max
+    # epoch micros (deterministic arithmetic, no sampling, no window)
+    us = F.expr("unix_micros(CAST(query_window_start_ts AS TIMESTAMP))")
+    mn, mx = (int(x) for x in runs.agg(F.min(us), F.max(us)).first())
+    span = (mx - mn) if mx > mn else 1
+    nb = _OOO_BATCHES
+    bucketed = runs.withColumn(
+        "__bkt",
+        F.least(F.lit(nb - 1), F.floor((us - F.lit(mn)) * nb / F.lit(span))).cast(
+            "int"
+        ),
+    )
+    stage_root = "spark-warehouse/ooo_stage"
+    shutil.rmtree(stage_root, ignore_errors=True)
+    stage = f"{stage_root}/{uuid.uuid4().hex[:8]}"
+    for b in range(nb):
+        (
+            bucketed.filter(F.col("__bkt") == b)
+            .drop("__bkt")
+            .orderBy(F.md5(F.col("run_id").cast("string")))
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(stage)
+        )
+    stream = (
+        spark.readStream.schema(runs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    return run_stream_to_table(
+        ledger_gaps_ooo(stream, delay=f"{_OOO_DELAY_MIN} minutes"),
+        output_mode="append",
+    )

@@ -121,3 +121,30 @@ def test_audio_window_energy_tail_window(spark):
         key=lambda r: r["window_idx"],
     )
     assert [r["n_samples"] for r in rows] == [4, 4, 2]
+
+
+def test_decode_image_pil_roundtrip(spark):
+    """With PIL present: a PNG-encoded known raster decodes back to the
+    identical bytes through the Arrow-batched decode operator."""
+    if not have_image_codec():
+        pytest.skip("pillow not installed; decode dispatch untestable here")
+    import io
+
+    import numpy as np
+    from PIL import Image
+
+    from sample_data_pipeline_project_spark.multimodal.ops import MEDIA_SCHEMA
+
+    w, h = 16, 12
+    raster = (np.arange(w * h, dtype=np.uint64) * 37 % 251).astype(np.uint8)
+    buf = io.BytesIO()
+    Image.fromarray(raster.reshape(h, w), mode="L").save(buf, format="PNG")
+    media = spark.createDataFrame(
+        [(7, "image", bytearray(buf.getvalue()), (w, h, 1, None, None))],
+        MEDIA_SCHEMA,
+    )
+    out = decode_image(media).collect()
+    assert len(out) == 1
+    row = out[0]
+    assert (row["width"], row["height"], row["channels"]) == (w, h, 1)
+    assert bytes(row["raster"]) == raster.tobytes()
