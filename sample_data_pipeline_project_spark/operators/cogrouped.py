@@ -60,37 +60,38 @@ def clicks_with_prior_view_counts(
             }
         )
 
-    def _pruned_out(n_rows):
-        # Catalyst pruned the UDF inputs to zero columns (e.g. a terminal
-        # count() needs only cardinality): emit the right NUMBER of rows;
-        # the values are provably unread downstream.
-        return pd.DataFrame(
-            {
-                "user_id": np.zeros(n_rows, dtype="int64"),
-                "click_id": np.zeros(n_rows, dtype="int64"),
-                "click_ts": np.full(n_rows, np.datetime64("1970-01-01", "ns")),
-                "prior_views": np.zeros(n_rows, dtype="int64"),
-            }
+    def _pruned_out(left):
+        # Catalyst pruned some UDF input columns (a terminal count()
+        # prunes everything the plan doesn't consume — observed as both
+        # full zero-column prunes AND partial ones, e.g. the bucketed
+        # path keeps the bucket key). Emit the right NUMBER of rows
+        # (always len(left) — one output row per click regardless of the
+        # views side), PASS THROUGH every left column Catalyst kept
+        # (whatever the plan could still read is real, never fabricated),
+        # and fabricate only the pruned ones — pruned columns are by
+        # construction unread downstream. prior_views needs both sides'
+        # columns, so under any prune it is fabricated too.
+        n = len(left)
+        cols = {}
+        for name in ("user_id", "click_id"):
+            cols[name] = (
+                left[name].to_numpy()
+                if name in left.columns
+                else np.zeros(n, dtype="int64")
+            )
+        cols["click_ts"] = (
+            left["click_ts"].to_numpy(dtype="datetime64[ns]")
+            if "click_ts" in left.columns
+            else np.full(n, np.datetime64("1970-01-01", "ns"))
         )
+        cols["prior_views"] = np.zeros(n, dtype="int64")
+        return pd.DataFrame(cols)
 
     def _inputs_pruned(left, right):
-        have_all = {"user_id", "click_id", "click_ts"} <= set(left.columns) and {
-            "user_id",
-            "ts",
-        } <= set(right.columns)
-        if have_all:
-            return False
-        # Only a FULL prune (terminal count(): zero columns on both
-        # sides) may take the fabricated-output path. A partial column
-        # set means downstream still reads values — fabricating zeros
-        # there would be silent corruption, so fail loudly instead.
-        if len(left.columns) > 0 or len(right.columns) > 0:
-            raise ValueError(
-                "cogrouped UDF got a PARTIAL column prune "
-                f"(left={list(left.columns)}, right={list(right.columns)}); "
-                "only a full zero-column prune is supported"
-            )
-        return True
+        return not (
+            {"user_id", "click_id", "click_ts"} <= set(left.columns)
+            and {"user_id", "ts"} <= set(right.columns)
+        )
 
     if n_buckets is None:
 
@@ -98,7 +99,7 @@ def clicks_with_prior_view_counts(
             if len(left) == 0:
                 return _empty_out()
             if _inputs_pruned(left, right):
-                return _pruned_out(len(left))
+                return _pruned_out(left)
             view_ts = np.sort(right["ts"].to_numpy()) if not right.empty else np.array(
                 [], dtype="datetime64[ns]"
             )
@@ -118,7 +119,7 @@ def clicks_with_prior_view_counts(
         if len(left) == 0:
             return _empty_out()
         if _inputs_pruned(left, right):
-            return _pruned_out(len(left))
+            return _pruned_out(left)
         n_c, n_v = len(left), len(right)
         # An empty cogroup side arrives as a pandas frame WITHOUT columns
         # (not just without rows) — never index it.

@@ -191,10 +191,16 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sample_data_pipeline_project_spark.operators.kmeans import kmeans_ivf_topk
 
+    import os
+
     corpus, q, exact = _exact_topk_ids(spark, sf_dir)
-    # under the gitignored warehouse dir: rebuilt per invocation (the
-    # build IS part of what this workload measures)
-    path = "spark-warehouse/ivf_index_workload"
+    # under the repo's gitignored warehouse dir (absolute — the driver's
+    # cwd is not guaranteed); rebuilt per invocation (the build IS part
+    # of what this workload measures)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    path = os.path.join(repo_root, "spark-warehouse", "ivf_index_workload")
     build_ivf_index(corpus, path, k_clusters=8, max_iters=3)
     probed = ivf_index_topk(spark, path, q, _K, nprobe=2)
     inmem = kmeans_ivf_topk(

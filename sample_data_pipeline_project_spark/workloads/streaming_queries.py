@@ -282,6 +282,7 @@ def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     timeout-only batch that flushes it). The oracle states the identical
     cutoff over the batch ledger CTE — stream-vs-batch parity including
     the watermark boundary."""
+    import os
     import shutil
     import uuid
 
@@ -312,7 +313,11 @@ def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
-    stage_root = "spark-warehouse/ooo_stage"
+    # absolute, anchored at the repo (the driver's cwd is not guaranteed)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    stage_root = os.path.join(repo_root, "spark-warehouse", "ooo_stage")
     shutil.rmtree(stage_root, ignore_errors=True)
     stage = f"{stage_root}/{uuid.uuid4().hex[:8]}"
     for b in range(nb):

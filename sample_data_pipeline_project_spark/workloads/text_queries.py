@@ -781,3 +781,107 @@ def sketch_countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cm_estimate").cast("long"),
         (F.col("cm_estimate") >= F.col("exact_count")).alias("overestimate_ok"),
     )
+
+
+# --------------------------------------------------------------------------
+# Repetition-based quality filter (the Gopher/MassiveText repetition
+# rules, token-adapted): docs dominated by one repeated bigram or by
+# duplicated 5-grams are boilerplate/spam and get dropped pre-training.
+# --------------------------------------------------------------------------
+_REP_TOP_BIGRAM_MAX = 0.10  # keep iff 2*top_bigram_n/n_tok <= 0.10
+_REP_DUP_5GRAM_MAX = 0.10  # keep iff dup_5gram_n/n_5grams  <= 0.10
+
+_REP_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+sized AS (
+  SELECT doc_id, t, len(t) AS n_tok,
+         list_transform(range(1, greatest(len(t) - 3, 1)),
+                        i -> array_to_string(t[i:i+4], ' ')) AS g5
+  FROM toks
+),
+per_doc AS (
+  SELECT doc_id, n_tok,
+         len(g5) - len(list_distinct(g5)) AS dup_5gram_n,
+         len(g5) AS n5
+  FROM sized
+),
+bigrams AS (
+  SELECT doc_id, unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks
+),
+top_bigram AS (
+  SELECT doc_id, MAX(n_pair) AS top_bigram_n
+  FROM (SELECT doc_id, w1, w2, COUNT(*) AS n_pair
+        FROM bigrams GROUP BY doc_id, w1, w2)
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(p.n_tok AS BIGINT) AS n_tok,
+       CAST(COALESCE(tb.top_bigram_n, 0) AS BIGINT) AS top_bigram_n,
+       CAST(p.dup_5gram_n AS BIGINT) AS dup_5gram_n,
+       (20 * COALESCE(tb.top_bigram_n, 0) <= p.n_tok
+        AND 10 * p.dup_5gram_n <= p.n5) AS keep
+FROM per_doc p LEFT JOIN top_bigram tb ON p.doc_id = tb.doc_id
+"""
+
+
+@workload("text_repetition_filter", oracle=_REP_ORACLE)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REPETITION quality filter (the Gopher/MassiveText rule family,
+    token-adapted): a doc is dropped when (a) its single most frequent
+    ordered bigram covers more than {max_bi} of its tokens
+    (2*top_bigram_n/n_tok) or (b) more than {max_g5} of its 5-gram
+    instances are duplicates (n_5grams - distinct). The 5-gram metric is
+    a pure per-row projection (array HOFs, zero shuffle); the top-bigram
+    metric aggregates per (doc_id, bigram) then per doc_id — both
+    shuffles are doc-partitioned, so the filter streams at corpus scale.
+    Both keep-rules compare as EXACT INTEGERS (20*m <= n, 10*d <= n5) —
+    no float ratio crosses the engine boundary."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    sized = d.select(
+        "doc_id",
+        toks.alias("t"),
+        F.size(toks).cast("long").alias("n_tok"),
+    ).withColumn(
+        "g5",
+        F.expr(
+            "transform(sequence(1, greatest(size(t) - 4, 0)), "
+            "i -> concat_ws(' ', slice(t, i, 5)))"
+        ),
+    )
+    per_doc = sized.select(
+        "doc_id",
+        "n_tok",
+        (F.size("g5") - F.size(F.array_distinct("g5")))
+        .cast("long")
+        .alias("dup_5gram_n"),
+        F.size("g5").cast("long").alias("n5"),
+    )
+    bigram_arr = F.expr(
+        "transform(sequence(1, greatest(size(t) - 1, 0)), "
+        "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
+    )
+    top_bigram = (
+        sized.select("doc_id", F.explode(bigram_arr).alias("b"))
+        .groupBy("doc_id", "b.w1", "b.w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+        .groupBy("doc_id")
+        .agg(F.max("n_pair").alias("top_bigram_n"))
+    )
+    j = per_doc.join(top_bigram, "doc_id", "left").withColumn(
+        "top_bigram_n", F.coalesce(F.col("top_bigram_n"), F.lit(0)).cast("long")
+    )
+    return j.select(
+        "doc_id",
+        "n_tok",
+        "top_bigram_n",
+        "dup_5gram_n",
+        (
+            (20 * F.col("top_bigram_n") <= F.col("n_tok"))
+            & (10 * F.col("dup_5gram_n") <= F.col("n5"))
+        ).alias("keep"),
+    )
