@@ -192,10 +192,10 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs_prefix(d, _NGRAM_THRESHOLD, ngram_n=_NGRAM_N)
 
 
-@workload(
-    "dedup_connected_components",
-    oracle=f"""
-WITH RECURSIVE base AS (
+# Shared recursive-CTE chain: bigram-Jaccard pair graph -> symmetric
+# closure -> min-label connected components (everything through `comp`) —
+# used verbatim by BOTH cluster workloads so the two oracles cannot drift.
+_DUCK_CC_CTES = f"""base AS (
   SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
   FROM documents
 ),
@@ -223,7 +223,13 @@ reach(node, lbl) AS (
   UNION
   SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.node
 ),
-comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY node)
+comp AS (SELECT node AS doc_id, MIN(lbl) AS component_id FROM reach GROUP BY node)"""
+
+
+@workload(
+    "dedup_connected_components",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_CC_CTES}
 SELECT c.doc_id, c.component_id, s.n_members
 FROM comp c
 JOIN (SELECT component_id, COUNT(*) AS n_members FROM comp
@@ -258,3 +264,105 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable so the oracle reproduces signatures exactly."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, _NUM_HASHES, _BANDS)
+
+
+# --------------------------------------------------------------------------
+# Quality-aware duplicate-cluster collapse: after clustering, curation
+# keeps ONE canonical doc per near-dup cluster — the highest-quality
+# member, not an arbitrary one.
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.workloads.text_queries import (  # noqa: E402
+    _DUCK_STOP_EN,
+)
+
+_DUCK_QSCORE = f"""(CASE WHEN len(qtoks) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
+      + CASE WHEN CAST(len(list_filter(qtoks, t -> t IN ({_DUCK_STOP_EN}))) AS DOUBLE)
+                  / len(qtoks) BETWEEN 0.01 AND 0.6 THEN 1 ELSE 0 END
+      + CASE WHEN CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks) >= 0.1
+             THEN 1 ELSE 0 END)"""
+
+
+@workload(
+    "dedup_cluster_collapse",
+    oracle=f"""
+WITH RECURSIVE {_DUCK_CC_CTES},
+q AS (
+  SELECT doc_id, {_DUCK_QSCORE} AS quality_score
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS qtoks
+        FROM documents)
+),
+ranked AS (
+  SELECT c.doc_id, c.component_id, q.quality_score,
+         ROW_NUMBER() OVER (PARTITION BY c.component_id
+                            ORDER BY q.quality_score DESC, c.doc_id ASC) AS rn
+  FROM comp c JOIN q USING (doc_id)
+),
+canon AS (
+  SELECT component_id, doc_id AS canonical_doc_id FROM ranked WHERE rn = 1
+)
+SELECT r.doc_id, r.component_id,
+       CAST(r.quality_score AS BIGINT) AS quality_score,
+       k.canonical_doc_id,
+       (r.doc_id = k.canonical_doc_id) AS is_canonical
+FROM ranked r JOIN canon k USING (component_id)
+""",
+)
+def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 composition — QUALITY-AWARE duplicate collapse: the bigram-
+    Jaccard near-dup graph is clustered (connected components, same edge
+    set and operator as dedup_connected_components), then each cluster
+    elects its highest-quality member as canonical (quality = the 0-3
+    additive score of text_quality_score; doc_id breaks ties) — the
+    curation step that keeps the BEST duplicate, not an arbitrary one.
+    Every shuffle is keyed by doc_id or component_id (cluster-local
+    election via a component-partitioned rank — never a global window);
+    integer scores + boolean flags keep the hash engine-portable."""
+    from pyspark.sql.window import Window
+
+    from sample_data_pipeline_project_spark.functions.text import (
+        stopword_count,
+        tokens,
+    )
+    from sample_data_pipeline_project_spark.operators.components import (
+        connected_components,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_prefix(d, _NGRAM_THRESHOLD, ngram_n=_NGRAM_N).select(
+        "a", "b"
+    )
+    comp = connected_components(pairs, d.select("doc_id"), id_col="doc_id")
+    dq = d.withColumn("qtoks", tokens("text"))
+    n_tokens = F.size(F.col("qtoks"))
+    n_stop = stopword_count("qtoks", "en")
+    score = (
+        F.when(n_tokens.between(20, 1000), 1).otherwise(0)
+        + F.when((n_stop.cast("double") / n_tokens).between(0.01, 0.6), 1).otherwise(
+            0
+        )
+        + F.when(
+            F.size(F.array_distinct(F.col("qtoks"))).cast("double") / n_tokens
+            >= 0.1,
+            1,
+        ).otherwise(0)
+    )
+    scored = dq.select("doc_id", score.cast("long").alias("quality_score"))
+    joined = comp.join(scored, "doc_id")
+    w = Window.partitionBy("component_id").orderBy(
+        F.col("quality_score").desc(), F.col("doc_id").asc()
+    )
+    ranked = joined.withColumn("rn", F.row_number().over(w))
+    canon = ranked.filter(F.col("rn") == 1).select(
+        "component_id", F.col("doc_id").alias("canonical_doc_id")
+    )
+    return (
+        ranked.drop("rn")
+        .join(canon, "component_id")
+        .select(
+            "doc_id",
+            "component_id",
+            "quality_score",
+            "canonical_doc_id",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
+        )
+    )
