@@ -169,39 +169,19 @@ def jaccard_pairs_prefix(
         )
     else:
         # Distributed two-level rank — NO global window (a vocab-sized
-        # single-partition sort is the plan class the engine bans): bucket
-        # tokens by df value range (deterministic arithmetic on the
-        # collected min/max, monotone in df so cross-bucket order is
-        # consistent with (df, tok)), rank within each bucket, then add
-        # the summed counts of lower buckets (a constant-sized collect).
-        # Bucket skew costs balance only, never rank correctness.
-        vocab_size = df_counts.count()
-        nb = 256
-        mn, mx = (int(x) for x in df_counts.agg(F.min("df"), F.max("df")).first())
-        span = (mx - mn) if mx > mn else 1
-        bkt = F.least(
-            F.lit(nb - 1),
-            F.floor((F.col("df") - F.lit(mn)) * nb / F.lit(span)),
-        ).cast("int")
-        dfb = df_counts.withColumn("bkt", bkt)
-        bcounts = {
-            r["bkt"]: r["cnt"]
-            for r in dfb.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
-        }
-        offsets, acc = [], 0
-        for b in range(nb):
-            offsets.append((b, acc))
-            acc += bcounts.get(b, 0)
-        off_df = docs.sparkSession.createDataFrame(offsets, "bkt int, off long")
-        rank_w = Window.partitionBy("bkt").orderBy(
-            F.col("df").asc(), F.col("tok").asc()
+        # single-partition sort is the plan class the engine bans):
+        # operators/ranks.py buckets tokens by df value range, ranks
+        # within each bucket, and offsets by lower-bucket counts; the
+        # vocabulary size falls out of the same pass.
+        from sample_data_pipeline_project_spark.operators.ranks import (
+            bucketed_global_rank,
         )
-        tok_rank = (
-            dfb.join(F.broadcast(off_df), "bkt")
-            .withColumn(
-                "rank", (F.row_number().over(rank_w) + F.col("off")).cast("int")
-            )
-            .select("tok", "rank")
+
+        ranked_vocab, vocab_size = bucketed_global_rank(
+            df_counts, "df", ["tok"], n_buckets=256, out_col="rank"
+        )
+        tok_rank = ranked_vocab.select(
+            "tok", F.col("rank").cast("int").alias("rank")
         )
     # Adaptive verify strategy (an AQE-style stats decision, made once,
     # driver-side, from a tiny aggregate): with <= 64 distinct tokens a

@@ -266,35 +266,23 @@ def sketch_approx_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     relative-error-bound boolean, as with the HLL workloads."""
     import math
 
+    from sample_data_pipeline_project_spark.operators.ranks import (
+        bucketed_global_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     ps = list(_QUANTILE_PS)
-    nb = _QUANTILE_BUCKETS
-    mn, mx = o.agg(F.min("o_totalprice"), F.max("o_totalprice")).first()
-    mn, mx = float(mn), float(mx)
-    span = (mx - mn) if mx > mn else 1.0
-    bucket = F.least(
-        F.lit(nb - 1),
-        F.floor((F.col("o_totalprice") - F.lit(mn)) / F.lit(span) * nb),
-    ).cast("int")
-    ob = o.select("o_totalprice", "o_orderkey").withColumn("bkt", bucket)
-    counts = {
-        row["bkt"]: row["cnt"]
-        for row in ob.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
-    n = sum(counts.values())
-    offsets, acc = [], 0
-    for b in range(nb):
-        offsets.append((b, acc))
-        acc += counts.get(b, 0)
-    off_df = spark.createDataFrame(offsets, "bkt int, off long")
+    ranked, n = bucketed_global_rank(
+        o.select("o_totalprice", "o_orderkey"),
+        "o_totalprice",
+        ["o_orderkey"],
+        n_buckets=_QUANTILE_BUCKETS,
+    )
     targets = spark.createDataFrame(
         [(p, int(math.ceil(p * n))) for p in ps], "p double, target_rn long"
     )
-    wb = Window.partitionBy("bkt").orderBy("o_totalprice", "o_orderkey")
     exact = (
-        ob.join(F.broadcast(off_df), "bkt")
-        .withColumn("rn", F.row_number().over(wb) + F.col("off"))
-        .join(F.broadcast(targets), F.col("rn") == F.col("target_rn"))
+        ranked.join(F.broadcast(targets), F.col("rn") == F.col("target_rn"))
         .select(
             "p",
             F.col("o_totalprice")

@@ -273,3 +273,32 @@ def test_partial_agg_merge_equals_full(sess, rows, split):
     got = {tuple(r) for r in merged.collect()}
     want = {tuple(r) for r in part(df).collect()}
     assert got == want
+
+
+from sample_data_pipeline_project_spark.operators.ranks import (  # noqa: E402
+    bucketed_global_rank,
+)
+
+_rank_rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=-50, max_value=50),  # value: many duplicates
+        st.integers(min_value=0, max_value=10_000),  # tiebreak key
+    ),
+    min_size=0,
+    max_size=60,
+    unique_by=lambda t: t[1],
+)
+
+
+@given(rows=_rank_rows_strategy, nb=st.sampled_from([1, 3, 64]))
+@_SETTINGS
+def test_bucketed_global_rank_equals_sorted_position(sess, rows, nb):
+    """The bucket-offset rank (quantiles + dedup vocab path) must equal
+    the 1..N position under (value, key) sorting — for any value
+    distribution (duplicates, skew, negatives) and any bucket count,
+    including nb=1 (worst skew: everything in one bucket)."""
+    df = sess.createDataFrame(rows or [], "v long, k long")
+    ranked, n = bucketed_global_rank(df, "v", ["k"], n_buckets=nb)
+    got = {(r["v"], r["k"]): r["rn"] for r in ranked.collect()}
+    want = {vk: i + 1 for i, vk in enumerate(sorted(rows))}
+    assert n == len(rows) and got == want
