@@ -409,28 +409,77 @@ def minhash_lsh_candidates(
     colliding docs shuffle to the same reducer; no quadratic blow-up."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
-    r = num_hashes // bands
     # Both join sides read the signature table; cache so the token explode
     # + k-way min aggregation runs once (see jaccard_pairs_prefix note).
     sig = minhash_signatures(docs, num_hashes, id_col, text_col).cache()
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.md5(F.concat_ws(",", *[F.col(f"mh_{bi * r + j}") for j in range(r)])).alias(
-                "band_hash"
-            ),
-        )
-        for bi in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(id_col, F.col("bk.band_idx").alias("band_idx"), F.col("bk.band_hash").alias("band_hash"))
+    banded = _band_explode(sig, num_hashes, bands, id_col)
     a = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
     b = banded.select(F.col(id_col).alias("b"), "band_idx", "band_hash")
     return (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("a") < F.col("b"))
         .select("a", "b")
+        .distinct()
+    )
+
+
+def _band_explode(
+    sig: DataFrame, num_hashes: int, bands: int, id_col: str
+) -> DataFrame:
+    """(id, band_idx, band_hash) rows: each band of r = k/bands signature
+    values hashed to one key — the LSH bucket id."""
+    r = num_hashes // bands
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band_idx"),
+            F.md5(
+                F.concat_ws(",", *[F.col(f"mh_{bi * r + j}") for j in range(r)])
+            ).alias("band_hash"),
+        )
+        for bi in range(bands)
+    ]
+    return sig.select(
+        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col,
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_hash").alias("band_hash"),
+    )
+
+
+def minhash_lsh_candidates_incremental(
+    base_sigs: DataFrame,
+    delta_docs: DataFrame,
+    num_hashes: int = 12,
+    bands: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """INCREMENTAL LSH: candidate pairs introduced by a DELTA batch of new
+    documents against an EXISTING corpus whose MinHash signatures are
+    already materialized (`base_sigs`, e.g. read back from the signature
+    store) — the daily-crawl-versus-100-TB-corpus dedup shape. Base
+    documents are never re-tokenized or re-hashed; only the delta is
+    signed, and the band join is delta-bands against (base + delta)
+    bands, so shuffle volume is sized by the DELTA plus its colliding
+    buckets — not the corpus. Returns distinct unordered pairs touching
+    at least one delta doc: exactly the full-corpus candidate set minus
+    the base-base pairs already found by earlier runs."""
+    if num_hashes % bands:
+        raise ValueError("num_hashes must be divisible by bands")
+    delta_sigs = minhash_signatures(delta_docs, num_hashes, id_col, text_col).cache()
+    all_banded = _band_explode(
+        base_sigs.unionByName(delta_sigs), num_hashes, bands, id_col
+    )
+    delta_banded = _band_explode(delta_sigs, num_hashes, bands, id_col)
+    d = delta_banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
+    e = all_banded.select(F.col(id_col).alias("b"), "band_idx", "band_hash")
+    return (
+        d.join(e, ["band_idx", "band_hash"])
+        .filter(F.col("a") != F.col("b"))
+        .select(
+            F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b")
+        )
         .distinct()
     )
 

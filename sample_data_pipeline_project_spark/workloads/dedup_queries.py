@@ -75,7 +75,7 @@ _BANDS = 4
 _R = _NUM_HASHES // _BANDS
 
 
-def _duck_minhash_oracle() -> str:
+def _duck_minhash_oracle(extra_where: str = "") -> str:
     mins = ",\n         ".join(
         f"MIN(md5('{i}|' || tok)) AS mh_{i}" for i in range(_NUM_HASHES)
     )
@@ -104,6 +104,7 @@ JOIN banded b
   ON a.band_idx = b.band_idx
  AND a.band_hash = b.band_hash
  AND a.doc_id < b.doc_id
+{extra_where}
 """
 
 
@@ -365,4 +366,50 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
             "canonical_doc_id",
             (F.col("doc_id") == F.col("canonical_doc_id")).alias("is_canonical"),
         )
+    )
+
+
+# --------------------------------------------------------------------------
+# Incremental LSH: new-batch documents against an existing corpus whose
+# signatures are already materialized (the daily-crawl dedup shape).
+# --------------------------------------------------------------------------
+_INC_DELTA_MOD = 10  # delta batch = doc_id % 10 == 0 (~10% of the corpus)
+
+
+@workload(
+    "dedup_minhash_incremental",
+    oracle=_duck_minhash_oracle(
+        extra_where=f"WHERE a.doc_id % {_INC_DELTA_MOD} = 0"
+        f" OR b.doc_id % {_INC_DELTA_MOD} = 0"
+    ),
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 at 100 TB — INCREMENTAL MinHash-LSH dedup: the corpus is split
+    into an existing base (90%) whose signatures are materialized to the
+    signature store (parquet round-trip — base docs are NOT re-tokenized
+    or re-hashed) and a delta batch (doc_id % {mod} == 0, ~10%) standing
+    in for a new crawl. Candidates = delta bands joined against
+    (base + delta) bands — shuffle sized by the delta and its colliding
+    buckets, not the corpus. The oracle recomputes the FULL corpus LSH
+    candidates and keeps exactly the pairs touching a delta doc: the
+    incremental result must equal full-recompute-minus-already-known,
+    which is the correctness statement of incremental maintenance."""
+    import os
+
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_candidates_incremental,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % _INC_DELTA_MOD != 0)
+    delta = d.filter(F.col("doc_id") % _INC_DELTA_MOD == 0)
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    store = os.path.join(repo_root, "spark-warehouse", "minhash_sig_store")
+    minhash_signatures(base, _NUM_HASHES).write.mode("overwrite").parquet(store)
+    base_sigs = spark.read.parquet(store)
+    return minhash_lsh_candidates_incremental(
+        base_sigs, delta, _NUM_HASHES, _BANDS
     )

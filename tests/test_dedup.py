@@ -101,3 +101,33 @@ def test_prefix_filter_distributed_rank_path(spark, monkeypatch):
     fallback_df = jaccard_pairs_prefix(docs, 0.5)
     assert single_partition_window_sites(fallback_df) == []
     assert _pairs(fallback_df) == collected and len(collected) > 0
+
+
+def test_minhash_incremental_equals_full_minus_base_base(spark):
+    """Incremental LSH (delta vs materialized base signatures) must equal
+    the full-corpus candidate set restricted to pairs touching the
+    delta."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_candidates_incremental,
+        minhash_signatures,
+    )
+
+    rows = [
+        (i, f"shared tokens body {'x' if i % 3 else 'y'} tail {i % 4}")
+        for i in range(12)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    base = docs.filter(F.col("doc_id") % 3 != 0)
+    delta = docs.filter(F.col("doc_id") % 3 == 0)
+    full = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates(docs, 12, 4).collect()
+    }
+    want = {(a, b) for a, b in full if a % 3 == 0 or b % 3 == 0}
+    got = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates_incremental(
+            minhash_signatures(base, 12), delta, 12, 4
+        ).collect()
+    }
+    assert got == want and len(want) > 0
