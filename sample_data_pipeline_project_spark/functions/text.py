@@ -45,11 +45,15 @@ def stopword_count(tokens_col: str, lang: str = "en") -> Column:
 
 
 def word_ngrams(tokens_col: str, n: int) -> Column:
-    """Word n-gram shingles: transform over a 0..len-n index range, joining
-    n consecutive tokens with a space."""
+    """Word n-gram shingles: transform over a 1..len-n+1 index range, joining
+    n consecutive tokens with a space. Docs shorter than `n` tokens yield an
+    EMPTY array — guarded explicitly because Spark's `sequence(1, 0)` is a
+    DESCENDING sequence [1, 0], not empty, and index 0 crashes `slice`."""
     return F.expr(
-        f"transform(sequence(1, greatest(size({tokens_col}) - {n - 1}, 0)), "
-        f"i -> array_join(slice({tokens_col}, i, {n}), ' '))"
+        f"if(size({tokens_col}) >= {n}, "
+        f"transform(sequence(1, size({tokens_col}) - {n - 1}), "
+        f"i -> array_join(slice({tokens_col}, i, {n}), ' ')), "
+        f"cast(array() as array<string>))"
     )
 
 

@@ -55,6 +55,7 @@ def load_all() -> dict[str, Workload]:
     from sample_data_pipeline_project_spark.workloads import (  # noqa: F401
         analytics_extra,
         asof_queries,
+        curation_queries,
         dedup_queries,
         event_queries,
         ledger_queries,
