@@ -321,6 +321,63 @@ def simhash_fingerprints(
     return toks.groupBy(id_col).agg(*votes).select(id_col, fp.alias("simhash"))
 
 
+def banded_hamming_pairs(
+    sig: DataFrame,
+    bits: int,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    fp_col: str = "fp",
+    bands: int = 4,
+) -> DataFrame:
+    """Generic banded Hamming self-join over any integer fingerprint
+    column: unordered pairs (a < b) with bit_count(xor) <= `max_hamming`.
+    EXACT, not approximate: with `bands` equal bit-slices and
+    max_hamming < bands, the pigeonhole principle guarantees every
+    qualifying pair agrees on at least one whole slice — so the banded
+    equi-join loses nothing, and bit_count(xor) verifies candidates.
+    Shared by SimHash text near-dup and the multimodal content dHash.
+    Returns (a, b, fp_a, fp_b, hamming)."""
+    if max_hamming >= bands:
+        raise ValueError("exactness requires max_hamming < bands")
+    if bits % bands:
+        raise ValueError("bands must divide the fingerprint width")
+    width = bits // bands
+    band_cols = [
+        F.struct(
+            F.lit(b).alias("band_idx"),
+            F.expr(f"({fp_col} >> {b * width}) & {(1 << width) - 1}").alias(
+                "band_val"
+            ),
+        )
+        for b in range(bands)
+    ]
+    banded = sig.select(
+        F.col(id_col), F.col(fp_col), F.explode(F.array(*band_cols)).alias("bk")
+    ).select(
+        id_col,
+        fp_col,
+        F.col("bk.band_idx").alias("band_idx"),
+        F.col("bk.band_val").alias("band_val"),
+    )
+    a = banded.select(
+        F.col(id_col).alias("a"), F.col(fp_col).alias("fp_a"), "band_idx", "band_val"
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"), F.col(fp_col).alias("fp_b"), "band_idx", "band_val"
+    )
+    return (
+        a.join(b, ["band_idx", "band_val"])
+        .filter(F.col("a") < F.col("b"))
+        .withColumn(
+            "hamming",
+            F.bit_count(F.col("fp_a").bitwiseXOR(F.col("fp_b"))).cast("long"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "fp_a", "fp_b", "hamming")
+        .distinct()
+    )
+
+
 def simhash_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
@@ -330,49 +387,25 @@ def simhash_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """Unordered doc pairs (a < b) with SimHash Hamming distance <=
-    `max_hamming`. EXACT, not approximate: with `bands` equal bit-slices
-    and max_hamming < bands, the pigeonhole principle guarantees every
-    qualifying pair agrees on at least one whole slice — so the banded
-    equi-join loses nothing, and bit_count(xor) verifies candidates.
+    `max_hamming` — `banded_hamming_pairs` over the SimHash fingerprints.
     Same filter-verify scale shape as the prefix-filtered Jaccard join."""
     if max_hamming >= bands:
         raise ValueError("exactness requires max_hamming < bands")
-    if SIMHASH_BITS % bands:
-        raise ValueError("bands must divide the fingerprint width")
-    width = SIMHASH_BITS // bands
     # Cached for the same both-sides-of-the-band-join reason as MinHash.
     sig = simhash_fingerprints(docs, id_col, text_col, ngram_n).cache()
-    band_cols = [
-        F.struct(
-            F.lit(b).alias("band_idx"),
-            F.expr(f"(simhash >> {b * width}) & {(1 << width) - 1}").alias("band_val"),
-        )
-        for b in range(bands)
-    ]
-    banded = sig.select(
-        F.col(id_col), "simhash", F.explode(F.array(*band_cols)).alias("bk")
+    return banded_hamming_pairs(
+        sig,
+        SIMHASH_BITS,
+        max_hamming,
+        id_col=id_col,
+        fp_col="simhash",
+        bands=bands,
     ).select(
-        id_col,
-        "simhash",
-        F.col("bk.band_idx").alias("band_idx"),
-        F.col("bk.band_val").alias("band_val"),
-    )
-    a = banded.select(
-        F.col(id_col).alias("a"), F.col("simhash").alias("sh_a"), "band_idx", "band_val"
-    )
-    b = banded.select(
-        F.col(id_col).alias("b"), F.col("simhash").alias("sh_b"), "band_idx", "band_val"
-    )
-    return (
-        a.join(b, ["band_idx", "band_val"])
-        .filter(F.col("a") < F.col("b"))
-        .withColumn(
-            "hamming",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).cast("long"),
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("a", "b", F.col("sh_a").alias("simhash_a"), F.col("sh_b").alias("simhash_b"), "hamming")
-        .distinct()
+        "a",
+        "b",
+        F.col("fp_a").alias("simhash_a"),
+        F.col("fp_b").alias("simhash_b"),
+        "hamming",
     )
 
 

@@ -143,3 +143,87 @@ def multimodal_audio_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wins.select(
         "media_id", "window_idx", "n_samples", feat_ok.alias("feat_ok")
     )
+
+
+# --------------------------------------------------------------------------
+# Perceptual-hash near-dup over BINARY payloads: dHash fingerprints +
+# banded Hamming join. Unlike the feature workloads above, this one has a
+# FULL value-hash oracle — the fingerprint is pure byte arithmetic, so
+# DuckDB re-derives every payload byte from hex(encode(text)).
+# --------------------------------------------------------------------------
+_DH_MAX_HAMMING = 3
+_DH_BANDS = 4
+
+
+def _duck_dhash_oracle() -> str:
+    from sample_data_pipeline_project_spark.multimodal.ops import DHASH_BITS
+
+    def byte_sql(j: int) -> str:
+        c1 = f"substr(hx, {2 * j - 1}, 1)"
+        c2 = f"substr(hx, {2 * j}, 1)"
+        return (
+            f"CASE WHEN {j} <= ob THEN (instr('0123456789ABCDEF', {c1}) - 1) * 16"
+            f" + (instr('0123456789ABCDEF', {c2}) - 1) ELSE 0 END"
+        )
+
+    bytes_sel = ",\n         ".join(
+        f"{byte_sql(j)} AS b_{j}" for j in range(1, DHASH_BITS + 2)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b_{j} > b_{j + 1} THEN CAST({1 << (j - 1)} AS BIGINT)"
+        f" ELSE 0 END)"
+        for j in range(1, DHASH_BITS + 1)
+    )
+    return f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx, octet_length(encode(text)) AS ob
+  FROM documents
+),
+bs AS (
+  SELECT doc_id,
+         {bytes_sel}
+  FROM h
+),
+fp AS (SELECT doc_id, {fp} AS dhash FROM bs)
+SELECT a.doc_id AS a, b.doc_id AS b,
+       a.dhash AS dhash_a, b.dhash AS dhash_b,
+       bit_count(xor(a.dhash, b.dhash)) AS hamming
+FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dhash, b.dhash)) <= {_DH_MAX_HAMMING}
+"""
+
+
+@workload("multimodal_phash_neardup", oracle=_duck_dhash_oracle())
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash NEAR-DUP detection over binary payloads: 32-bit
+    dHash (adjacent-byte gradient sign, Arrow-batched numpy — the shape
+    used for image dedup once `_fake_raster` is swapped for a real
+    decoder) + the generic banded Hamming self-join (4 bands x 8 bits,
+    exact by pigeonhole for hamming <= 3). The oracle recomputes every
+    fingerprint byte-for-byte from hex(payload) and compares all pairs
+    quadratically — the one multimodal workload where the full value hash
+    is cross-engine checkable, because dHash needs no codec."""
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        DHASH_BITS,
+        content_dhash,
+    )
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    media = _docs_as_media(spark, sf_dir, "image")
+    sig = content_dhash(media).cache()
+    return banded_hamming_pairs(
+        sig,
+        DHASH_BITS,
+        _DH_MAX_HAMMING,
+        id_col="media_id",
+        fp_col="dhash",
+        bands=_DH_BANDS,
+    ).select(
+        "a",
+        "b",
+        F.col("fp_a").alias("dhash_a"),
+        F.col("fp_b").alias("dhash_b"),
+        "hamming",
+    )

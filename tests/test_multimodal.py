@@ -148,3 +148,56 @@ def test_decode_image_pil_roundtrip(spark):
     row = out[0]
     assert (row["width"], row["height"], row["channels"]) == (w, h, 1)
     assert bytes(row["raster"]) == raster.tobytes()
+
+
+def test_content_dhash_known_bytes(spark):
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        content_dhash,
+    )
+
+    rows = [
+        # ascending bytes: no adjacent descent -> all bits 0
+        (1, "image", bytearray(range(40)), (8, 5, 1, None, None)),
+        # descending bytes: every adjacent pair descends -> all 32 bits set
+        (2, "image", bytearray(reversed(range(40))), (8, 5, 1, None, None)),
+        # shorter than 33 bytes: pads with 0, so byte 2 (=5) > pad only at
+        # the boundary bit (index 1: b2=5 > b3=0)
+        (3, "image", bytearray([9, 5]), (2, 1, 1, None, None)),
+        # empty payload -> fingerprint 0
+        (4, "image", bytearray(), (0, 0, 1, None, None)),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {r["media_id"]: r["dhash"] for r in content_dhash(df).collect()}
+    assert got[1] == 0
+    assert got[2] == (1 << 32) - 1
+    assert got[3] == 0b11  # 9>5 (bit 0) and 5>0 (bit 1)
+    assert got[4] == 0
+
+
+def test_dhash_banded_pairs_equal_quadratic(spark):
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        DHASH_BITS,
+        content_dhash,
+        synthesize_media,
+    )
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    media = synthesize_media(spark, n_images=12, n_videos=0)
+    sig = content_dhash(media)
+    banded = {
+        (r["a"], r["b"], r["hamming"])
+        for r in banded_hamming_pairs(
+            sig, DHASH_BITS, max_hamming=3, id_col="media_id", fp_col="dhash"
+        ).collect()
+    }
+    fps = {r["media_id"]: r["dhash"] for r in sig.collect()}
+    quad = {
+        (a, b, bin(fps[a] ^ fps[b]).count("1"))
+        for a in fps
+        for b in fps
+        if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    assert banded == quad
