@@ -371,3 +371,74 @@ def ivf_topk_cosine(
         assigned.join(F.broadcast(q_probe), "centroid_id").select(id_col), id_col
     )
     return topk_cosine(bucket, query, k, id_col, vec_col)
+
+
+def batch_topk_cosine(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """EXACT top-k per query for a BATCH of query vectors in one corpus
+    scan — the online-serving shape (Q queries amortize one pass) and the
+    map-side-combine shape at rest: each Arrow batch emits only its local
+    top-k per query, so the shuffle into the final per-query merge carries
+    O(batches * Q * k) rows, never the Q x N score matrix.
+
+    The query batch rides into the task as a closure broadcast
+    (collect() bounded by the online batch size, the same API-edge
+    contract as the 1-row query in `topk_cosine`). Scores are computed
+    per query with a strict left-to-right cumsum fold (the
+    `cosine_arrow` parity trick), so every score is bit-identical to the
+    JVM aggregate() and the DuckDB oracle — local top-k selection by
+    exact score therefore loses nothing, making the two-stage top-k
+    exact rather than approximately-recalled. Final merge: a per-query
+    window over the surviving candidates (bounded rows per query), never
+    a global sort. Returns (query_id, vec_id, cosine_sim, rank)."""
+    qrows = queries.select(query_id_col, vec_col).collect()
+    q_ids = [r[0] for r in qrows]
+    q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
+    q_norms = np.sqrt(np.cumsum(q_mat * q_mat, axis=1)[:, -1])
+
+    def score_batches(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            if m.size == 0:
+                continue
+            m_norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+            out_q, out_id, out_s = [], [], []
+            for qi, q_id in enumerate(q_ids):
+                keep = ids != q_id
+                if not keep.any():
+                    continue
+                prods = m[keep] * q_mat[qi]
+                dots = np.cumsum(prods, axis=1)[:, -1]
+                denom = m_norms[keep] * q_norms[qi]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    scores = dots / denom
+                kids = ids[keep]
+                valid = denom != 0
+                scores, kids = scores[valid], kids[valid]
+                # local exact top-k: order by (-score, id); ties broken by id
+                order = np.lexsort((kids, -scores))[:k]
+                out_q.extend([q_id] * len(order))
+                out_id.extend(kids[order])
+                out_s.extend(scores[order])
+            yield pd.DataFrame(
+                {query_id_col: out_q, id_col: out_id, "cosine_sim": out_s}
+            )
+
+    cand = corpus.select(id_col, vec_col).mapInPandas(
+        score_batches, f"{query_id_col} long, {id_col} long, cosine_sim double"
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        cand.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(query_id_col, id_col, "cosine_sim", F.col("rank").cast("long"))
+    )

@@ -406,3 +406,50 @@ def sim_label_centroid_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("vec_id", "true_label", F.col("cand").alias("predicted_label"))
     )
+
+
+# --------------------------------------------------------------------------
+# Batched multi-query top-k: Q queries amortize ONE corpus scan.
+# --------------------------------------------------------------------------
+_BATCH_QUERY_MOD = 40
+
+
+@workload(
+    "sim_batch_topk",
+    oracle=f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS q_emb
+  FROM embeddings WHERE vec_id % {_BATCH_QUERY_MOD} = 0
+),
+s AS (
+  SELECT q.query_id, e.vec_id,
+         {duck_cosine('e.embedding', 'q.q_emb')} AS cosine_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.query_id
+),
+r AS (
+  SELECT query_id, vec_id, cosine_sim,
+         ROW_NUMBER() OVER (PARTITION BY query_id
+                            ORDER BY cosine_sim DESC, vec_id ASC) AS rank
+  FROM s WHERE cosine_sim IS NOT NULL
+)
+SELECT query_id, vec_id, cosine_sim, CAST(rank AS BIGINT) AS rank
+FROM r WHERE rank <= {_K}
+""",
+)
+def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED exact top-k: every corpus vector is scored against the whole
+    query batch (vec_id % {mod} == 0) in one scan; each Arrow batch emits
+    only its local per-query top-k (selection by the bit-exact cumsum
+    scores, so two-stage top-k is exact, not approximately recalled), and
+    the final merge is a per-query window over O(batches * k) survivors.
+    The oracle ranks the full quadratic score matrix."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        batch_topk_cosine,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % _BATCH_QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    return batch_topk_cosine(emb, queries, _K)

@@ -204,3 +204,38 @@ def test_ann_certification_workloads_green_at_sf0001(spark):
     assert row["n_exact_pairs"] > 0
     assert row["n_false_positives"] == 0
     assert row["recall_ok"] is True
+
+
+def test_batch_topk_matches_single_query_operator(spark):
+    import random
+
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        batch_topk_cosine,
+        topk_cosine,
+    )
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(8)], 0) for i in range(60)
+    ]
+    emb = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).repartition(5)
+    queries = emb.filter(F.col("vec_id") % 20 == 0).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine_sim"])
+        for r in batch_topk_cosine(emb, queries, 5).collect()
+    }
+    assert len(got) == 3 * 5
+    for q in (0, 20, 40):
+        single = topk_cosine(
+            emb.filter(F.col("vec_id") != q),
+            emb.filter(F.col("vec_id") == q).select(
+                F.col("embedding").alias("q_emb")
+            ),
+            5,
+        ).collect()
+        for rank, r in enumerate(single, start=1):
+            assert got[(q, rank)] == (r["vec_id"], r["cosine_sim"])
