@@ -338,3 +338,88 @@ def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
         ledger_gaps_ooo(stream, delay=f"{_OOO_DELAY_MIN} minutes"),
         output_mode="append",
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming incremental MinHash-LSH dedup: the daily-crawl pipeline run
+# CONTINUOUSLY — delta documents arrive as micro-batches and are banded
+# against a signature store that grows as batches commit.
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.workloads.dedup_queries import (  # noqa: E402
+    _BANDS,
+    _INC_DELTA_MOD,
+    _NUM_HASHES,
+    _duck_minhash_oracle,
+)
+
+
+@workload(
+    "stream_minhash_dedup",
+    oracle=_duck_minhash_oracle(
+        extra_where=f"WHERE a.doc_id % {_INC_DELTA_MOD} = 0"
+        f" OR b.doc_id % {_INC_DELTA_MOD} = 0"
+    ),
+)
+def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2 streaming — incremental MinHash-LSH dedup run as a STREAM: the
+    ~10% delta (doc_id % mod == 0) arrives as 4 micro-batch files; each
+    foreachBatch turn band-joins the batch against the signature store AS
+    OF that batch (base signatures + every previously committed delta
+    batch), appends the new candidate pairs to the result sink, then
+    commits the batch's own signatures to the store. Every delta-touching
+    pair is emitted EXACTLY ONCE — when its later endpoint arrives — so
+    the union over batches equals the one-shot incremental result for ANY
+    partition of the delta into batches (order-independence is what makes
+    the continuous pipeline correct). The oracle is the same
+    full-recompute-restricted-to-delta-pairs statement as
+    dedup_minhash_incremental."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_candidates_incremental,
+        minhash_signatures,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", "stream_minhash")
+    shutil.rmtree(root, ignore_errors=True)
+    sig_store = f"{root}/sig_store"
+    delta_src = f"{root}/delta_src"
+    result = f"{root}/result"
+    ckpt = f"{root}/ckpt"
+
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(F.col("doc_id") % _INC_DELTA_MOD != 0)
+    delta = d.filter(F.col("doc_id") % _INC_DELTA_MOD == 0)
+    minhash_signatures(base, _NUM_HASHES).write.parquet(sig_store)
+    # 4 micro-batch files; placement is irrelevant to the result set
+    delta.repartition(4).write.parquet(delta_src)
+
+    def handle(batch_df, batch_id):
+        s = batch_df.sparkSession
+        store = s.read.parquet(sig_store)
+        pairs = minhash_lsh_candidates_incremental(
+            store, batch_df, _NUM_HASHES, _BANDS
+        )
+        pairs.write.mode("append").parquet(result)
+        minhash_signatures(batch_df, _NUM_HASHES).write.mode("append").parquet(
+            sig_store
+        )
+
+    q = (
+        spark.readStream.schema(d.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(delta_src)
+        .writeStream.foreachBatch(handle)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.read.parquet(result)

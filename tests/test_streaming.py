@@ -78,3 +78,44 @@ def test_stream_dedup_recovers_original(spark):
     assert len(rows) == n_orig
     ids = {r["event_id"] for r in rows}
     assert len(ids) == n_orig
+
+
+def test_stream_minhash_dedup_equals_one_shot(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_candidates_incremental,
+        minhash_signatures,
+    )
+    from sample_data_pipeline_project_spark.workloads.dedup_queries import (
+        _INC_DELTA_MOD,
+        _NUM_HASHES,
+    )
+    from sample_data_pipeline_project_spark.workloads.streaming_queries import (
+        stream_minhash_dedup,
+    )
+
+    texts = ["alpha beta gamma delta", "alpha beta gamma epsilon",
+             "unrelated words entirely here", "alpha beta gamma delta"]
+    rows = [
+        (i, texts[i % 4] + (" pad" + str(i // 4) if i % 7 == 0 else ""), "en",
+         "s", 10)
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+
+    streamed = {
+        (r["a"], r["b"]) for r in stream_minhash_dedup(spark, str(tmp_path)).collect()
+    }
+    base = df.filter(F.col("doc_id") % _INC_DELTA_MOD != 0)
+    delta = df.filter(F.col("doc_id") % _INC_DELTA_MOD == 0)
+    one_shot = {
+        (r["a"], r["b"])
+        for r in minhash_lsh_candidates_incremental(
+            minhash_signatures(base, _NUM_HASHES), delta, _NUM_HASHES
+        ).collect()
+    }
+    assert streamed == one_shot and len(streamed) > 0
