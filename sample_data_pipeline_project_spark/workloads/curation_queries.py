@@ -394,3 +394,64 @@ def sim_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_members",
         (F.col("vec_id") == F.col("component_id")).alias("is_kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# Frequency-capped vocabulary + OOV-rate report (tokenizer-prep shape).
+# --------------------------------------------------------------------------
+_VOCAB_MIN_COUNT = 5
+
+
+@workload(
+    "text_vocab_oov_report",
+    oracle=f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+tc AS (SELECT tok, COUNT(*) AS n FROM toks GROUP BY tok),
+vocab AS (SELECT tok FROM tc WHERE n >= {_VOCAB_MIN_COUNT}),
+vs AS (SELECT COUNT(*) AS vocab_size FROM vocab)
+SELECT t.doc_id,
+       COUNT(*) AS n_tokens,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       CAST(SUM(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS DOUBLE)
+         / COUNT(*) AS oov_rate,
+       CAST(vs.vocab_size AS BIGINT) AS vocab_size
+FROM toks t LEFT JOIN vocab v USING (tok) CROSS JOIN vs
+GROUP BY t.doc_id, vs.vocab_size
+""",
+)
+def text_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VOCABULARY construction + out-of-vocabulary audit: the vocab is
+    every token with corpus frequency >= {min_count} (a threshold scan —
+    deliberately NOT a global top-V sort, which is the single-partition
+    trap; a top-V variant would be TakeOrderedAndProject), and each doc
+    reports how much of its token stream falls outside it — the
+    tokenizer-coverage number that decides whether a vocab ships.
+    Shuffles: one groupBy(token), one token-keyed left join (vocab is
+    corpus-frequency-sized — joined by key, never collected), one
+    groupBy(doc). The scalar vocab size broadcasts."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    vocab = tc.filter(F.col("n") >= _VOCAB_MIN_COUNT).select(
+        "tok", F.lit(1).alias("__in_vocab")
+    )
+    vs = vocab.agg(F.count(F.lit(1)).alias("vocab_size"))
+    is_oov = F.col("__in_vocab").isNull()
+    per_doc = (
+        toks.join(vocab, "tok", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(is_oov, 1).otherwise(0)).cast("long").alias("n_oov"),
+            (
+                F.sum(F.when(is_oov, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("oov_rate"),
+        )
+    )
+    return per_doc.crossJoin(F.broadcast(vs)).select(
+        "doc_id", "n_tokens", "n_oov", "oov_rate",
+        F.col("vocab_size").cast("long"),
+    )

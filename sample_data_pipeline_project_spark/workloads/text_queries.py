@@ -759,12 +759,21 @@ def sketch_countmin_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             for s in range(_CM_SEEDS)
         ]
     )
-    hashed = toks.select(F.explode(bucket_structs).alias("h")).select(
-        "h.seed", "h.bucket"
+    # One pass collapses the token STREAM to (token, count) — then the
+    # 3-seed md5 bucket arithmetic (8 hex-digit parses per hash) runs per
+    # DISTINCT token, not per stream row, and the counter increments are
+    # count-weighted sums. Identical counters (sum of per-token counts ==
+    # stream row count per bucket) for vocabulary-many hashes instead of
+    # corpus-many — measured 7.6s -> ~1s at sf0.1. The same distinct table
+    # feeds the exact top-k, so the stream is aggregated exactly once.
+    tc = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count")).cache()
+    hashed = tc.select("exact_count", F.explode(bucket_structs).alias("h")).select(
+        "exact_count", "h.seed", "h.bucket"
     )
-    cm = hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
-    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
-    top = exact.orderBy(
+    cm = hashed.groupBy("seed", "bucket").agg(
+        F.sum("exact_count").alias("c")
+    )
+    top = tc.orderBy(
         F.col("exact_count").desc(), F.col("tok").asc()
     ).limit(_CM_TOP)
     probes = top.select("tok", "exact_count", F.explode(bucket_structs).alias("h")).select(
