@@ -54,10 +54,12 @@ def load_all() -> dict[str, Workload]:
     """Import all workload modules (registration is an import side-effect)."""
     from sample_data_pipeline_project_spark.workloads import (  # noqa: F401
         analytics_extra,
+        analytics_round3,
         asof_queries,
         curation_queries,
         dedup_queries,
         event_queries,
+        graph_linkage_queries,
         ledger_queries,
         multimodal_queries,
         relational,

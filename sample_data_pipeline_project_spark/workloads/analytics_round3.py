@@ -1,0 +1,313 @@
+"""Round-3 analytics workloads: EWMA smoothing, BM25 ranking, z-order
+layout cells, and a join-key skew diagnostic.
+
+Determinism notes (the repo-wide cross-engine hash contract):
+  - EWMA weights are embedded as `repr(float)` literals — the shortest
+    round-tripping decimal, which both Spark's and DuckDB's parsers bind to
+    the identical IEEE double — and the weighted sum is written in the same
+    left-associative textual order on both sides, so every intermediate
+    double is bit-identical.
+  - BM25 goes through `ln`, whose last-ulp behavior is libm-dependent
+    (JVM StrictMath vs C libm), so the score is ROUND(_, 9)ed on both
+    sides before hashing/ordering — the same guard pagerank uses.
+  - z-order bit interleaving is pure integer arithmetic (div/mod by powers
+    of two) — exact on both engines, no float anywhere until the final
+    revenue cast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+# --------------------------------------------------------------------------
+# Per-user EWMA over event values — truncated-kernel exponential smoothing
+# --------------------------------------------------------------------------
+_EWMA_ALPHA = 0.3
+_EWMA_LAGS = 8  # kernel weight at lag 7 is 0.3*0.7^7 ~ 0.025 — truncation
+#                 keeps the op a fixed-width LAG window (streamable, no
+#                 unbounded running state) at the cost of renormalizing.
+
+_EWMA_WEIGHTS = [
+    _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_LAGS)
+]
+
+
+def _ewma_exprs(lag_fmt: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL using lag columns named via lag_fmt.
+    Identical textual arithmetic order for both engines."""
+    num_terms = [
+        f"(CASE WHEN {lag_fmt.format(j=j)} IS NULL THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE {w!r} * {lag_fmt.format(j=j)} END)"
+        for j, w in enumerate(_EWMA_WEIGHTS)
+    ]
+    den_terms = [
+        f"(CASE WHEN {lag_fmt.format(j=j)} IS NULL THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE CAST({w!r} AS DOUBLE) END)"
+        for j, w in enumerate(_EWMA_WEIGHTS)
+    ]
+    return " + ".join(num_terms), " + ".join(den_terms)
+
+
+_EWMA_NUM, _EWMA_DEN = _ewma_exprs("l{j}")
+
+_EWMA_LAG_SELECTS = ",\n         ".join(
+    (
+        "value AS l0"
+        if j == 0
+        else f"LAG(value, {j}) OVER "
+        "(PARTITION BY user_id ORDER BY ts, event_id) AS l" + str(j)
+    )
+    for j in range(_EWMA_LAGS)
+)
+
+_EWMA_ORACLE = f"""
+WITH lagged AS (
+  SELECT event_id, user_id, ts, value,
+         {_EWMA_LAG_SELECTS}
+  FROM events
+)
+SELECT event_id, user_id, ts, value,
+       ({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma
+FROM lagged
+"""
+
+
+@workload("timeseries_ewma", oracle=_EWMA_ORACLE)
+def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values: a TRUNCATED exponential kernel over
+    the last {K} observations via fixed-width LAG windows — partitioned by
+    user (no global sort), constant state per row, the renormalized form
+    sum(w_j x_(t-j)) / sum(w_j available). The fixed-width-kernel framing
+    is what makes exponential smoothing a scale-safe window op instead of
+    an unbounded recursive scan."""
+    ev = load_table(spark, sf_dir, "events")
+    lagged = ev.selectExpr(
+        "event_id", "user_id", "ts", "value", *_EWMA_LAG_SELECTS.split(",\n         ")
+    )
+    return lagged.selectExpr(
+        "event_id",
+        "user_id",
+        "ts",
+        "value",
+        f"({_EWMA_NUM}) / ({_EWMA_DEN}) AS ewma",
+    )
+
+
+# --------------------------------------------------------------------------
+# BM25 full-text ranking for a fixed query
+# --------------------------------------------------------------------------
+_BM25_TERMS = ("spark", "join", "window")
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_TOP = 20
+
+_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+_BM25_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, len(toks) AS dl FROM docs
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tok FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+  WHERE tok IN ({_TERMS_SQL})
+  GROUP BY doc_id, tok
+),
+df AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dl
+                / (CAST(s.total_tok AS DOUBLE) / s.n_docs)))
+         ) AS score
+  FROM tf
+  JOIN df ON tf.term = df.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+)
+SELECT doc_id, ROUND(score, 9) AS bm25
+FROM scored
+ORDER BY ROUND(score, 9) DESC, doc_id ASC
+LIMIT {_BM25_TOP}
+"""
+
+
+@workload("text_bm25_search", oracle=_BM25_ORACLE)
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 ranking of `documents` for the fixed query {terms}: tf from the
+    token stream FILTERED to query terms before any shuffle (the grouped
+    state is |terms| x |matching docs|, not the corpus token count),
+    document-frequency and corpus stats are single-row/3-row broadcasts,
+    top-{k} via orderBy().limit() (TakeOrderedAndProject). Lucene-standard
+    idf = ln((N - df + .5)/(df + .5) + 1); scores rounded to 9 dp on both
+    engines because ln()'s last ulp is libm-specific."""
+    from sample_data_pipeline_project_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+    dl = d.select("doc_id", F.size("toks").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_tok")
+    )
+    tf = (
+        d.select("doc_id", F.explode("toks").alias("term"))
+        .filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "term_score",
+            F.expr(
+                f"ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)"
+                f" * (tf * ({_BM25_K1} + 1.0))"
+                f" / (tf + {_BM25_K1} * (1.0 - {_BM25_B}"
+                f" + {_BM25_B} * dl / (CAST(total_tok AS DOUBLE) / n_docs)))"
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(F.sum("term_score").alias("score"))
+    )
+    return (
+        scored.select("doc_id", F.round("score", 9).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# Z-order layout cells: multi-dimensional clustering key for file layout
+# --------------------------------------------------------------------------
+_Z_BITS = 4  # 16 buckets per dimension -> 256 cells
+_Z_PRICE_WIDTH = 40000.0
+
+
+def _zvalue_sql(xb: str, yb: str, intdiv: str) -> str:
+    """Bit-interleave two {0..15} bucket ids into an 8-bit z-value using
+    only integer div/mod (engine-portable; `intdiv` is the engine's
+    integer-division operator: Spark 'DIV', DuckDB '//')."""
+    terms = []
+    for i in range(_Z_BITS):
+        bit_x = f"((({xb}) {intdiv} {1 << i}) % 2)"
+        bit_y = f"((({yb}) {intdiv} {1 << i}) % 2)"
+        terms.append(f"({bit_x} * {1 << (2 * i)})")
+        terms.append(f"({bit_y} * {1 << (2 * i + 1)})")
+    return " + ".join(terms)
+
+
+_XB = "CAST(o_custkey % 16 AS INT)"
+_YB = (
+    f"CAST(LEAST(15, CAST(FLOOR(o_totalprice / {_Z_PRICE_WIDTH}) AS INT)) AS INT)"
+)
+
+_Z_ORACLE = f"""
+WITH cells AS (
+  SELECT {_zvalue_sql(_XB, _YB, '//')} AS z_cell,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price
+  FROM orders
+)
+SELECT z_cell, COUNT(*) AS n_orders,
+       CAST(SUM(price) AS DOUBLE) AS total_price
+FROM cells GROUP BY z_cell
+"""
+
+
+@workload("layout_zorder_cells", oracle=_Z_ORACLE)
+def layout_zorder_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER (Morton) layout cells over orders: bucketize (custkey,
+    totalprice) to 4 bits each and bit-interleave into an 8-bit z-value —
+    the multi-dimensional clustering key that, used as a sort/partition
+    key at write time, gives min-max file skipping on BOTH dimensions at
+    once (each z-cell is a rectangle in (custkey, price) space, so a range
+    predicate on either dimension touches a provably bounded subset of
+    cells — `sources/layout.py:write_zordered` is the writer and
+    tests/test_layout.py measures the pruning). This workload is the
+    driver-gated cell-assignment/aggregation half: per-cell row counts and
+    revenue, interleaving via integer div/mod only — exact cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.expr(_zvalue_sql(_XB, _YB, "DIV")).alias("z_cell"),
+            F.col("o_totalprice").cast("decimal(18,2)").alias("price"),
+        )
+        .groupBy("z_cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("price").cast("double").alias("total_price"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Join-key skew diagnostic
+# --------------------------------------------------------------------------
+_SKEW_TOP = 5
+
+_SKEW_ORACLE = f"""
+WITH per_key AS (
+  SELECT l_suppkey, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey
+),
+tot AS (
+  SELECT SUM(cnt) AS total_rows, COUNT(*) AS n_keys FROM per_key
+)
+SELECT p.l_suppkey, p.cnt,
+       CAST(p.cnt AS DOUBLE) / t.total_rows AS share,
+       CAST(p.cnt AS DOUBLE) * t.n_keys / t.total_rows AS skew_vs_avg
+FROM per_key p CROSS JOIN tot t
+ORDER BY p.cnt DESC, p.l_suppkey ASC
+LIMIT {_SKEW_TOP}
+"""
+
+
+@workload("dq_skew_report", oracle=_SKEW_ORACLE)
+def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JOIN-KEY SKEW diagnostic for lineitem.l_suppkey — the operational
+    pre-check before a 100 TB shuffle join: per-key row counts, the top-{k}
+    heaviest keys, each key's share of all rows and its ratio to the mean
+    key (skew_vs_avg >> 1 means AQE skew-join splitting or salting —
+    operators/skewjoin.py — is warranted). One keyed aggregate plus a
+    broadcast single-row total; top-k via TakeOrderedAndProject. All
+    divisions are exact-integer -> double: bit-identical cross-engine."""
+    li = load_table(spark, sf_dir, "lineitem")
+    per_key = li.groupBy("l_suppkey").agg(F.count(F.lit(1)).alias("cnt"))
+    tot = per_key.agg(
+        F.sum("cnt").alias("total_rows"), F.count(F.lit(1)).alias("n_keys")
+    )
+    return (
+        per_key.crossJoin(F.broadcast(tot))
+        .select(
+            "l_suppkey",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total_rows")).alias("share"),
+            (
+                F.col("cnt").cast("double")
+                * F.col("n_keys")
+                / F.col("total_rows")
+            ).alias("skew_vs_avg"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
+        .limit(_SKEW_TOP)
+    )

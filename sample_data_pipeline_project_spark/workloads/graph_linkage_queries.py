@@ -1,0 +1,118 @@
+"""Round-3 graph-analytics and record-linkage workloads.
+
+Graph tier: per-vertex triangle counts over the embedding near-dup graph
+(`operators/graph.py`) — local clustering structure that separates
+collapse-safe duplicate cliques from star-shaped false-positive hubs.
+
+Linkage tier: cross-source record linkage (entity resolution) — the
+near-dup machinery pointed ACROSS provenance boundaries instead of within
+one corpus, the shape of "did crawl source A re-publish source B's
+documents" questions a curation pipeline answers before mixing sources.
+
+Oracle parity notes: the quadratic pair CTEs in the oracles are DuckDB's
+exact baseline; the Spark side uses the bucketed/prefix-filtered operators
+(linear shuffle volume) whose outputs are proven equal to the quadratic
+form by these very value-hash comparisons.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.functions.vectors import duck_cosine
+from sample_data_pipeline_project_spark.operators.graph import triangle_counts
+from sample_data_pipeline_project_spark.operators.similarity import (
+    neardup_cosine_pairs_blocked,
+)
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+_TRI_THRESHOLD = 0.3
+
+_TRI_ORACLE = f"""
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_TRI_THRESHOLD}
+),
+tri AS (
+  SELECT p1.a AS x, p1.b AS y, p2.b AS z
+  FROM p p1
+  JOIN p p2 ON p1.b = p2.a
+  JOIN p p3 ON p3.a = p1.a AND p3.b = p2.b
+),
+corners AS (
+  SELECT x AS vertex FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT vertex, COUNT(*) AS n_triangles
+FROM corners GROUP BY vertex
+"""
+
+
+@workload("graph_triangle_count", oracle=_TRI_ORACLE)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vertex TRIANGLE COUNTS over the cosine near-dup graph: edges are
+    embedding pairs with cosine >= {t}; counting uses degree-ordered edge
+    orientation (Suri & Vassilvitskii WW'11) so wedge fan-out is bounded by
+    O(sqrt(m)) per vertex — no last-reducer skew — and every stage is an
+    equi-join on edge-list-sized data. The oracle enumerates x<y<z corner
+    triples over the exact quadratic pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = neardup_cosine_pairs_blocked(emb, _TRI_THRESHOLD).select("a", "b")
+    return triangle_counts(edges).select(
+        F.col("vertex").cast("long"), F.col("n_triangles").cast("long")
+    )
+
+
+_ER_THRESHOLD = 0.8
+_DUCK_TOKS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+
+_ER_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, source, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+sizes AS (
+  SELECT doc_id, ANY_VALUE(source) AS source, COUNT(*) AS n_tok
+  FROM toks GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.a, s.b, sa.source AS source_a, sb.source AS source_b,
+       CAST(s.shared AS DOUBLE) / (sa.n_tok + sb.n_tok - s.shared) AS jaccard
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+WHERE sa.source != sb.source
+  AND CAST(s.shared AS DOUBLE) / (sa.n_tok + sb.n_tok - s.shared)
+      >= {_ER_THRESHOLD}
+"""
+
+
+@workload("er_cross_source_match", oracle=_ER_ORACLE)
+def er_cross_source_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source RECORD LINKAGE: token-set Jaccard >= {t} pairs where the
+    two documents come from DIFFERENT `source` values — "which sources
+    republish each other's content". Candidate generation is the lossless
+    AllPairs/PPJoin prefix filter (operators/dedup.py), so no cross-source
+    pair above threshold can be missed; provenance attributes join back on
+    the surviving pairs only (pair-list-sized, not corpus-sized)."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = jaccard_pairs_prefix(d, _ER_THRESHOLD).select("a", "b", "jaccard")
+    src = d.select("doc_id", "source")
+    return (
+        pairs.join(src.withColumnsRenamed({"doc_id": "a", "source": "source_a"}), "a")
+        .join(src.withColumnsRenamed({"doc_id": "b", "source": "source_b"}), "b")
+        .filter(F.col("source_a") != F.col("source_b"))
+        .select("a", "b", "source_a", "source_b", "jaccard")
+    )

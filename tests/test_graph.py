@@ -1,0 +1,88 @@
+"""Triangle counting: degree-oriented operator vs brute-force enumeration
+on randomized graphs, plus edge-hygiene and plan-shape checks."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+from sample_data_pipeline_project_spark.operators.graph import triangle_counts
+
+
+def _brute_counts(edges: set[tuple[int, int]]) -> dict[int, int]:
+    verts = sorted({v for e in edges for v in e})
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    counts: dict[int, int] = {}
+    for x, y, z in itertools.combinations(verts, 3):
+        if (x, y) in es and (y, z) in es and (x, z) in es:
+            for v in (x, y, z):
+                counts[v] = counts.get(v, 0) + 1
+    return counts
+
+
+def _run(spark, edges):
+    df = spark.createDataFrame(list(edges), "a long, b long")
+    got = {
+        r["vertex"]: r["n_triangles"] for r in triangle_counts(df).collect()
+    }
+    return got
+
+
+def test_known_small_graph(spark):
+    # K4 on {1,2,3,4}: every vertex sits on C(3,2)=3 triangles.
+    k4 = list(itertools.combinations([1, 2, 3, 4], 2))
+    assert _run(spark, k4) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_free_graph_returns_empty(spark):
+    # star graph: no triangles at all
+    star = [(0, i) for i in range(1, 6)]
+    assert _run(spark, star) == {}
+
+
+def test_self_loops_and_mirrored_duplicates_ignored(spark):
+    edges = [(1, 2), (2, 1), (2, 3), (3, 1), (1, 1), (1, 2)]
+    assert _run(spark, edges) == {1: 1, 2: 1, 3: 1}
+
+
+def test_random_graphs_match_bruteforce(spark):
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 14
+        edges = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.35
+        }
+        assert _run(spark, edges) == _brute_counts(edges), trial
+
+
+def test_skewed_hub_matches_bruteforce(spark):
+    # one hub connected to everyone + a sparse periphery: the exact shape
+    # degree orientation exists for (the hub must not root its wedges).
+    rng = random.Random(11)
+    n = 20
+    edges = {(0, i) for i in range(1, n)}
+    edges |= {
+        (a, b)
+        for a in range(1, n)
+        for b in range(a + 1, n)
+        if rng.random() < 0.15
+    }
+    assert _run(spark, edges) == _brute_counts(edges)
+
+
+def test_wedges_root_at_low_degree_endpoints(spark):
+    """Orientation invariant: with a degree-(n-1) hub and degree-2 leaves,
+    every oriented edge must point leaf -> hub, so no wedge is rooted at
+    the hub (the last-reducer guarantee)."""
+    # wheel: hub 0 to all rim vertices, rim forms a cycle — every rim edge
+    # closes one triangle through the hub.
+    n = 8
+    edges = [(0, i) for i in range(1, n)] + [
+        (i, i % (n - 1) + 1) for i in range(1, n)
+    ]
+    got = _run(spark, edges)
+    assert got[0] == n - 1
+    assert got == _brute_counts(set(edges))
