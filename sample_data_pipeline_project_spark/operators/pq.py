@@ -1,0 +1,205 @@
+"""Product quantization (PQ) ANN — the memory-compression scale path for
+similarity search (Jégou, Douze, Schmid, "Product Quantization for Nearest
+Neighbor Search", TPAMI 2011).
+
+Where IVF (operators/ann_index.py) prunes WHICH vectors are scored, PQ
+compresses HOW each vector is stored: the d-dim embedding splits into `m`
+subvectors, each quantized to one of `k` codebook centroids, so a vector
+becomes `m` small integer codes — at (m=4, k=16) that is 2 bytes instead
+of 256 bytes of float32 for a 64-dim embedding, a 128x reduction, which is
+the difference between an in-memory code table and a 100 TB full-vector
+scan. Search runs ADC (asymmetric distance computation): the query builds
+an (m x k) table of exact query-subvector-to-centroid distances once
+(tiny, broadcast), then every corpus vector's approximate distance is m
+table lookups summed — no float vector is touched until an exact re-rank
+over the top `refine` ADC candidates restores exact-cosine semantics for
+the final top-k.
+
+Every stage is DataFrame-native: codebook training is a GROUPED Lloyd
+loop (all m subspaces advance in the same job per iteration, keyed by
+sub_id — the same assign/recompute shapes as operators/kmeans.py, m x
+fewer jobs); encoding is a broadcast join + per-(vector, subspace) argmin;
+ADC scoring is a broadcast-lookup join + keyed sum; candidate selection
+and the final ranking are orderBy().limit() (TakeOrderedAndProject) — no
+global windows, no driver-side loops over data.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sample_data_pipeline_project_spark.operators.kmeans import _sq_l2
+
+
+def _subvectors(df: DataFrame, m: int, dim: int, vec_col: str) -> DataFrame:
+    """Long form (.., sub_id, subvec): vector split into m contiguous
+    slices of dim/m elements. dim must divide evenly by m."""
+    if dim % m != 0:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    w = dim // m
+    slices = F.array(
+        *[F.slice(F.col(vec_col), i * w + 1, w) for i in range(m)]
+    )
+    return df.select(
+        "*", F.posexplode(slices).alias("sub_id", "subvec")
+    ).drop(vec_col)
+
+
+def pq_fit(
+    corpus: DataFrame,
+    m: int,
+    k_codes: int,
+    dim: int,
+    max_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """Train one k-means codebook per subspace; returns
+    (sub_id, code, c_vec) with m*k_codes rows — small enough to broadcast
+    at any corpus scale (the codebook size is a hyperparameter, not a
+    function of N).
+
+    train_sample_mod > 1 trains on the deterministic hash-sample
+    pmod(hash(id), mod) == 0 — standard PQ practice (codebooks are a
+    statistic of the distribution, not of every row; at 100 TB you train
+    on ~10^6 vectors and encode everything), and it keeps the max_iters
+    grouped Lloyd jobs proportional to the sample, not the corpus."""
+    train = corpus.select(id_col, vec_col)
+    if train_sample_mod > 1:
+        train = train.filter(
+            F.pmod(F.hash(F.col(id_col)), F.lit(train_sample_mod)) == 0
+        )
+    subs = _subvectors(train, m, dim, vec_col).localCheckpoint(eager=True)
+    # GROUPED Lloyd: all m subspace codebooks advance in the SAME job per
+    # iteration (keyed by sub_id throughout) — m x fewer Spark jobs than
+    # looping kmeans_fit per subspace, identical per-subspace math.
+    # Deterministic init: each subspace's k lowest-id subvectors.
+    w_init = Window.partitionBy("sub_id").orderBy(F.col(id_col).asc())
+    centroids = (
+        subs.withColumn("__rn", F.row_number().over(w_init))
+        .filter(F.col("__rn") <= k_codes)
+        .select(
+            "sub_id",
+            F.col("__rn").alias("code"),
+            F.col("subvec").cast("array<double>").alias("c_vec"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    w_assign = Window.partitionBy(id_col, "sub_id").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    for _ in range(max_iters):
+        assigned = (
+            subs.join(F.broadcast(centroids), "sub_id")
+            .select(
+                id_col,
+                "sub_id",
+                "subvec",
+                "code",
+                _sq_l2("subvec", "c_vec").alias("d2"),
+            )
+            .withColumn("__rn", F.row_number().over(w_assign))
+            .filter(F.col("__rn") == 1)
+        )
+        by_dim = (
+            assigned.select(
+                "sub_id", "code", F.posexplode("subvec").alias("d", "v")
+            )
+            .groupBy("sub_id", "code", "d")
+            .agg(F.avg(F.col("v").cast("double")).alias("mv"))
+        )
+        centroids = (
+            by_dim.groupBy("sub_id", "code")
+            .agg(F.array_sort(F.collect_list(F.struct("d", "mv"))).alias("ps"))
+            .select(
+                "sub_id",
+                "code",
+                F.expr("transform(ps, p -> p.mv)").alias("c_vec"),
+            )
+            # truncate lineage: the plan otherwise doubles per iteration
+            .localCheckpoint(eager=True)
+        )
+    return centroids
+
+
+def pq_encode(
+    corpus: DataFrame,
+    codebooks: DataFrame,
+    m: int,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, sub_id, code): nearest codebook centroid per subspace —
+    the compressed representation (long form; m rows of two small ints
+    per vector). Broadcast join against the (m x k)-row codebook, argmin
+    via a per-(vector, subspace) window — partitioned by the densest key
+    available, never global."""
+    subs = _subvectors(corpus.select(id_col, vec_col), m, dim, vec_col)
+    scored = subs.join(F.broadcast(codebooks), "sub_id").select(
+        id_col,
+        "sub_id",
+        "code",
+        _sq_l2("subvec", "c_vec").alias("d2"),
+    )
+    w = Window.partitionBy(id_col, "sub_id").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .select(id_col, "sub_id", "code")
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    m: int,
+    k_codes: int,
+    dim: int,
+    top_k: int,
+    refine: int,
+    max_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """PQ-ADC search with exact re-rank: train codebooks, encode the
+    corpus, build the query's (m x k) distance table, score every vector
+    by m lookups, keep the `refine` best ADC candidates
+    (TakeOrderedAndProject), then exact-cosine re-rank just those and
+    return the top_k as (vec_id, cosine_sim) — identical schema to
+    topk_cosine. `query` is a 1-row frame with column q_emb."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        topk_cosine,
+    )
+
+    codebooks = pq_fit(
+        corpus, m, k_codes, dim, max_iters, id_col, vec_col, train_sample_mod
+    )
+    codes = pq_encode(corpus, codebooks, m, dim, id_col, vec_col)
+    # Query distance table: exact q-subvector to centroid distances.
+    qsubs = _subvectors(
+        query.select(F.col("q_emb").alias("__qv")), m, dim, "__qv"
+    ).select("sub_id", F.col("subvec").alias("q_sub"))
+    dtable = (
+        F.broadcast(codebooks)
+        .join(F.broadcast(qsubs), "sub_id")
+        .select("sub_id", "code", _sq_l2("q_sub", "c_vec").alias("qd2"))
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["sub_id", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    cand_ids = (
+        adc.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        .limit(refine)
+        .select(id_col)
+    )
+    cands = corpus.join(F.broadcast(cand_ids), id_col)
+    return topk_cosine(cands, query, top_k, id_col, vec_col)

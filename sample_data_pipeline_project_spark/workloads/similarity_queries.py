@@ -453,3 +453,44 @@ def sim_batch_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding")
     )
     return batch_topk_cosine(emb, queries, _K)
+
+
+_PQ_M = 4
+_PQ_K_CODES = 16
+_PQ_DIM = 64
+_PQ_REFINE = 10 * _K
+
+
+@workload(
+    "sim_pq_adc_topk",
+    oracle=f"SELECT CAST({_K} AS BIGINT) AS n_returned, TRUE AS recall_ok",
+)
+def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B3 scale path — PRODUCT QUANTIZATION with ADC (operators/pq.py):
+    4 subspaces x 16 codes compress each 64-dim float32 vector to 2 bytes
+    (128x), the query scores the whole corpus with m table lookups per
+    vector, and the top-{refine} ADC candidates get an exact-cosine
+    re-rank. Codebooks come from iterative Lloyd training
+    (summation-order-dependent doubles), so like the other trained-ANN
+    workloads the hashed projection certifies instead of listing: exactly
+    k rows return and recall@10 vs exact brute force clears 0.2 (the
+    exact re-rank over 100 ADC candidates of a 500-5000 vector corpus
+    measured 0.8-1.0; the conservative bound absorbs testdata
+    regeneration). Codebooks train on the deterministic 1-in-4
+    hash-sample — the 100 TB practice (codebooks are distribution
+    statistics) and what keeps the Lloyd jobs corpus-size-independent.
+    Tests assert the id-level behavior."""
+    from sample_data_pipeline_project_spark.operators.pq import pq_adc_topk
+
+    corpus, q, exact = _exact_topk_ids(spark, sf_dir)
+    approx = pq_adc_topk(
+        corpus,
+        q,
+        m=_PQ_M,
+        k_codes=_PQ_K_CODES,
+        dim=_PQ_DIM,
+        top_k=_K,
+        refine=_PQ_REFINE,
+        train_sample_mod=4,
+    )
+    return _topk_certification(approx, exact, min_recall=0.2)

@@ -1,0 +1,81 @@
+"""Product quantization: codebook/encode invariants and measured recall
+of the ADC + exact-re-rank search vs brute force."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.operators.pq import (
+    pq_adc_topk,
+    pq_encode,
+    pq_fit,
+)
+from sample_data_pipeline_project_spark.operators.similarity import topk_cosine
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+_SF = "/root/testdata/sf0.001"
+_M, _KC, _DIM, _K = 4, 16, 64, 10
+
+
+def _corpus_query(spark):
+    emb = load_table(spark, _SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    return emb.filter(F.col("vec_id") != 0), q
+
+
+def test_codebook_shape_and_determinism(spark):
+    corpus, _ = _corpus_query(spark)
+    cb1 = pq_fit(corpus, _M, _KC, _DIM, max_iters=2)
+    assert cb1.count() == _M * _KC
+    # every subspace has its full codebook, all centroid slices are dim/m wide
+    per_sub = {
+        r["sub_id"]: r["n"]
+        for r in cb1.groupBy("sub_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_sub == {s: _KC for s in range(_M)}
+    widths = cb1.select(F.size("c_vec").alias("w")).distinct().collect()
+    assert [r["w"] for r in widths] == [_DIM // _M]
+    # deterministic re-train (id-based init, fixed iteration count)
+    cb2 = pq_fit(corpus, _M, _KC, _DIM, max_iters=2)
+    assert cb1.exceptAll(cb2).count() == 0 and cb2.exceptAll(cb1).count() == 0
+
+
+def test_encode_one_code_per_vector_subspace(spark):
+    corpus, _ = _corpus_query(spark)
+    cb = pq_fit(corpus, _M, _KC, _DIM, max_iters=1)
+    codes = pq_encode(corpus, cb, _M, _DIM)
+    n_vecs = corpus.count()
+    assert codes.count() == n_vecs * _M
+    assert codes.select("vec_id", "sub_id").distinct().count() == n_vecs * _M
+    rng = codes.agg(F.min("code"), F.max("code")).first()
+    assert rng[0] >= 1 and rng[1] <= _KC
+
+
+def test_adc_recall_vs_bruteforce(spark):
+    corpus, q = _corpus_query(spark)
+    exact = {r["vec_id"] for r in topk_cosine(corpus, q, _K).collect()}
+    approx = pq_adc_topk(
+        corpus, q, _M, _KC, _DIM, top_k=_K, refine=10 * _K,
+        train_sample_mod=4,
+    )
+    got = {r["vec_id"] for r in approx.collect()}
+    assert len(got) == _K
+    recall = len(got & exact) / _K
+    # the workload's certified bound is 0.2; measured is far higher —
+    # assert the measured level with slack so testdata regen doesn't flake
+    assert recall >= 0.5, recall
+
+
+def test_refine_full_corpus_equals_exact(spark):
+    """With refine >= |corpus| the ADC stage prunes nothing and the exact
+    re-rank must reproduce brute force bit-for-bit."""
+    corpus, q = _corpus_query(spark)
+    n = corpus.count()
+    exact = topk_cosine(corpus, q, _K).select("vec_id", "cosine_sim")
+    approx = pq_adc_topk(
+        corpus, q, _M, _KC, _DIM, top_k=_K, refine=n, train_sample_mod=4
+    ).select("vec_id", "cosine_sim")
+    assert exact.exceptAll(approx).count() == 0
+    assert approx.exceptAll(exact).count() == 0
