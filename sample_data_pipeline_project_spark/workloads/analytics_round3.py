@@ -311,3 +311,88 @@ def dq_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("l_suppkey").asc())
         .limit(_SKEW_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Per-group closed-form OLS regression (feature-engineering trend fit)
+# --------------------------------------------------------------------------
+_OLS_ORACLE = """
+WITH pts AS (
+  SELECT c.c_mktsegment AS segment,
+         date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE)) AS x,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS y
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+s AS (
+  SELECT segment, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(x * y) AS sxy
+  FROM pts GROUP BY segment
+)
+SELECT segment, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_day,
+       (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+       / CAST(n AS DOUBLE) AS intercept_cents
+FROM s
+"""
+
+
+@workload("regression_price_trend_by_segment", oracle=_OLS_ORACLE)
+def regression_price_trend_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Per-group CLOSED-FORM OLS: order price (integer cents) regressed on
+    order date (integer epoch-days) per market segment — the
+    feature-engineering trend fit, as one keyed aggregate of five exact
+    integer sufficient statistics (n, Sx, Sy, Sxx, Sxy) followed by
+    driver-free arithmetic. No per-group iteration, no collect: the model
+    fit IS a groupBy (the map-side-combinable shape that holds at any
+    group count). Sums are exact int64 (Sxy peaks ~3e16 at sf0.1 — 300x
+    headroom); slope/intercept combine the exact sums in identical
+    textual order as doubles, so results are bit-identical cross-engine."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("x"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+    s = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("x").alias("sx"),
+            F.sum("y").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        )
+    )
+    slope = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        F.col("n").cast("double") * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    intercept = (
+        F.col("sy").cast("double") - slope * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return s.select(
+        "segment",
+        F.col("n").cast("long"),
+        slope.alias("slope_cents_per_day"),
+        intercept.alias("intercept_cents"),
+    )
