@@ -894,3 +894,112 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (10 * F.col("dup_5gram_n") <= F.col("n5"))
         ).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# Bigram-LM perplexity scoring (CCNet-style LM quality filtering)
+# --------------------------------------------------------------------------
+_PPL_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+),
+bi AS (
+  SELECT doc_id,
+         unnest(t[1:len(t) - 1]) AS w1,
+         unnest(t[2:len(t)]) AS w2
+  FROM toks
+),
+doc_bi AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c FROM bi GROUP BY doc_id, w1, w2
+),
+pair_counts AS (
+  SELECT w1, w2, SUM(c) AS n_pair FROM doc_bi GROUP BY w1, w2
+),
+prefix_counts AS (
+  SELECT w1, SUM(n_pair) AS n_prefix FROM pair_counts GROUP BY w1
+),
+vocab AS (
+  SELECT COUNT(DISTINCT tok) AS v
+  FROM (SELECT unnest(t) AS tok FROM toks)
+),
+terms AS (
+  SELECT d.doc_id, d.w1, d.w2,
+         d.c * ln((p.n_pair + 1.0) / (x.n_prefix + vocab.v)) AS term,
+         d.c
+  FROM doc_bi d
+  JOIN pair_counts p ON d.w1 = p.w1 AND d.w2 = p.w2
+  JOIN prefix_counts x ON d.w1 = x.w1
+  CROSS JOIN vocab
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_bigrams,
+       ROUND(-list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                       list(term ORDER BY w1, w2)),
+                          (acc, x) -> acc + x) / SUM(c), 9) AS avg_nll
+FROM terms GROUP BY doc_id
+"""
+
+
+@workload("text_bigram_perplexity", oracle=_PPL_ORACLE)
+def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LM-QUALITY scoring (the CCNet/Wikipedia-LM perplexity filter shape):
+    every document scored by its average negative log-likelihood under the
+    corpus's own add-one-smoothed bigram model, P(w2|w1) = (n_pair + 1) /
+    (n_prefix + V). High avg_nll = improbable token sequences = the
+    low-quality tail a curation pipeline drops. All model statistics are
+    keyed aggregates/joins on (w1, w2); the per-doc float reduction is a
+    LEFT FOLD over the (w1, w2)-sorted term list on BOTH engines (bounded
+    per doc — no cross-partition float summation-order dependence), with
+    the final ROUND(_, 9) absorbing ln()'s libm ulp."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigram_arr = F.expr(
+        "transform(sequence(1, greatest(size(__t) - 1, 0)), "
+        "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
+    )
+    bi = (
+        d.select("doc_id", toks.alias("__t"))
+        .select("doc_id", F.explode(bigram_arr).alias("b"))
+        .select("doc_id", "b.w1", "b.w2")
+    )
+    doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    pair_counts = doc_bi.groupBy("w1", "w2").agg(F.sum("c").alias("n_pair"))
+    prefix_counts = pair_counts.groupBy("w1").agg(
+        F.sum("n_pair").alias("n_prefix")
+    )
+    vocab = (
+        d.select(F.explode(toks).alias("tok"))
+        .agg(F.count_distinct("tok").alias("v"))
+    )
+    terms = (
+        doc_bi.join(pair_counts, ["w1", "w2"])
+        .join(prefix_counts, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "w1",
+            "w2",
+            "c",
+            (
+                F.col("c")
+                * F.log((F.col("n_pair") + 1.0) / (F.col("n_prefix") + F.col("v")))
+            ).alias("term"),
+        )
+    )
+    return (
+        terms.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(w1, w2, term))), "
+                "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.term)"
+            ).alias("nll_sum"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.round(-F.col("nll_sum") / F.col("n_bigrams"), 9).alias("avg_nll"),
+        )
+    )
