@@ -40,6 +40,12 @@ def triangle_counts(
     triangle — each triangle increments all three of its corners.
     """
     # Canonicalize: undirected simple edges with a < b, exactly once.
+    # Materialized eagerly: the edge list is referenced four times below
+    # (degree both sides + orientation), and without truncation every
+    # reference re-plans — and at runtime re-executes — the whole upstream
+    # pair-generation pipeline (e.g. a blocked-matmul similarity join).
+    # Same pattern as connected_components: materialize the (small) edge
+    # list once, then everything downstream joins in-memory data.
     e = (
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
@@ -47,6 +53,7 @@ def triangle_counts(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     # Degree per vertex (over canonical edges).
     deg = (
@@ -64,11 +71,13 @@ def triangle_counts(
     a_first = (F.col("deg_a") < F.col("deg_b")) | (
         (F.col("deg_a") == F.col("deg_b")) & (F.col("a") < F.col("b"))
     )
+    # Also materialized: referenced three times (two wedge legs + the
+    # closing-edge probe); edge-list-sized.
     oriented = ranked.select(
         F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
         F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
         F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
-    )
+    ).localCheckpoint(eager=True)
     # Wedges rooted at the lowest-ranked corner: pick two out-neighbors of
     # src, ordered by rank so the closing edge (v -> w) matches its own
     # orientation.
