@@ -622,3 +622,55 @@ def events_variant_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("k").alias("max_k"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Event debouncing: suppress rapid same-type repeats per user
+# --------------------------------------------------------------------------
+_DEBOUNCE_ORACLE = """
+WITH lagged AS (
+  SELECT event_type,
+         CASE WHEN LAG(ts) OVER (PARTITION BY user_id, event_type
+                                 ORDER BY ts, event_id) IS NOT NULL
+               AND ts - LAG(ts) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id)
+                   <= INTERVAL 5 MINUTE
+              THEN 1 ELSE 0 END AS dropped
+  FROM events
+)
+SELECT event_type,
+       COUNT(*) AS n_total,
+       CAST(SUM(dropped) AS BIGINT) AS n_dropped,
+       CAST(COUNT(*) - SUM(dropped) AS BIGINT) AS n_kept
+FROM lagged GROUP BY event_type
+"""
+
+
+@workload("events_debounce", oracle=_DEBOUNCE_ORACLE)
+def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event DEBOUNCING (duplicate-burst suppression): an event is dropped
+    when the previous same-(user, type) event is within 5 minutes —
+    the stateless form (compare to the PREVIOUS ROW, not the previous
+    kept row: one LAG, no iterative chain), which is what production
+    dedup-at-ingest does because it needs O(1) state per key. Windows are
+    partitioned by (user_id, event_type); output is the per-type
+    kept/dropped audit in exact integers."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    dropped = F.when(
+        prev.isNotNull()
+        & (F.col("ts") <= prev + F.expr("INTERVAL 5 MINUTE")),
+        1,
+    ).otherwise(0)
+    return (
+        e.select("event_type", dropped.alias("dropped"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum("dropped")).cast("long").alias("n_kept"),
+        )
+    )

@@ -1003,3 +1003,111 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(-F.col("nll_sum") / F.col("n_bigrams"), 9).alias("avg_nll"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# BPE merge-candidate scan (one tokenizer-training iteration)
+# --------------------------------------------------------------------------
+_BPE_MERGE_TOP = 10
+
+_BPE_MERGE_ORACLE = f"""
+WITH words AS (
+  SELECT tok AS w, COUNT(*) AS f
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+  GROUP BY tok
+),
+pos AS (
+  SELECT f,
+         unnest(list_transform(generate_series(1, length(w) - 1),
+                               i -> substr(w, i, 2))) AS pair
+  FROM words
+  WHERE length(w) >= 2
+),
+pairs AS (
+  SELECT substr(pair, 1, 1) AS left_sym, substr(pair, 2, 1) AS right_sym,
+         SUM(f) AS merge_count
+  FROM pos GROUP BY 1, 2
+),
+top AS (
+  SELECT left_sym, right_sym, merge_count
+  FROM pairs
+  ORDER BY merge_count DESC, left_sym ASC, right_sym ASC
+  LIMIT {_BPE_MERGE_TOP}
+)
+SELECT a.left_sym, a.right_sym, CAST(a.merge_count AS BIGINT) AS merge_count,
+       CAST(1 + COUNT(b.left_sym) AS BIGINT) AS rnk
+FROM top a
+LEFT JOIN top b
+  ON b.merge_count > a.merge_count
+  OR (b.merge_count = a.merge_count AND b.left_sym < a.left_sym)
+  OR (b.merge_count = a.merge_count AND b.left_sym = a.left_sym
+      AND b.right_sym < a.right_sym)
+GROUP BY a.left_sym, a.right_sym, a.merge_count
+"""
+
+
+@workload("text_bpe_merge_candidates", oracle=_BPE_MERGE_ORACLE)
+def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE TOKENIZER-TRAINING iteration (Sennrich et al. 2016, the
+    char-vocabulary first step): corpus-frequency-weighted counts of
+    adjacent symbol pairs, the argmax of which is the next merge rule.
+    The corpus collapses to the WORD-FREQUENCY table first (BPE's key
+    trick — pair counting is over distinct words x their frequencies, not
+    the token stream), positions enumerate per word (bounded by word
+    length), and the top-{k} merge candidates come back via
+    orderBy().limit() with the rank derived from a bounded k x k
+    self-join — no global window anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(tokens("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("f"))
+        .filter(F.length("w") >= 2)
+    )
+    pairs = (
+        words.select(
+            "f",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), "
+                    "i -> struct(substring(w, i, 1) AS left_sym, "
+                    "substring(w, i + 1, 1) AS right_sym))"
+                )
+            ).alias("p"),
+        )
+        .groupBy("p.left_sym", "p.right_sym")
+        .agg(F.sum("f").alias("merge_count"))
+    )
+    top = pairs.orderBy(
+        F.col("merge_count").desc(),
+        F.col("left_sym").asc(),
+        F.col("right_sym").asc(),
+    ).limit(_BPE_MERGE_TOP)
+    a, b = top.alias("a"), top.alias("b")
+    ahead = (
+        (F.col("b.merge_count") > F.col("a.merge_count"))
+        | (
+            (F.col("b.merge_count") == F.col("a.merge_count"))
+            & (F.col("b.left_sym") < F.col("a.left_sym"))
+        )
+        | (
+            (F.col("b.merge_count") == F.col("a.merge_count"))
+            & (F.col("b.left_sym") == F.col("a.left_sym"))
+            & (F.col("b.right_sym") < F.col("a.right_sym"))
+        )
+    )
+    return (
+        a.join(b, ahead, "left")
+        .groupBy(
+            F.col("a.left_sym").alias("left_sym"),
+            F.col("a.right_sym").alias("right_sym"),
+            F.col("a.merge_count").alias("merge_count"),
+        )
+        .agg((F.count(F.col("b.left_sym")) + 1).cast("long").alias("rnk"))
+        .select(
+            "left_sym",
+            "right_sym",
+            F.col("merge_count").cast("long"),
+            "rnk",
+        )
+    )
