@@ -88,6 +88,14 @@ def pq_fit(
         )
         .localCheckpoint(eager=True)
     )
+    n_init = centroids.count()  # in-memory (eager checkpoint): cheap
+    if n_init < m * k_codes:
+        raise ValueError(
+            f"pq_fit: training set has fewer than k_codes={k_codes} vectors "
+            f"({n_init // m if m else 0} per subspace); shrink k_codes or "
+            "lower train_sample_mod — an under-filled codebook would "
+            "silently degrade every downstream encode"
+        )
     w_assign = Window.partitionBy(id_col, "sub_id").orderBy(
         F.col("d2").asc(), F.col("code").asc()
     )

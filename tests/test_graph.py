@@ -86,3 +86,8 @@ def test_wedges_root_at_low_degree_endpoints(spark):
     got = _run(spark, edges)
     assert got[0] == n - 1
     assert got == _brute_counts(set(edges))
+
+
+def test_empty_edge_list(spark):
+    df = spark.createDataFrame([], "a long, b long")
+    assert triangle_counts(df).count() == 0

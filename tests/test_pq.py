@@ -79,3 +79,12 @@ def test_refine_full_corpus_equals_exact(spark):
     ).select("vec_id", "cosine_sim")
     assert exact.exceptAll(approx).count() == 0
     assert approx.exceptAll(exact).count() == 0
+
+
+def test_undersized_training_set_raises(spark):
+    import pytest as _pytest
+
+    corpus, _ = _corpus_query(spark)
+    small = corpus.limit(8)  # fewer than k_codes=16 training vectors
+    with _pytest.raises(ValueError, match="k_codes"):
+        pq_fit(small, _M, _KC, _DIM, max_iters=1)
