@@ -57,6 +57,21 @@ def word_ngrams(tokens_col: str, n: int) -> Column:
     )
 
 
+def word_bigrams(tokens_col: str) -> Column:
+    """Ordered word bigrams (duplicates kept) as array<struct<w1,w2>>:
+    zip of the two length-(len-1) slices. Safe on 0/1-token docs — both
+    slices are empty via the greatest(len-1, 0) length, unlike the
+    index-range form, where Spark's DESCENDING `sequence(1, 0)` = [1, 0]
+    drives `t[i]` out of bounds (a hard error under ANSI mode, the
+    engine default)."""
+    n1 = f"greatest(size({tokens_col}) - 1, 0)"
+    return F.expr(
+        f"zip_with(slice({tokens_col}, 1, {n1}), "
+        f"slice({tokens_col}, 2, {n1}), "
+        f"(x, y) -> struct(x AS w1, y AS w2))"
+    )
+
+
 def md5_fingerprint(text: str | Column) -> Column:
     """Portable document fingerprint: md5 of normalized text."""
     c = F.col(text) if isinstance(text, str) else text

@@ -55,12 +55,15 @@ def triangle_counts(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    # Degree per vertex (over canonical edges).
+    # Degree per vertex (over canonical edges); materialized because it
+    # feeds BOTH sides of the orientation join below (without truncation
+    # the union+aggregate would execute twice per action).
     deg = (
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)
     )
     # Orient each edge from its lower (deg, id) endpoint to its higher one;
     # carry the destination's rank so the wedge join can order its two legs

@@ -119,13 +119,28 @@ def pq_fit(
             .groupBy("sub_id", "code", "d")
             .agg(F.avg(F.col("v").cast("double")).alias("mv"))
         )
-        centroids = (
+        recomputed = (
             by_dim.groupBy("sub_id", "code")
             .agg(F.array_sort(F.collect_list(F.struct("d", "mv"))).alias("ps"))
             .select(
                 "sub_id",
                 "code",
-                F.expr("transform(ps, p -> p.mv)").alias("c_vec"),
+                F.expr("transform(ps, p -> p.mv)").alias("new_vec"),
+            )
+        )
+        # Empty-cluster preservation: a code whose cluster received zero
+        # points this round (possible when init rows collide — duplicate
+        # subvectors among the k lowest ids — since the argmin tiebreak
+        # sends every point to the lower code) keeps its previous
+        # centroid instead of silently vanishing; otherwise the codebook
+        # would shrink below m*k_codes and every downstream encode would
+        # quietly degrade.
+        centroids = (
+            centroids.join(recomputed, ["sub_id", "code"], "left")
+            .select(
+                "sub_id",
+                "code",
+                F.coalesce("new_vec", "c_vec").alias("c_vec"),
             )
             # truncate lineage: the plan otherwise doubles per iteration
             .localCheckpoint(eager=True)

@@ -54,7 +54,7 @@ def _ewma_exprs(lag_fmt: str) -> tuple[str, str]:
 
 _EWMA_NUM, _EWMA_DEN = _ewma_exprs("l{j}")
 
-_EWMA_LAG_SELECTS = ",\n         ".join(
+_EWMA_LAG_SELECT_LIST = [
     (
         "value AS l0"
         if j == 0
@@ -62,7 +62,8 @@ _EWMA_LAG_SELECTS = ",\n         ".join(
         "(PARTITION BY user_id ORDER BY ts, event_id) AS l" + str(j)
     )
     for j in range(_EWMA_LAGS)
-)
+]
+_EWMA_LAG_SELECTS = ",\n         ".join(_EWMA_LAG_SELECT_LIST)
 
 _EWMA_ORACLE = f"""
 WITH lagged AS (
@@ -86,7 +87,7 @@ def timeseries_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     an unbounded recursive scan."""
     ev = load_table(spark, sf_dir, "events")
     lagged = ev.selectExpr(
-        "event_id", "user_id", "ts", "value", *_EWMA_LAG_SELECTS.split(",\n         ")
+        "event_id", "user_id", "ts", "value", *_EWMA_LAG_SELECT_LIST
     )
     return lagged.selectExpr(
         "event_id",
@@ -332,12 +333,14 @@ s AS (
 SELECT segment, CAST(n AS BIGINT) AS n,
        (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope_cents_per_day,
+       / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0)
+       AS slope_cents_per_day,
        (CAST(sy AS DOUBLE) - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
-       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
-          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+       / NULLIF(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0))
+       * CAST(sx AS DOUBLE))
        / CAST(n AS DOUBLE) AS intercept_cents
 FROM s
 """
@@ -380,12 +383,17 @@ def regression_price_trend_by_segment(
             F.sum(F.col("x") * F.col("y")).alias("sxy"),
         )
     )
+    # NULLIF guards the zero-x-variance degenerate group (all orders on
+    # one date): ANSI Spark would otherwise raise DIVIDE_BY_ZERO and
+    # non-ANSI engines would diverge (NaN vs inf); NULL slope is the
+    # portable "no trend defined" answer both engines agree on.
     slope = (
         F.col("n").cast("double") * F.col("sxy").cast("double")
         - F.col("sx").cast("double") * F.col("sy").cast("double")
-    ) / (
+    ) / F.nullif(
         F.col("n").cast("double") * F.col("sxx").cast("double")
-        - F.col("sx").cast("double") * F.col("sx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double"),
+        F.lit(0.0),
     )
     intercept = (
         F.col("sy").cast("double") - slope * F.col("sx").cast("double")

@@ -655,8 +655,6 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup-at-ingest does because it needs O(1) state per key. Windows are
     partitioned by (user_id, event_type); output is the per-type
     kept/dropped audit in exact integers."""
-    from pyspark.sql.window import Window
-
     e = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)

@@ -18,6 +18,8 @@ from sample_data_pipeline_project_spark.functions.text import (
     stopword_count,
     token_count,
     tokens,
+    word_bigrams,
+    word_ngrams,
 )
 from sample_data_pipeline_project_spark.sources.catalog import load_table
 from sample_data_pipeline_project_spark.workloads import workload
@@ -551,18 +553,15 @@ def text_bigram_lm_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     w1 prefix totals — the integer sufficient statistics of conditional
     probability P(w2|w1) = n_pair/n_prefix, kept as exact integers so the
     hash is engine-portable (the division is the consumer's one cheap
-    op). Sequence bigrams keep DUPLICATES and ORDER (transform over the
-    index range — unlike the distinct shingle sets the dedup operators
-    use). Top-{k} by pair count, deterministic pair tiebreak."""
+    op). Sequence bigrams keep DUPLICATES and ORDER (zip of adjacent
+    slices — unlike the distinct shingle sets the dedup operators use;
+    short-doc-safe, see functions/text.py:word_bigrams). Top-{k} by pair
+    count, deterministic pair tiebreak."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    bigram_arr = F.expr(
-        "transform(sequence(1, greatest(size(__t) - 1, 0)), "
-        "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
-    )
     bigrams = (
         d.select(toks.alias("__t"))
-        .select(F.explode(bigram_arr).alias("b"))
+        .select(F.explode(word_bigrams("__t")).alias("b"))
         .select("b.w1", "b.w2")
     )
     pair_counts = bigrams.groupBy("w1", "w2").agg(
@@ -857,10 +856,9 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).cast("long").alias("n_tok"),
     ).withColumn(
         "g5",
-        F.expr(
-            "transform(sequence(1, greatest(size(t) - 4, 0)), "
-            "i -> concat_ws(' ', slice(t, i, 5)))"
-        ),
+        # short-doc-safe (<5 tokens -> empty): the index-range form dies
+        # on Spark's descending sequence(1, 0); the helper guards it
+        word_ngrams("t", 5),
     )
     per_doc = sized.select(
         "doc_id",
@@ -870,12 +868,8 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dup_5gram_n"),
         F.size("g5").cast("long").alias("n5"),
     )
-    bigram_arr = F.expr(
-        "transform(sequence(1, greatest(size(t) - 1, 0)), "
-        "i -> struct(t[i - 1] AS w1, t[i] AS w2))"
-    )
     top_bigram = (
-        sized.select("doc_id", F.explode(bigram_arr).alias("b"))
+        sized.select("doc_id", F.explode(word_bigrams("t")).alias("b"))
         .groupBy("doc_id", "b.w1", "b.w2")
         .agg(F.count(F.lit(1)).alias("n_pair"))
         .groupBy("doc_id")
@@ -953,13 +947,9 @@ def text_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     the final ROUND(_, 9) absorbing ln()'s libm ulp."""
     d = load_table(spark, sf_dir, "documents")
     toks = tokens("text")
-    bigram_arr = F.expr(
-        "transform(sequence(1, greatest(size(__t) - 1, 0)), "
-        "i -> struct(__t[i - 1] AS w1, __t[i] AS w2))"
-    )
     bi = (
         d.select("doc_id", toks.alias("__t"))
-        .select("doc_id", F.explode(bigram_arr).alias("b"))
+        .select("doc_id", F.explode(word_bigrams("__t")).alias("b"))
         .select("doc_id", "b.w1", "b.w2")
     )
     doc_bi = bi.groupBy("doc_id", "w1", "w2").agg(

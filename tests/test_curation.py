@@ -127,3 +127,30 @@ def test_semantic_dedup_one_representative_per_cluster(spark, tmp_path):
     assert kept == {0, 2, 4}
     sizes = {r["component_id"]: r["n_members"] for r in out}
     assert sizes == {0: 2, 2: 2, 4: 1}
+
+
+def test_word_bigrams_short_doc_safe(spark):
+    """Regression: the index-range bigram form crashed under ANSI on
+    docs with < 2 tokens (Spark's sequence(1, 0) DESCENDS to [1, 0] and
+    t[i] goes out of bounds). The zip-of-slices helper must give an
+    empty array instead."""
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.functions.text import word_bigrams
+
+    rows = [(["x"],), ([],), (["a", "b"],), (["a", "b", "a"],)]
+    df = spark.createDataFrame(rows, "t array<string>")
+    got = [
+        [(p["w1"], p["w2"]) for p in r["b"]]
+        for r in df.select(word_bigrams("t").alias("b")).collect()
+    ]
+    assert got == [[], [], [("a", "b")], [("a", "b"), ("b", "a")]]
+
+
+def test_word_ngrams_short_doc_safe(spark):
+    from sample_data_pipeline_project_spark.functions.text import word_ngrams
+
+    rows = [(["a", "b", "c"],), (["a"],)]
+    df = spark.createDataFrame(rows, "t array<string>")
+    got = [r["g"] for r in df.select(word_ngrams("t", 5).alias("g")).collect()]
+    assert got == [[], []]

