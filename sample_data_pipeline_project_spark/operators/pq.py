@@ -226,3 +226,101 @@ def pq_adc_topk(
     )
     cands = corpus.join(F.broadcast(cand_ids), id_col)
     return topk_cosine(cands, query, top_k, id_col, vec_col)
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    query: DataFrame,
+    k_coarse: int,
+    nprobe: int,
+    m: int,
+    k_codes: int,
+    dim: int,
+    top_k: int,
+    refine: int,
+    max_iters: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_sample_mod: int = 1,
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL quantization — the FAISS IVFPQ composite and
+    the canonical billion-scale ANN layout: a coarse quantizer prunes
+    WHICH inverted lists are scanned (nprobe/k_coarse of the corpus), PQ
+    compresses WHAT each list stores (m small codes of the residual
+    vector x - coarse_centroid, which has far less variance than x, so
+    the same codebook budget quantizes much finer), and ADC scores the
+    probed lists with per-list lookup tables before an exact-cosine
+    re-rank of the `refine` best candidates.
+
+    All stages are DataFrame-native: coarse training/assignment reuse
+    operators/kmeans.py; residuals are one zip_with projection; PQ
+    training/encoding reuse pq_fit/pq_encode on the residual frame; the
+    per-(probed list, subspace, code) distance-table is nprobe*m*k_codes
+    rows — broadcast; candidate selection and the final ranking are
+    TakeOrderedAndProject. `query` is a 1-row frame with column q_emb.
+    """
+    from sample_data_pipeline_project_spark.operators.kmeans import (
+        assign_clusters,
+        kmeans_fit,
+    )
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        topk_cosine,
+    )
+
+    coarse = kmeans_fit(corpus, k_coarse, max_iters, id_col, vec_col)
+    assigned = assign_clusters(corpus, coarse, id_col, vec_col).select(
+        id_col, "cluster"
+    )
+    sub = F.expr(
+        f"zip_with({vec_col}, c_vec, (x, y) -> CAST(x AS DOUBLE) - y)"
+    )
+    residuals = (
+        corpus.join(assigned, id_col)
+        .join(F.broadcast(coarse), "cluster")
+        .select(id_col, "cluster", sub.alias("__res"))
+    )
+    codebooks = pq_fit(
+        residuals, m, k_codes, dim, max_iters, id_col, "__res",
+        train_sample_mod,
+    )
+    codes = pq_encode(residuals, codebooks, m, dim, id_col, "__res").join(
+        assigned, id_col
+    )
+    # Probe the nprobe coarse lists nearest the query.
+    probe = (
+        coarse.crossJoin(F.broadcast(query))
+        .select("cluster", "c_vec", _sq_l2("c_vec", "q_emb").alias("d"))
+        .orderBy(F.col("d").asc(), F.col("cluster").asc())
+        .limit(nprobe)
+        .select("cluster", "c_vec")
+    )
+    # Per-list query residual, then the (cluster, sub_id, code) lookup
+    # table: nprobe * m * k_codes rows.
+    qres = probe.crossJoin(F.broadcast(query)).select(
+        "cluster",
+        F.expr(
+            "zip_with(q_emb, c_vec, (x, y) -> CAST(x AS DOUBLE) - y)"
+        ).alias("__qr"),
+    )
+    qsubs = _subvectors(qres, m, dim, "__qr").select(
+        "cluster", "sub_id", F.col("subvec").alias("q_sub")
+    )
+    dtable = (
+        F.broadcast(codebooks)
+        .join(F.broadcast(qsubs), "sub_id")
+        .select(
+            "cluster", "sub_id", "code", _sq_l2("q_sub", "c_vec").alias("qd2")
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(dtable), ["cluster", "sub_id", "code"])
+        .groupBy(id_col)
+        .agg(F.sum("qd2").alias("adc_d2"))
+    )
+    cand_ids = (
+        adc.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        .limit(refine)
+        .select(id_col)
+    )
+    cands = corpus.join(F.broadcast(cand_ids), id_col)
+    return topk_cosine(cands, query, top_k, id_col, vec_col)

@@ -108,3 +108,33 @@ def test_undersized_training_set_raises(spark):
     small = corpus.limit(8)  # fewer than k_codes=16 training vectors
     with _pytest.raises(ValueError, match="k_codes"):
         pq_fit(small, _M, _KC, _DIM, max_iters=1)
+
+
+def test_ivfpq_all_lists_full_refine_equals_exact(spark):
+    """nprobe = k_coarse and refine >= |corpus|: nothing is pruned at
+    either level, so IVF-PQ must reproduce exact brute force bit-for-bit."""
+    from sample_data_pipeline_project_spark.operators.pq import ivfpq_topk
+
+    corpus, q = _corpus_query(spark)
+    n = corpus.count()
+    exact = topk_cosine(corpus, q, _K).select("vec_id", "cosine_sim")
+    approx = ivfpq_topk(
+        corpus, q, k_coarse=4, nprobe=4, m=_M, k_codes=_KC, dim=_DIM,
+        top_k=_K, refine=n, max_iters=2, train_sample_mod=2,
+    ).select("vec_id", "cosine_sim")
+    assert exact.exceptAll(approx).count() == 0
+    assert approx.exceptAll(exact).count() == 0
+
+
+def test_ivfpq_recall_with_pruning(spark):
+    from sample_data_pipeline_project_spark.operators.pq import ivfpq_topk
+
+    corpus, q = _corpus_query(spark)
+    exact = {r["vec_id"] for r in topk_cosine(corpus, q, _K).collect()}
+    approx = ivfpq_topk(
+        corpus, q, k_coarse=8, nprobe=2, m=_M, k_codes=_KC, dim=_DIM,
+        top_k=_K, refine=10 * _K, max_iters=2, train_sample_mod=2,
+    )
+    got = {r["vec_id"] for r in approx.collect()}
+    assert len(got) == _K
+    assert len(got & exact) / _K >= 0.2, got & exact
