@@ -62,3 +62,33 @@ def iso_format(col: Column) -> Column:
     """TIMESTAMP_NTZ -> ISO-8601 string, the reference's API edge format
     (reference: snowflake_tasks.py:213-216 `.isoformat()`)."""
     return F.date_format(col, "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+
+
+# ---------------------------------------------------------------------------
+# Truncated-kernel EWMA (shared by the batch workload and its stream twin)
+# ---------------------------------------------------------------------------
+EWMA_ALPHA = 0.3
+EWMA_LAGS = 8  # weight at lag 7 ~ 0.025; truncation keeps the op a
+#                fixed-width window (batch LAG) / fixed-size state (stream)
+
+EWMA_WEIGHTS = [EWMA_ALPHA * (1.0 - EWMA_ALPHA) ** j for j in range(EWMA_LAGS)]
+
+
+def ewma_sql_exprs(lag_fmt: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL over lag columns named via lag_fmt.
+    Weights are embedded as repr(float) literals (both engines' parsers
+    bind the shortest round-tripping decimal to the identical IEEE
+    double) and summed in one fixed textual order, so every intermediate
+    double is bit-identical across engines — and across the streaming
+    twin, whose Python loop adds the same terms in the same order."""
+    num_terms = [
+        f"(CASE WHEN {lag_fmt.format(j=j)} IS NULL THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE {w!r} * {lag_fmt.format(j=j)} END)"
+        for j, w in enumerate(EWMA_WEIGHTS)
+    ]
+    den_terms = [
+        f"(CASE WHEN {lag_fmt.format(j=j)} IS NULL THEN CAST(0.0 AS DOUBLE) "
+        f"ELSE CAST({w!r} AS DOUBLE) END)"
+        for j, w in enumerate(EWMA_WEIGHTS)
+    ]
+    return " + ".join(num_terms), " + ".join(den_terms)

@@ -429,3 +429,91 @@ def ledger_gaps_ooo(runs: DataFrame, delay: str = "10 minutes") -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming EWMA (the stream twin of workloads/analytics_round3.py
+# timeseries_ewma — same truncated kernel, same arithmetic order)
+# ---------------------------------------------------------------------------
+_EWMA_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+    ]
+)
+# state = the last up-to-(K-1) values in time order (fixed-size tail —
+# the truncated kernel is exactly what makes EWMA O(1)-state streamable)
+_EWMA_STATE_SCHEMA = T.StructType(
+    [T.StructField("tail", T.ArrayType(T.DoubleType()))]
+)
+
+
+def ewma_stateful(events: DataFrame) -> DataFrame:
+    """Per-user streaming EWMA with the SAME truncated kernel as the batch
+    LAG-window workload: state carries the last K-1 values per user, each
+    row's smoothed value folds the kernel terms IN THE SAME j=0..K-1
+    ORDER as the batch SQL's left-associative chain (missing lags add the
+    same literal 0.0), so stream output is bit-identical to batch — the
+    parity the workload's oracle hashes.
+
+    Ordering contract (same as ledger_gaps_stateful): rows sort by
+    (ts, event_id) within each micro-batch; across batches the event
+    stream is assumed chronological per user."""
+    import numpy as np
+    import pandas as pd
+
+    from sample_data_pipeline_project_spark.functions.timeops import (
+        EWMA_LAGS,
+        EWMA_WEIGHTS,
+    )
+
+    def update(key, pdf_iter, state: GroupState):
+        tail = list(state.get[0]) if state.exists else []
+        pdfs = [p for p in pdf_iter if len(p)]
+        frames = []
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            vals = pdf["value"].to_numpy(dtype="float64")
+            hist = np.concatenate([np.asarray(tail, dtype="float64"), vals])
+            off = len(tail)
+            out = np.empty(len(vals), dtype="float64")
+            for i in range(len(vals)):
+                num = 0.0
+                den = 0.0
+                for j in range(EWMA_LAGS):
+                    idx = off + i - j
+                    if idx >= 0:
+                        num = num + EWMA_WEIGHTS[j] * float(hist[idx])
+                        den = den + EWMA_WEIGHTS[j]
+                    else:
+                        num = num + 0.0
+                        den = den + 0.0
+                out[i] = num / den
+            frames.append(
+                pd.DataFrame(
+                    {
+                        "event_id": pdf["event_id"].to_numpy(),
+                        "user_id": pdf["user_id"].to_numpy(),
+                        "ts": pdf["ts"].to_numpy(),
+                        "value": vals,
+                        "ewma": out,
+                    }
+                )
+            )
+            new_tail = hist[-(EWMA_LAGS - 1):] if len(hist) else hist
+            state.update(([float(x) for x in new_tail],))
+        if frames:
+            yield from iter(frames)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_EWMA_OUT_SCHEMA,
+        stateStructType=_EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

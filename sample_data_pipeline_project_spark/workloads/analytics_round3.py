@@ -25,32 +25,15 @@ from sample_data_pipeline_project_spark.workloads import workload
 
 # --------------------------------------------------------------------------
 # Per-user EWMA over event values — truncated-kernel exponential smoothing
+# (kernel constants + SQL builder shared with the stream twin:
+# functions/timeops.py)
 # --------------------------------------------------------------------------
-_EWMA_ALPHA = 0.3
-_EWMA_LAGS = 8  # kernel weight at lag 7 is 0.3*0.7^7 ~ 0.025 — truncation
-#                 keeps the op a fixed-width LAG window (streamable, no
-#                 unbounded running state) at the cost of renormalizing.
-
-_EWMA_WEIGHTS = [
-    _EWMA_ALPHA * (1.0 - _EWMA_ALPHA) ** j for j in range(_EWMA_LAGS)
-]
-
-
-def _ewma_exprs(lag_fmt: str) -> tuple[str, str]:
-    """(numerator, denominator) SQL using lag columns named via lag_fmt.
-    Identical textual arithmetic order for both engines."""
-    num_terms = [
-        f"(CASE WHEN {lag_fmt.format(j=j)} IS NULL THEN CAST(0.0 AS DOUBLE) "
-        f"ELSE {w!r} * {lag_fmt.format(j=j)} END)"
-        for j, w in enumerate(_EWMA_WEIGHTS)
-    ]
-    den_terms = [
-        f"(CASE WHEN {lag_fmt.format(j=j)} IS NULL THEN CAST(0.0 AS DOUBLE) "
-        f"ELSE CAST({w!r} AS DOUBLE) END)"
-        for j, w in enumerate(_EWMA_WEIGHTS)
-    ]
-    return " + ".join(num_terms), " + ".join(den_terms)
-
+from sample_data_pipeline_project_spark.functions.timeops import (  # noqa: E402
+    EWMA_LAGS as _EWMA_LAGS,
+)
+from sample_data_pipeline_project_spark.functions.timeops import (  # noqa: E402
+    ewma_sql_exprs as _ewma_exprs,
+)
 
 _EWMA_NUM, _EWMA_DEN = _ewma_exprs("l{j}")
 

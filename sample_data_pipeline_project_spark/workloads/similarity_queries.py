@@ -525,7 +525,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         dim=_PQ_DIM,
         top_k=_K,
         refine=_PQ_REFINE,
-        max_iters=3,
+        # 2 Lloyd iterations per quantizer: recall is re-rank-dominated
+        # (certified bound unchanged), and the workload carries TWO
+        # trained quantizers — iteration count is its bench cost driver
+        max_iters=2,
         train_sample_mod=4,
     )
     return _topk_certification(approx, exact, min_recall=0.2)

@@ -423,3 +423,25 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q.awaitTermination()
     return spark.read.parquet(result)
+
+
+from sample_data_pipeline_project_spark.workloads.analytics_round3 import (  # noqa: E402
+    _EWMA_ORACLE,
+)
+
+
+@workload("stream_ewma", oracle=_EWMA_ORACLE)
+def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C33 as a STREAM — per-user truncated-kernel EWMA running online via
+    applyInPandasWithState: state is the last K-1 values per user (the
+    fixed-size tail the truncated kernel was chosen for), each arriving
+    row folds the same kernel terms in the same order as the batch LAG
+    chain, so the stream output is BIT-IDENTICAL to the batch workload —
+    checked against the identical DuckDB oracle (stream-vs-batch parity
+    on raw doubles, no rounding)."""
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        ewma_stateful,
+    )
+
+    events = stream_events(spark, sf_dir)
+    return run_stream_to_table(ewma_stateful(events), output_mode="append")
