@@ -1101,3 +1101,78 @@ def text_bpe_merge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rnk",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Character-entropy quality signal (gibberish / low-information detector)
+# --------------------------------------------------------------------------
+_ENTROPY_ORACLE = """
+WITH chars AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(lower(trim(text)))),
+                               i -> substr(lower(trim(text)), i, 1))) AS ch
+  FROM documents
+  WHERE length(lower(trim(text))) >= 1
+),
+freq AS (
+  SELECT doc_id, ch, COUNT(*) AS n FROM chars GROUP BY doc_id, ch
+),
+tot AS (
+  SELECT doc_id, SUM(n) AS total FROM freq GROUP BY doc_id
+)
+SELECT f.doc_id,
+       CAST(t.total AS BIGINT) AS n_chars_counted,
+       ROUND(-list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+                        list(n * ln(CAST(n AS DOUBLE) / t.total) ORDER BY ch)),
+           (acc, x) -> acc + x) / t.total, 9) AS char_entropy_nats
+FROM freq f JOIN tot t ON f.doc_id = t.doc_id
+GROUP BY f.doc_id, t.total
+"""
+
+
+@workload("text_char_entropy", oracle=_ENTROPY_ORACLE)
+def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHARACTER-ENTROPY quality signal: Shannon entropy (nats) of each
+    document's character distribution — near-zero entropy flags repeated-
+    character gibberish and padding, abnormally high entropy flags binary
+    spill / encoding noise; both tails are standard curation drops. Char
+    enumeration is guarded for empty text (Spark's sequence(1, 0)
+    descends); the per-doc float reduction is a LEFT FOLD over the
+    char-sorted term list on both engines, ROUND(9) absorbing ln() ulp.
+    Shuffles are keyed on (doc_id, char) then doc_id — corpus-scale-safe."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.lower(F.trim("text")).alias("s")
+    ).filter(F.length("s") >= 1)
+    chars = d.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(s)), i -> substring(s, i, 1))")
+        ).alias("ch"),
+    )
+    freq = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("n"))
+    tot = freq.groupBy("doc_id").agg(F.sum("n").alias("total"))
+    terms = freq.join(tot, "doc_id").select(
+        "doc_id",
+        "ch",
+        "total",
+        (F.col("n") * F.log(F.col("n").cast("double") / F.col("total"))).alias(
+            "term"
+        ),
+    )
+    return (
+        terms.groupBy("doc_id", "total")
+        .agg(
+            F.expr(
+                "aggregate(array_sort(collect_list(struct(ch, term))), "
+                "CAST(0.0 AS DOUBLE), (acc, p) -> acc + p.term)"
+            ).alias("h_sum")
+        )
+        .select(
+            "doc_id",
+            F.col("total").cast("long").alias("n_chars_counted"),
+            F.round(-F.col("h_sum") / F.col("total"), 9).alias(
+                "char_entropy_nats"
+            ),
+        )
+    )

@@ -192,3 +192,58 @@ def test_registry_has_no_single_partition_window(spark):
         if sites:
             offenders[name] = sites[0]
     assert offenders == {}, offenders
+
+
+# --------------------------------------------------------------------------
+# Round-3 workload plan facts
+# --------------------------------------------------------------------------
+def test_bm25_stats_joins_broadcast(spark):
+    """BM25's document-frequency (3 rows) and corpus-stats (1 row) joins
+    must broadcast — a shuffle join against either would shuffle the tf
+    table for nothing."""
+    df = load_all()["text_bm25_search"].fn(spark, _SF)
+    strategies = join_strategies(df)
+    assert strategies, "expected join nodes"
+    assert all(
+        s in ("BroadcastHashJoin", "BroadcastNestedLoopJoin")
+        for s in strategies
+    ), strategies
+
+
+def test_triangle_count_plan_is_joins_over_materialized_edges(spark):
+    """After edge-list materialization the triangle plan is a handful of
+    joins over in-memory data — the unmaterialized form re-planned the
+    whole pair-generation pipeline per self-reference (184 join nodes)."""
+    df = load_all()["graph_triangle_count"].fn(spark, _SF)
+    assert len(join_strategies(df)) <= 8, join_strategies(df)
+    # exchanges shuffle edge-list-sized data only; the bound guards the
+    # re-planning relapse (184 join nodes / dozens of exchanges), not the
+    # handful of small shuffles the degree/corner aggregates need
+    assert exchange_count(df) <= 16, exchange_count(df)
+
+
+def test_skew_report_bounded_exchanges(spark):
+    """Skew diagnostic: one keyed aggregate + broadcast total + TakeOrdered
+    — more exchanges would mean the per-key table shuffles repeatedly."""
+    df = load_all()["dq_skew_report"].fn(spark, _SF)
+    assert exchange_count(df) <= 3, exchange_count(df)
+
+
+def test_regression_customer_join_broadcasts(spark):
+    df = load_all()["regression_price_trend_by_segment"].fn(spark, _SF)
+    strategies = join_strategies(df)
+    assert strategies == ["BroadcastHashJoin"], strategies
+
+
+def test_zorder_cells_single_shuffle(spark):
+    """Cell aggregation is ONE hash aggregate: partial map-side combine,
+    one exchange on z_cell."""
+    df = load_all()["layout_zorder_cells"].fn(spark, _SF)
+    assert exchange_count(df) <= 1, exchange_count(df)
+
+
+def test_ewma_single_partitioned_window_exchange(spark):
+    """All 8 LAG expressions share ONE (user-partitioned) window — the
+    plan must carry a single hash-partitioned exchange, not one per lag."""
+    df = load_all()["timeseries_ewma"].fn(spark, _SF)
+    assert exchange_count(df) <= 1, exchange_count(df)
