@@ -387,3 +387,61 @@ def regression_price_trend_by_segment(
         slope.alias("slope_cents_per_day"),
         intercept.alias("intercept_cents"),
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic MODE per group (most frequent value, exact tiebreak)
+# --------------------------------------------------------------------------
+_MODE_ORACLE = """
+WITH cells AS (
+  SELECT c.c_mktsegment AS segment, o.o_orderpriority AS priority,
+         COUNT(*) AS n
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY c.c_mktsegment, o.o_orderpriority
+),
+ranked AS (
+  SELECT segment, priority, n,
+         ROW_NUMBER() OVER (PARTITION BY segment
+                            ORDER BY n DESC, priority ASC) AS rn
+  FROM cells
+)
+SELECT segment, priority AS mode_priority, CAST(n AS BIGINT) AS n_orders
+FROM ranked WHERE rn = 1
+"""
+
+
+@workload("agg_mode_per_segment", oracle=_MODE_ORACLE)
+def agg_mode_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact MODE per group with a DETERMINISTIC tiebreak — the aggregate
+    SQL makes awkward (engine mode()/max_by() leave ties unspecified,
+    which would break cross-engine hashing): count per (group, value),
+    then a rank-1 pick ordered (count DESC, value ASC) over a window
+    partitioned by group. Both shuffles key on the group column; the
+    windowed input is the |groups| x |distinct values| cell table, not
+    the fact table."""
+    from pyspark.sql.window import Window
+
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.col("o_orderpriority").alias("priority")
+    )
+    cells = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("segment", "priority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("segment").orderBy(
+        F.col("n").desc(), F.col("priority").asc()
+    )
+    return (
+        cells.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "segment",
+            F.col("priority").alias("mode_priority"),
+            F.col("n").cast("long").alias("n_orders"),
+        )
+    )

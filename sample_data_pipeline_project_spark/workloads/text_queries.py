@@ -1176,3 +1176,78 @@ def text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Language-ID confusion matrix (classifier evaluation harness)
+# --------------------------------------------------------------------------
+_CONFUSION_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         {_duck_lang_scores()}
+  FROM t
+),
+pred AS (
+  SELECT lang AS labeled_lang,
+         CASE GREATEST(score_en, score_es, score_fr, score_de, score_zh)
+           WHEN score_en THEN 'en'
+           WHEN score_es THEN 'es'
+           WHEN score_fr THEN 'fr'
+           WHEN score_de THEN 'de'
+           ELSE 'zh' END AS predicted_lang
+  FROM s
+),
+cells AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n
+  FROM pred GROUP BY labeled_lang, predicted_lang
+),
+row_tot AS (
+  SELECT labeled_lang, SUM(n) AS row_n FROM cells GROUP BY labeled_lang
+)
+SELECT c.labeled_lang, c.predicted_lang, CAST(c.n AS BIGINT) AS n,
+       CAST(c.n AS DOUBLE) / r.row_n AS row_share,
+       (c.labeled_lang = c.predicted_lang) AS is_correct
+FROM cells c JOIN row_tot r ON c.labeled_lang = r.labeled_lang
+"""
+
+
+@workload("text_lang_confusion_matrix", oracle=_CONFUSION_ORACLE)
+def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASSIFIER EVALUATION harness over the lang-ID heuristic: the
+    (labeled, predicted) confusion matrix with per-true-label recall
+    shares — the eval every model-driven curation filter needs before its
+    predictions gate data. Reuses text_lang_id's exact argmax expressions;
+    two keyed aggregates (cells, then row totals joined back on the
+    |langs|^2-bounded cell table). Counts exact ints; shares exact-int
+    divisions."""
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    scored = d.select(
+        F.col("lang").alias("labeled_lang"),
+        *[stopword_count("toks", lang).alias(f"score_{lang}") for lang in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANGS])
+    pred = F.when(F.col("score_en") == best, "en")
+    for lang in _LANGS[1:-1]:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    pred = pred.otherwise(_LANGS[-1])
+    cells = (
+        scored.select("labeled_lang", pred.alias("predicted_lang"))
+        .groupBy("labeled_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    row_tot = cells.groupBy("labeled_lang").agg(F.sum("n").alias("row_n"))
+    return (
+        cells.join(F.broadcast(row_tot), "labeled_lang")
+        .select(
+            "labeled_lang",
+            "predicted_lang",
+            F.col("n").cast("long"),
+            (F.col("n").cast("double") / F.col("row_n")).alias("row_share"),
+            (F.col("labeled_lang") == F.col("predicted_lang")).alias(
+                "is_correct"
+            ),
+        )
+    )
