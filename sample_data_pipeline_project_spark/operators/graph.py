@@ -107,3 +107,64 @@ def triangle_counts(
     return corners.groupBy("vertex").agg(
         F.count(F.lit(1)).alias("n_triangles")
     )
+
+
+def kcore_peel(
+    edges: DataFrame,
+    k: int,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Fixed-round k-core peeling over an undirected simple graph.
+
+    Runs `rounds` synchronous peel iterations: each round drops every
+    vertex whose current degree is < k (and the edges touching it). The
+    k-core — the maximal subgraph where every vertex keeps >= k
+    neighbors — is the standard "dense enough to trust" filter over a
+    near-dup graph: duplicate cliques survive, star-shaped
+    false-positive hubs dissolve once their spokes are peeled.
+
+    Fixed-round semantics (like `pagerank_fixed`): the result after
+    exactly `rounds` peels is deterministic whether or not the peel has
+    converged, which is what lets a SQL oracle unroll the identical
+    iterations. Returns (vertex, degree) over the surviving edge set —
+    vertices that lost every edge do not appear.
+
+    Scale shape: each round is one keyed degree aggregate plus two
+    semi-join-shaped equi-joins, all edge-list-sized; lineage is
+    truncated per round with an eager localCheckpoint (the
+    components/pagerank pattern), so plans stay constant-size across
+    rounds.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _degrees(ed: DataFrame) -> DataFrame:
+        return (
+            ed.select(F.col("a").alias("vertex"))
+            .unionAll(ed.select(F.col("b").alias("vertex")))
+            .groupBy("vertex")
+            .agg(F.count(F.lit(1)).alias("degree"))
+        )
+
+    for _ in range(rounds):
+        keep = _degrees(e).filter(F.col("degree") >= k).select("vertex")
+        e = (
+            e.join(keep.withColumnRenamed("vertex", "a"), "a")
+            .join(keep.withColumnRenamed("vertex", "b"), "b")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    return _degrees(e)

@@ -59,6 +59,7 @@ def load_all() -> dict[str, Workload]:
         curation_queries,
         dedup_queries,
         event_queries,
+        governance_queries,
         graph_linkage_queries,
         ledger_queries,
         multimodal_queries,

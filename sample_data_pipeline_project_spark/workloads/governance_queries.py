@@ -1,0 +1,236 @@
+"""Pipeline-governance workloads: distribution-drift (PSI), k-anonymity
+privacy audit, CUSUM change-point detection, and a seasonal-baseline
+forecast-error report.
+
+These are the monitoring/audit queries a production ingest pipeline runs
+beside the ledger (reference scope: the ledger tracks *runs*,
+snowflake_tasks.py:352-486 checks window continuity; these check the
+*data* the runs produced). All four follow the repo's cross-engine hash
+contract:
+
+  - money is BIGINT cents via DECIMAL(18,2) (never float->int casts);
+  - every aggregate that feeds a float expression is an EXACT integer
+    sufficient statistic; the float math is ONE fixed-shape IEEE
+    expression, identical textually on both engines;
+  - `ln` goes through ROUND(_, 9) before hashing (libm-portable, the
+    BM25/pagerank guard);
+  - integer division is spelled per-dialect (`div` in Spark, `//` in
+    DuckDB) via a shared SQL builder so both sides floor identically.
+
+Scale notes (the 100 TB shapes):
+  - PSI / k-anonymity / forecast error are keyed aggregates over a
+    bounded output domain (buckets, QI classes, weekday cells) — one
+    map-side-combinable shuffle each, then bounded-size finishing joins.
+  - CUSUM windows run over the per-day AGGREGATE series partitioned by
+    o_orderpriority — the windowed input is calendar-bounded (days), not
+    row-bounded, so no partition grows with raw data volume.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+# --------------------------------------------------------------------------
+# Population Stability Index drift: 1995 baseline vs 2000 current
+# --------------------------------------------------------------------------
+_PSI_BUCKETS = 10
+_PSI_STEP_CENTS = 5_000_000  # 50k-currency-unit bands
+
+
+def _psi_sql(intdiv: str) -> str:
+    """PSI over fixed price bands; `intdiv` is the dialect's integer
+    division operator ('div' for Spark, '//' for DuckDB)."""
+    return f"""
+WITH priced AS (
+  SELECT LEAST({_CENTS} {intdiv} {_PSI_STEP_CENTS}, {_PSI_BUCKETS - 1}) AS bucket,
+         CAST(EXTRACT(YEAR FROM o_orderdate) AS BIGINT) AS yr
+  FROM orders
+  WHERE EXTRACT(YEAR FROM o_orderdate) IN (1995, 2000)
+),
+cells AS (
+  SELECT bucket,
+         SUM(CASE WHEN yr = 1995 THEN 1 ELSE 0 END) AS n_base,
+         SUM(CASE WHEN yr = 2000 THEN 1 ELSE 0 END) AS n_cur
+  FROM priced GROUP BY bucket
+),
+tot AS (
+  SELECT CAST(SUM(n_base) AS BIGINT) AS t_base,
+         CAST(SUM(n_cur) AS BIGINT) AS t_cur
+  FROM cells
+)
+SELECT bucket,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_cur AS BIGINT) AS n_cur,
+       ROUND(
+         (CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {_PSI_BUCKETS} AS DOUBLE)
+          - CAST(n_base + 1 AS DOUBLE) / CAST(t_base + {_PSI_BUCKETS} AS DOUBLE))
+         * ln((CAST(n_cur + 1 AS DOUBLE) / CAST(t_cur + {_PSI_BUCKETS} AS DOUBLE))
+              / (CAST(n_base + 1 AS DOUBLE) / CAST(t_base + {_PSI_BUCKETS} AS DOUBLE))),
+         9) AS psi_term
+FROM cells CROSS JOIN tot
+"""
+
+
+@workload("dq_psi_drift", oracle=_psi_sql("//"))
+def dq_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index between a baseline year (1995) and a
+    current year (2000) over fixed order-price bands — the standard
+    "did my feature distribution move?" monitor. ONE conditional-sum
+    scan produces both histograms (no per-period re-scan); the
+    bucket-domain is fixed ({n} cells), so the totals join is a
+    broadcast of a 1-row frame. Counts are exact integers with add-one
+    smoothing; the PSI term is a single fixed-shape IEEE expression
+    ROUND(9)ed for libm portability. At 100 TB this is one
+    map-side-combinable shuffle on a 10-value key."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_psi_sql("div"))
+
+
+# --------------------------------------------------------------------------
+# k-anonymity audit over quasi-identifiers
+# --------------------------------------------------------------------------
+_KANON_K = 5
+
+_KANON_SQL = f"""
+WITH classes AS (
+  SELECT c_mktsegment, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+         COUNT(*) AS class_size
+  FROM customer GROUP BY c_mktsegment, c_nationkey
+),
+tot AS (SELECT CAST(SUM(class_size) AS BIGINT) AS n_rows FROM classes)
+SELECT c_mktsegment, c_nationkey,
+       CAST(class_size AS BIGINT) AS class_size,
+       CASE WHEN class_size < {_KANON_K} THEN 1 ELSE 0 END AS at_risk,
+       CAST(class_size AS DOUBLE) / CAST(n_rows AS DOUBLE) AS row_share
+FROM classes CROSS JOIN tot
+"""
+
+
+@workload("dq_k_anonymity", oracle=_KANON_SQL)
+def dq_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit: equivalence-class sizes over the
+    quasi-identifier pair (c_mktsegment, c_nationkey) with an at-risk
+    flag for classes below k=5 — the privacy check a training-data
+    release pipeline runs before shipping user-derived rows (complements
+    the PII scrubber in functions/text.py). One keyed aggregate; the
+    class domain is |segments| x |nations| (bounded), so the total-rows
+    join is a 1-row broadcast. At 100 TB: one map-side-combinable
+    shuffle, output bounded by the QI domain, not the data."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_KANON_SQL)
+
+
+# --------------------------------------------------------------------------
+# CUSUM change-point detection over per-priority daily revenue
+# --------------------------------------------------------------------------
+_CUSUM_SQL = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM({_CENTS}) AS BIGINT) AS day_cents
+  FROM orders GROUP BY o_orderpriority, CAST(o_orderdate AS DATE)
+),
+stats AS (
+  SELECT priority, day, day_cents,
+         CAST(SUM(day_cents) OVER (PARTITION BY priority ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_t,
+         CAST(ROW_NUMBER() OVER (PARTITION BY priority ORDER BY day) AS BIGINT) AS t,
+         CAST(SUM(day_cents) OVER (PARTITION BY priority) AS BIGINT) AS total_cents,
+         CAST(COUNT(*) OVER (PARTITION BY priority) AS BIGINT) AS n_days
+  FROM daily
+),
+cusum AS (
+  SELECT priority, day, day_cents,
+         n_days * s_t - t * total_cents AS cusum_scaled,
+         n_days
+  FROM stats
+)
+SELECT priority, day, day_cents,
+       CAST(cusum_scaled AS DOUBLE) / CAST(n_days AS DOUBLE) AS cusum_cents,
+       CASE WHEN ABS(cusum_scaled) = MAX(ABS(cusum_scaled))
+                 OVER (PARTITION BY priority)
+            THEN 1 ELSE 0 END AS is_changepoint
+FROM cusum
+"""
+
+
+@workload("timeseries_cusum_changepoints", oracle=_CUSUM_SQL)
+def timeseries_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM change-point detection on per-priority daily revenue: the
+    classic mean-shift detector CUSUM_t = sum_(s<=t)(x_s - mean), with
+    the argmax |CUSUM| day flagged as the change point. The whole
+    statistic is computed in INTEGER arithmetic — cusum_scaled =
+    n*S_t - t*T avoids the fractional mean entirely — and only the
+    final display value divides (one IEEE op), so the argmax flag is an
+    exact-integer comparison on both engines. Scale shape: the raw scan
+    collapses to a calendar-bounded per-(priority, day) aggregate FIRST;
+    every window then rides the priority partitioning over at most
+    |days| rows per group — no window input grows with raw data volume,
+    and no Exchange SinglePartition appears (guarded by test_plans)."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_CUSUM_SQL)
+
+
+# --------------------------------------------------------------------------
+# Seasonal-naive forecast error (weekday baseline, 2000 holdout)
+# --------------------------------------------------------------------------
+def _forecast_sql(datediff_expr: str) -> str:
+    """`datediff_expr` must yield integer days from 1995-01-02 (a Monday)
+    to `day` in the enclosing dialect."""
+    return f"""
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         CAST(SUM({_CENTS}) AS BIGINT) AS day_cents
+  FROM orders GROUP BY CAST(o_orderdate AS DATE)
+),
+keyed AS (
+  SELECT day, day_cents, CAST(({datediff_expr}) % 7 AS BIGINT) AS dow
+  FROM daily
+),
+train AS (
+  SELECT dow, CAST(SUM(day_cents) AS BIGINT) AS s_dow,
+         CAST(COUNT(*) AS BIGINT) AS n_train_days
+  FROM keyed WHERE day < DATE '2000-01-01' GROUP BY dow
+),
+test AS (
+  SELECT dow, day, day_cents FROM keyed
+  WHERE day >= DATE '2000-01-01' AND day < DATE '2001-01-01'
+),
+scored AS (
+  SELECT t.dow, tr.n_train_days, tr.s_dow,
+         ABS(tr.n_train_days * t.day_cents - tr.s_dow) AS err_scaled
+  FROM test t JOIN train tr ON t.dow = tr.dow
+)
+SELECT dow,
+       CAST(COUNT(*) AS BIGINT) AS n_test_days,
+       MAX(n_train_days) AS n_train_days,
+       CAST(MAX(s_dow) AS DOUBLE) / CAST(MAX(n_train_days) AS DOUBLE)
+         AS forecast_cents,
+       CAST(SUM(err_scaled) AS DOUBLE)
+         / CAST(MAX(n_train_days) * COUNT(*) AS DOUBLE) AS mae_cents
+FROM scored GROUP BY dow
+"""
+
+
+@workload(
+    "forecast_seasonal_baseline",
+    oracle=_forecast_sql("date_diff('day', DATE '1995-01-02', day)"),
+)
+def forecast_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive forecast audit: predict each 2000 day's revenue as
+    the weekday mean from 1995-1999 and report per-weekday MAE — the
+    capacity-planning sanity metric every ingest pipeline keeps. The
+    weekday key is epoch-anchored day-count mod 7 (portable across
+    engines, unlike dialect-specific DOW numbering). MAE is exact until
+    the last step: err_scaled = |n_dow * actual - sum_dow| is integer
+    (the fractional forecast never materializes), summed exactly, then
+    divided once. Scale shape: calendar-bounded daily aggregate -> 7-row
+    train table broadcast back onto test days -> 7-row output."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_forecast_sql("datediff(day, DATE '1995-01-02')"))

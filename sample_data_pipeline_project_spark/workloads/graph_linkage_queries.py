@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sample_data_pipeline_project_spark.functions.vectors import duck_cosine
-from sample_data_pipeline_project_spark.operators.graph import triangle_counts
+from sample_data_pipeline_project_spark.operators.graph import kcore_peel, triangle_counts
 from sample_data_pipeline_project_spark.operators.similarity import (
     neardup_cosine_pairs_blocked,
 )
@@ -115,4 +115,65 @@ def er_cross_source_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(src.withColumnsRenamed({"doc_id": "b", "source": "source_b"}), "b")
         .filter(F.col("source_a") != F.col("source_b"))
         .select("a", "b", "source_a", "source_b", "jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# k-core peeling over the near-dup graph
+# --------------------------------------------------------------------------
+_KCORE_K = 2
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle() -> str:
+    """Unroll the identical fixed peel rounds in SQL (the pagerank-oracle
+    pattern): round i drops vertices with degree < k from edge set e{i}."""
+    parts = [
+        f"""WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_TRI_THRESHOLD}
+),
+e0 AS (SELECT a, b FROM p)"""
+    ]
+    for i in range(_KCORE_ROUNDS):
+        parts.append(
+            f"""d{i} AS (
+  SELECT v, COUNT(*) AS deg FROM (
+    SELECT a AS v FROM e{i} UNION ALL SELECT b AS v FROM e{i}
+  ) GROUP BY v
+),
+k{i} AS (SELECT v FROM d{i} WHERE deg >= {_KCORE_K}),
+e{i + 1} AS (
+  SELECT e.a, e.b FROM e{i} e
+  JOIN k{i} x ON e.a = x.v
+  JOIN k{i} y ON e.b = y.v
+)"""
+        )
+    n = _KCORE_ROUNDS
+    parts.append(
+        f"""final AS (
+  SELECT v AS vertex, CAST(COUNT(*) AS BIGINT) AS degree FROM (
+    SELECT a AS v FROM e{n} UNION ALL SELECT b AS v FROM e{n}
+  ) GROUP BY v
+)"""
+    )
+    return ",\n".join(parts) + "\nSELECT vertex, degree FROM final"
+
+
+@workload("graph_kcore", oracle=_kcore_oracle())
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core peeling (k=2, 4 fixed rounds) over the cosine near-dup
+    graph: iteratively drop vertices with fewer than k surviving
+    neighbors — duplicate cliques survive, star-shaped false-positive
+    hubs dissolve. Fixed-round semantics make the result deterministic
+    and SQL-unrollable (`operators/graph.py:kcore_peel`); each round is
+    edge-list-sized equi-joins + one keyed degree aggregate with
+    per-round lineage truncation. The oracle unrolls the identical
+    rounds over the exact quadratic pair set."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = neardup_cosine_pairs_blocked(emb, _TRI_THRESHOLD).select("a", "b")
+    return kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS).select(
+        F.col("vertex").cast("long"), F.col("degree").cast("long")
     )

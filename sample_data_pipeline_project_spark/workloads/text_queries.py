@@ -1251,3 +1251,76 @@ def text_lang_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Inverted-index build: capped postings lists per term
+# --------------------------------------------------------------------------
+_INVIDX_TOP = 3
+_INVIDX_MIN_DF = 2
+
+_INVIDX_ORACLE = f"""
+WITH tf AS (
+  SELECT tok AS term, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+  FROM (
+    SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+  )
+  WHERE tok <> ''
+  GROUP BY tok, doc_id
+),
+df AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS df_term,
+         CAST(SUM(tf) AS BIGINT) AS corpus_tf
+  FROM tf GROUP BY term
+),
+ranked AS (
+  SELECT term, doc_id, tf,
+         CAST(ROW_NUMBER() OVER (
+           PARTITION BY term ORDER BY tf DESC, doc_id
+         ) AS BIGINT) AS rnk
+  FROM tf
+)
+SELECT r.term, d.df_term, d.corpus_tf, r.rnk, r.doc_id, r.tf
+FROM ranked r JOIN df d ON r.term = d.term
+WHERE r.rnk <= {_INVIDX_TOP} AND d.df_term >= {_INVIDX_MIN_DF}
+"""
+
+
+@workload("text_inverted_index", oracle=_INVIDX_ORACLE)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build — the indexing twin of text_bm25_search: per
+    term, document frequency, corpus term frequency, and the top-3
+    postings by (tf DESC, doc_id) — the impact-ordered, capped postings
+    shape real sharded indexes store (doc_id tiebreak makes the cap
+    deterministic). All columns are exact integers. Scale shape: one
+    (term, doc) keyed aggregate (map-side combinable), then a
+    term-partitioned rank whose input is already collapsed to distinct
+    (term, doc) cells — stopword skew is bounded by distinct docs, not
+    token occurrences; the df join rides the same term partitioning."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("term"))
+        .filter(F.col("term") != "")
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df_term"),
+        F.sum("tf").alias("corpus_tf"),
+    )
+    w = Window.partitionBy("term").orderBy(F.col("tf").desc(), F.col("doc_id"))
+    ranked = tf.withColumn("rnk", F.row_number().over(w).cast("long"))
+    return (
+        ranked.filter(F.col("rnk") <= _INVIDX_TOP)
+        .join(df_t.filter(F.col("df_term") >= _INVIDX_MIN_DF), "term")
+        .select(
+            "term",
+            F.col("df_term").cast("long"),
+            F.col("corpus_tf").cast("long"),
+            "rnk",
+            "doc_id",
+            F.col("tf").cast("long"),
+        )
+    )

@@ -91,3 +91,75 @@ def test_wedges_root_at_low_degree_endpoints(spark):
 def test_empty_edge_list(spark):
     df = spark.createDataFrame([], "a long, b long")
     assert triangle_counts(df).count() == 0
+
+
+# --------------------------------------------------------------------------
+# k-core peeling
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.operators.graph import kcore_peel
+
+
+def _brute_kcore(edges: set[tuple[int, int]], k: int, rounds: int):
+    es = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    for _ in range(rounds):
+        deg: dict[int, int] = {}
+        for a, b in es:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        keep = {v for v, d in deg.items() if d >= k}
+        es = {(a, b) for a, b in es if a in keep and b in keep}
+    deg = {}
+    for a, b in es:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    return deg
+
+
+def _run_kcore(spark, edges, k, rounds):
+    df = spark.createDataFrame(list(edges), "a long, b long")
+    return {r["vertex"]: r["degree"] for r in kcore_peel(df, k, rounds).collect()}
+
+
+def test_kcore_clique_survives_path_dissolves(spark):
+    # K4 clique {1..4} plus a pendant path 4-5-6: the path peels away
+    # under k=2 while the clique keeps degree 3 everywhere.
+    edges = list(itertools.combinations([1, 2, 3, 4], 2)) + [(4, 5), (5, 6)]
+    assert _run_kcore(spark, edges, 2, 4) == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_kcore_cycle_is_its_own_2core(spark):
+    cyc = [(i, (i + 1) % 6) for i in range(6)]
+    assert _run_kcore(spark, cyc, 2, 3) == {i: 2 for i in range(6)}
+
+
+def test_kcore_zero_rounds_returns_input_degrees(spark):
+    edges = [(1, 2), (2, 3)]
+    assert _run_kcore(spark, edges, 5, 0) == {1: 1, 2: 2, 3: 1}
+
+
+def test_kcore_cascading_peel_needs_multiple_rounds(spark):
+    # chain hanging off a triangle: each round removes one more chain
+    # vertex (degree-1 tail), so convergence takes as many rounds as the
+    # chain is long — fixed rounds semantics must match the brute force
+    # at EVERY round count, converged or not.
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 6)]
+    for rounds in range(0, 5):
+        assert _run_kcore(spark, edges, 2, rounds) == _brute_kcore(
+            set(edges), 2, rounds
+        ), rounds
+
+
+def test_kcore_random_graphs_match_bruteforce(spark):
+    rng = random.Random(11)
+    for trial in range(3):
+        n = 16
+        edges = {
+            (a, b)
+            for a in range(n)
+            for b in range(a + 1, n)
+            if rng.random() < 0.25
+        }
+        for k in (2, 3):
+            assert _run_kcore(spark, edges, k, 3) == _brute_kcore(
+                edges, k, 3
+            ), (trial, k)
