@@ -344,3 +344,69 @@ def content_dhash(df: DataFrame) -> DataFrame:
     return df.select("media_id", "payload").mapInPandas(
         compute, "media_id long, dhash long"
     )
+
+
+def patch_token_stats(
+    df: DataFrame, patch_w: int = 8, patch_h: int = 8
+) -> DataFrame:
+    """ViT-style PATCH TOKENIZATION plumbing: map each payload's byte
+    raster (row-major, width from meta.width) onto a (patch_row,
+    patch_col) grid and emit per-patch exact-integer statistics — byte
+    count and byte sum, plus the mean as one final IEEE division. Byte
+    index i (0-based) belongs to patch_row = i // (width*patch_h),
+    patch_col = (i % width) // patch_w; trailing partial patches keep
+    their true n_bytes, so the mapping is total (every byte lands in
+    exactly one patch — the invariant tests pin). This is the schema /
+    batch-shape / partitioning skeleton a real vision pipeline drops a
+    decoded raster into; the arithmetic is codec-free byte math, so the
+    workload over it carries a FULL value-hash oracle (the dHash
+    precedent). One vectorized np.bincount pass per blob, Arrow-batched."""
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out: dict[str, list] = {
+                "media_id": [],
+                "patch_row": [],
+                "patch_col": [],
+                "n_bytes": [],
+                "byte_sum": [],
+            }
+            for _, row in pdf.iterrows():
+                arr = np.frombuffer(row["payload"], dtype=np.uint8)
+                width = int(row["width"])
+                if len(arr) == 0 or width <= 0:
+                    continue
+                idx = np.arange(len(arr))
+                pr = idx // (width * patch_h)
+                pc = (idx % width) // patch_w
+                ncols = (width + patch_w - 1) // patch_w
+                key = pr * ncols + pc
+                sums = np.bincount(key, weights=arr.astype(np.int64))
+                cnts = np.bincount(key)
+                present = np.nonzero(cnts)[0]
+                out["media_id"].extend(
+                    [row["media_id"]] * len(present)
+                )
+                out["patch_row"].extend((present // ncols).tolist())
+                out["patch_col"].extend((present % ncols).tolist())
+                out["n_bytes"].extend(cnts[present].tolist())
+                out["byte_sum"].extend(
+                    sums[present].astype(np.int64).tolist()
+                )
+            yield pd.DataFrame(out)
+
+    flat = df.select(
+        "media_id", "payload", F.col("meta.width").alias("width")
+    )
+    stats = flat.mapInPandas(
+        compute,
+        "media_id long, patch_row long, patch_col long, n_bytes long, "
+        "byte_sum long",
+    )
+    return stats.withColumn(
+        "byte_mean",
+        F.col("byte_sum").cast("double") / F.col("n_bytes").cast("double"),
+    )

@@ -517,3 +517,75 @@ def ewma_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming debounce (the batch events_debounce workload, online)
+# ---------------------------------------------------------------------------
+_DEBOUNCE_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("ts", T.TimestampNTZType()),
+        T.StructField("dropped", T.IntegerType()),
+    ]
+)
+# state = the previous event's timestamp in epoch MICROSECONDS — the
+# stateless-form debounce compares to the previous ROW, so one int64 is
+# the entire per-key state (exactly why production ingest uses this form)
+_DEBOUNCE_STATE_SCHEMA = T.StructType(
+    [T.StructField("last_us", T.LongType())]
+)
+
+_DEBOUNCE_GAP_US = 5 * 60 * 1_000_000
+
+
+def debounce_stateful(events: DataFrame) -> DataFrame:
+    """Per-(user, type) streaming DEBOUNCE: an event is flagged dropped
+    when the previous same-key event (previous ROW, not previous kept
+    row — the O(1)-state stateless form) is within 5 minutes. Timestamps
+    are compared as exact epoch-microsecond integers, the same
+    arithmetic as the batch LAG + INTERVAL predicate, so stream output
+    is identical to batch and both hash against one oracle.
+
+    Ordering contract (same as ewma_stateful): rows sort by
+    (ts, event_id) within each micro-batch; across batches the stream is
+    assumed chronological per key."""
+    import pandas as pd
+
+    def update(key, pdf_iter, state: GroupState):
+        last_us = state.get[0] if state.exists else None
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            dropped = []
+            for cur in us:
+                dropped.append(
+                    1
+                    if last_us is not None
+                    and cur - last_us <= _DEBOUNCE_GAP_US
+                    else 0
+                )
+                last_us = int(cur)
+            state.update((int(last_us),))
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "event_type": pdf["event_type"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "dropped": dropped,
+                }
+            )
+
+    return events.groupBy("user_id", "event_type").applyInPandasWithState(
+        update,
+        outputStructType=_DEBOUNCE_OUT_SCHEMA,
+        stateStructType=_DEBOUNCE_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

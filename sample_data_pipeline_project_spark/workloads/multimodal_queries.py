@@ -227,3 +227,60 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("fp_b").alias("dhash_b"),
         "hamming",
     )
+
+
+# --------------------------------------------------------------------------
+# Patch tokenization: full value-hash oracle (the dHash precedent) —
+# every patch statistic re-derived from hex(payload) byte arithmetic.
+# --------------------------------------------------------------------------
+_PATCH_W = 8
+_PATCH_H = 8
+_PATCH_RASTER_W = 16  # _docs_as_media meta.width
+
+_PATCH_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) > 0
+),
+b AS (
+  SELECT doc_id, hx, unnest(generate_series(0, nb - 1)) AS i
+  FROM h
+),
+v AS (
+  SELECT doc_id,
+         i // {_PATCH_RASTER_W * _PATCH_H} AS patch_row,
+         (i % {_PATCH_RASTER_W}) // {_PATCH_W} AS patch_col,
+         (instr('0123456789ABCDEF', substr(hx, 2 * i + 1, 1)) - 1) * 16
+         + (instr('0123456789ABCDEF', substr(hx, 2 * i + 2, 1)) - 1) AS byte
+  FROM b
+)
+SELECT doc_id AS media_id,
+       CAST(patch_row AS BIGINT) AS patch_row,
+       CAST(patch_col AS BIGINT) AS patch_col,
+       CAST(COUNT(*) AS BIGINT) AS n_bytes,
+       CAST(SUM(byte) AS BIGINT) AS byte_sum,
+       CAST(SUM(byte) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS byte_mean
+FROM v GROUP BY doc_id, patch_row, patch_col
+"""
+
+
+@workload("multimodal_patch_tokens", oracle=_PATCH_ORACLE)
+def multimodal_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ViT-style patch tokenization over binary payloads: each payload's
+    byte raster (row-major, width 16) is mapped onto an 8x8 patch grid
+    and reduced to per-patch exact-integer stats (count, sum) plus one
+    final IEEE mean — the tensorize-to-patch-tokens step of a vision
+    ingest pipeline, with the decode swapped for raw bytes (codec-free,
+    like multimodal_phash_neardup). FULL value-hash oracle: DuckDB
+    re-derives every byte from hex(payload) and replays the identical
+    patch-index arithmetic. Spark side is one vectorized np.bincount per
+    blob over an Arrow-batched mapInPandas — per-blob work, no
+    row-at-a-time UDF, partitionable by media_id at any scale."""
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        patch_token_stats,
+    )
+
+    media = _docs_as_media(spark, sf_dir, "image")
+    return patch_token_stats(media, patch_w=_PATCH_W, patch_h=_PATCH_H)

@@ -6,6 +6,7 @@ engine is exactly "incremental result == batch result".
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sample_data_pipeline_project_spark.streaming.eventtime import (
     hourly_counts_stream,
@@ -445,3 +446,37 @@ def stream_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = stream_events(spark, sf_dir)
     return run_stream_to_table(ewma_stateful(events), output_mode="append")
+
+
+from sample_data_pipeline_project_spark.workloads.event_queries import (  # noqa: E402
+    _DEBOUNCE_ORACLE,
+)
+
+
+@workload("stream_debounce", oracle=_DEBOUNCE_ORACLE)
+def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events_debounce as a STREAM: the per-(user, type) 5-minute burst
+    suppressor running online via applyInPandasWithState with ONE int64
+    (the previous event's epoch-micros) as the entire per-key state —
+    the minimal-state shape ingest dedup needs at 100 TB. Per-row
+    decisions stream out; the registered result is the same per-type
+    kept/dropped audit as the batch workload, hashed against the
+    IDENTICAL DuckDB oracle (stream-vs-batch parity)."""
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        debounce_stateful,
+    )
+
+    events = stream_events(spark, sf_dir)
+    decisions = run_stream_to_table(
+        debounce_stateful(events), output_mode="append"
+    )
+    return (
+        decisions.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("dropped").cast("long").alias("n_dropped"),
+            (F.count(F.lit(1)) - F.sum("dropped"))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )

@@ -201,3 +201,43 @@ def test_dhash_banded_pairs_equal_quadratic(spark):
         if a < b and bin(fps[a] ^ fps[b]).count("1") <= 3
     }
     assert banded == quad
+
+
+def test_patch_token_stats_known_bytes(spark):
+    """4-wide raster, 2x2 patches: patch sums/counts have closed forms,
+    and every byte lands in exactly one patch (partition invariant)."""
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        patch_token_stats,
+    )
+
+    # 4x3 raster (12 bytes, width 4): rows [0,1,2,3],[10,11,12,13],[20,21,22,23]
+    payload = bytes([0, 1, 2, 3, 10, 11, 12, 13, 20, 21, 22, 23])
+    rows = [(1, "image", bytearray(payload), (4, 3, 1, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    got = {
+        (r["patch_row"], r["patch_col"]): r
+        for r in patch_token_stats(df, patch_w=2, patch_h=2).collect()
+    }
+    # patch_h=2: rows 0-1 -> patch_row 0 (full 2x2 patches),
+    # row 2 -> patch_row 1 (partial, 2 bytes per column pair)
+    assert set(got) == {(0, 0), (0, 1), (1, 0), (1, 1)}
+    assert got[(0, 0)]["n_bytes"] == 4 and got[(0, 0)]["byte_sum"] == 0 + 1 + 10 + 11
+    assert got[(0, 1)]["n_bytes"] == 4 and got[(0, 1)]["byte_sum"] == 2 + 3 + 12 + 13
+    assert got[(1, 0)]["n_bytes"] == 2 and got[(1, 0)]["byte_sum"] == 20 + 21
+    assert got[(1, 1)]["n_bytes"] == 2 and got[(1, 1)]["byte_sum"] == 22 + 23
+    # totality: byte counts and sums partition the payload exactly
+    assert sum(r["n_bytes"] for r in got.values()) == len(payload)
+    assert sum(r["byte_sum"] for r in got.values()) == sum(payload)
+    assert got[(1, 0)]["byte_mean"] == 20.5
+
+
+def test_patch_token_stats_empty_payload_skipped(spark):
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        patch_token_stats,
+    )
+
+    rows = [(7, "image", bytearray(b""), (4, 0, 1, None, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    assert patch_token_stats(df).count() == 0

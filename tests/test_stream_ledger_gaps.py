@@ -145,3 +145,64 @@ def test_ooo_gaps_reorder_within_watermark(spark, tmp_path):
         base + dt.timedelta(minutes=10),
         base + dt.timedelta(minutes=30),
     ) not in gaps, gaps
+
+
+# ---------------------------------------------------------------------------
+# Streaming debounce: cross-batch previous-event state
+# ---------------------------------------------------------------------------
+_EV_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, "
+    "value double, props string"
+)
+
+
+def _events(spark, rows):
+    import datetime as dt
+
+    base = dt.datetime(2024, 3, 1)
+    data = [
+        (eid, base + dt.timedelta(seconds=sec), uid, etype, 0.0, "{}")
+        for eid, sec, uid, etype in rows
+    ]
+    return spark.createDataFrame(data, _EV_SCHEMA)
+
+
+def _run_debounce(spark, src, ckpt, sink):
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        debounce_stateful,
+    )
+
+    stream = spark.readStream.schema(_EV_SCHEMA).parquet(src)
+    q = (
+        debounce_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+
+def test_debounce_state_spans_batch_boundary(spark, tmp_path):
+    src, ckpt, sink = (str(tmp_path / d) for d in ("esrc", "eckpt", "esink"))
+    # batch 1: two view events 10s apart (second dropped), one click
+    _events(
+        spark, [(1, 0, 7, "view"), (2, 10, 7, "view"), (3, 20, 7, "click")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_debounce(spark, src, ckpt, sink)
+    got = {r["event_id"]: r["dropped"] for r in spark.read.parquet(sink).collect()}
+    assert got == {1: 0, 2: 1, 3: 0}
+
+    # batch 2: a view 60s after batch 1's last view -> dropped via STATE;
+    # a view 400s later -> kept (gap > 5 min); other user unaffected
+    _events(
+        spark, [(4, 70, 7, "view"), (5, 470, 7, "view"), (6, 480, 9, "view")]
+    ).coalesce(1).write.mode("append").parquet(src)
+    _run_debounce(spark, src, ckpt, sink)
+    got = {r["event_id"]: r["dropped"] for r in spark.read.parquet(sink).collect()}
+    assert got[4] == 1, "within-5-min repeat across batch boundary must drop"
+    assert got[5] == 0, "gap beyond 5 min must keep"
+    assert got[6] == 0, "first event for a new key must keep"
