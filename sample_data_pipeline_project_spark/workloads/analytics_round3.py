@@ -445,3 +445,183 @@ def agg_mode_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n").cast("long").alias("n_orders"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 + token-Jaccard
+# --------------------------------------------------------------------------
+_RRF_K = 60
+_RRF_TOP = 10
+_RRF_NQ = len(_BM25_TERMS)
+
+_RRF_ORACLE = f"""
+WITH docs AS (
+  SELECT doc_id,
+         string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+dl AS (
+  SELECT doc_id, len(toks) AS dl FROM docs
+),
+stats AS (
+  SELECT COUNT(*) AS n_docs, SUM(dl) AS total_tok FROM dl
+),
+tf AS (
+  SELECT doc_id, tok AS term, COUNT(*) AS tf
+  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs)
+  WHERE tok IN ({_TERMS_SQL})
+  GROUP BY doc_id, tok
+),
+dfx AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+),
+scored AS (
+  SELECT tf.doc_id,
+         SUM(
+           ln((s.n_docs - dfx.df + 0.5) / (dfx.df + 0.5) + 1.0)
+           * (tf.tf * ({_BM25_K1} + 1.0))
+           / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+              + {_BM25_B} * dl.dl
+                / (CAST(s.total_tok AS DOUBLE) / s.n_docs)))
+         ) AS score
+  FROM tf
+  JOIN dfx ON tf.term = dfx.term
+  JOIN dl ON tf.doc_id = dl.doc_id
+  CROSS JOIN stats s
+  GROUP BY tf.doc_id
+),
+bmtop AS (
+  SELECT doc_id, ROUND(score, 9) AS bm25
+  FROM scored
+  ORDER BY ROUND(score, 9) DESC, doc_id ASC
+  LIMIT {_BM25_TOP}
+),
+ra AS (
+  SELECT x.doc_id, CAST(1 + COUNT(y.doc_id) AS BIGINT) AS rank_a
+  FROM bmtop x LEFT JOIN bmtop y
+    ON y.bm25 > x.bm25 OR (y.bm25 = x.bm25 AND y.doc_id < x.doc_id)
+  GROUP BY x.doc_id
+),
+jtoks AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS tok FROM docs
+),
+jac AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN tok IN ({_TERMS_SQL}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS shared,
+         CAST(COUNT(*) AS BIGINT) AS n_tok
+  FROM jtoks GROUP BY doc_id
+),
+jtop AS (
+  SELECT doc_id,
+         CAST(shared AS DOUBLE)
+           / CAST(n_tok + {_RRF_NQ} - shared AS DOUBLE) AS jacc
+  FROM jac
+  ORDER BY CAST(shared AS DOUBLE)
+             / CAST(n_tok + {_RRF_NQ} - shared AS DOUBLE) DESC,
+           doc_id ASC
+  LIMIT {_BM25_TOP}
+),
+rb AS (
+  SELECT x.doc_id, CAST(1 + COUNT(y.doc_id) AS BIGINT) AS rank_b
+  FROM jtop x LEFT JOIN jtop y
+    ON y.jacc > x.jacc OR (y.jacc = x.jacc AND y.doc_id < x.doc_id)
+  GROUP BY x.doc_id
+),
+fused AS (
+  SELECT COALESCE(ra.doc_id, rb.doc_id) AS doc_id,
+         ra.rank_a, rb.rank_b,
+         COALESCE(1.0 / ({_RRF_K}.0 + CAST(ra.rank_a AS DOUBLE)), 0.0)
+         + COALESCE(1.0 / ({_RRF_K}.0 + CAST(rb.rank_b AS DOUBLE)), 0.0)
+           AS rrf
+  FROM ra FULL OUTER JOIN rb ON ra.doc_id = rb.doc_id
+)
+SELECT doc_id, rank_a, rank_b, rrf
+FROM fused
+ORDER BY rrf DESC, doc_id ASC
+LIMIT {_RRF_TOP}
+"""
+
+
+def _selfjoin_rank(top: DataFrame, score: str, rank_name: str) -> DataFrame:
+    """Rank a bounded top-k frame by (score DESC, doc_id ASC) via a k x k
+    self-join count — no window, no single-partition Exchange (the
+    bigram-LM/BPE rank pattern)."""
+    x = top.alias("x")
+    y = top.alias("y")
+    ahead = (F.col(f"y.{score}") > F.col(f"x.{score}")) | (
+        (F.col(f"y.{score}") == F.col(f"x.{score}"))
+        & (F.col("y.doc_id") < F.col("x.doc_id"))
+    )
+    return (
+        x.join(y, ahead, "left")
+        .groupBy(F.col("x.doc_id").alias("doc_id"))
+        .agg((F.lit(1) + F.count(F.col("y.doc_id"))).cast("long").alias(rank_name))
+    )
+
+
+@workload("text_hybrid_rrf_fusion", oracle=_RRF_ORACLE)
+def text_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HYBRID SEARCH: reciprocal-rank fusion (k=60) of two independent
+    retrievers over the same fixed query — lexical BM25 (the
+    text_bm25_search ranking, reused verbatim) and token-set Jaccard —
+    the standard way RAG stacks combine sparse retrievers without
+    score calibration, since RRF consumes only RANKS. Both top-20 lists
+    come from TakeOrderedAndProject; ranks are derived by bounded k x k
+    self-joins (no global window); fusion is a 20-row full outer join.
+    1/(60+rank) terms are exact-input IEEE divisions, identical on both
+    engines. At 100 TB only the two retrievers touch the corpus — the
+    fusion cost is O(k)."""
+    from sample_data_pipeline_project_spark.functions.text import tokens
+
+    bmtop = text_bm25_search(spark, sf_dir)
+    ra = _selfjoin_rank(bmtop, "bm25", "rank_a")
+
+    d = load_table(spark, sf_dir, "documents")
+    jac = (
+        d.select(
+            "doc_id", F.explode(F.array_distinct(tokens("text"))).alias("tok")
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("tok").isin(*_BM25_TERMS), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("shared"),
+            F.count(F.lit(1)).cast("long").alias("n_tok"),
+        )
+    )
+    jtop = (
+        jac.select(
+            "doc_id",
+            (
+                F.col("shared").cast("double")
+                / (F.col("n_tok") + F.lit(_RRF_NQ) - F.col("shared")).cast(
+                    "double"
+                )
+            ).alias("jacc"),
+        )
+        .orderBy(F.col("jacc").desc(), F.col("doc_id").asc())
+        .limit(_BM25_TOP)
+    )
+    rb = _selfjoin_rank(jtop, "jacc", "rank_b")
+
+    fused = ra.join(rb, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_a",
+        "rank_b",
+        (
+            F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_a").cast("double")),
+                F.lit(0.0),
+            )
+            + F.coalesce(
+                F.lit(1.0) / (F.lit(float(_RRF_K)) + F.col("rank_b").cast("double")),
+                F.lit(0.0),
+            )
+        ).alias("rrf"),
+    )
+    return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
+        _RRF_TOP
+    )

@@ -672,3 +672,80 @@ def events_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.count(F.lit(1)) - F.sum("dropped")).cast("long").alias("n_kept"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Event-type co-occurrence (market-basket association mining)
+# --------------------------------------------------------------------------
+_COOC_ORACLE = """
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+tc AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut
+  GROUP BY event_type
+),
+pairs AS (
+  SELECT a.event_type AS t1, b.event_type AS t2,
+         CAST(COUNT(*) AS BIGINT) AS n_both
+  FROM ut a JOIN ut b
+    ON a.user_id = b.user_id AND a.event_type < b.event_type
+  GROUP BY a.event_type, b.event_type
+)
+SELECT p.t1, p.t2, p.n_both, c1.n_t AS n_t1, c2.n_t AS n_t2, t.n_users,
+       CAST(p.n_both AS DOUBLE) * CAST(t.n_users AS DOUBLE)
+         / (CAST(c1.n_t AS DOUBLE) * CAST(c2.n_t AS DOUBLE)) AS lift
+FROM pairs p
+JOIN tc c1 ON p.t1 = c1.event_type
+JOIN tc c2 ON p.t2 = c2.event_type
+CROSS JOIN tot t
+"""
+
+
+@workload("events_type_cooccurrence", _COOC_ORACLE)
+def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket ASSOCIATION MINING over per-user event baskets:
+    support and lift for every co-occurring event-type pair (the
+    frequent-itemset pair scan, the first FP-growth iteration). The
+    user self-join runs on DISTINCT (user, type) rows, so per-user
+    fan-out is bounded by the type-domain squared — independent of how
+    many raw events a heavy user emits; type totals are a broadcast-
+    sized dim. Counts are exact integers; lift is one fixed-shape IEEE
+    expression over them."""
+    ut = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_type")
+        .distinct()
+    )
+    tot = ut.agg(F.count_distinct("user_id").alias("n_users"))
+    tc = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_t"))
+    a = ut.withColumnsRenamed({"event_type": "t1"})
+    b = ut.withColumnsRenamed({"event_type": "t2"})
+    pairs = (
+        a.join(b, (a.user_id == b.user_id) & (F.col("t1") < F.col("t2")))
+        .groupBy("t1", "t2")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    return (
+        pairs.join(
+            F.broadcast(tc.withColumnsRenamed({"event_type": "t1", "n_t": "n_t1"})),
+            "t1",
+        )
+        .join(
+            F.broadcast(tc.withColumnsRenamed({"event_type": "t2", "n_t": "n_t2"})),
+            "t2",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "t1",
+            "t2",
+            F.col("n_both").cast("long"),
+            F.col("n_t1").cast("long"),
+            F.col("n_t2").cast("long"),
+            F.col("n_users").cast("long"),
+            (
+                F.col("n_both").cast("double")
+                * F.col("n_users").cast("double")
+                / (F.col("n_t1").cast("double") * F.col("n_t2").cast("double"))
+            ).alias("lift"),
+        )
+    )

@@ -234,3 +234,59 @@ def forecast_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
     train table broadcast back onto test days -> 7-row output."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_forecast_sql("datediff(day, DATE '1995-01-02')"))
+
+
+# --------------------------------------------------------------------------
+# MAD-based robust outlier audit (median absolute deviation)
+# --------------------------------------------------------------------------
+_BAL_CENTS = "CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_MAD_SQL = f"""
+WITH base AS (
+  SELECT c_mktsegment AS segment, {_BAL_CENTS} AS cents FROM customer
+),
+med AS (
+  SELECT segment, CAST(2 * median(cents) AS BIGINT) AS med2
+  FROM base GROUP BY segment
+),
+dev AS (
+  SELECT b.segment, b.cents, ABS(2 * b.cents - m.med2) AS dev2
+  FROM base b JOIN med m ON b.segment = m.segment
+),
+mad AS (
+  SELECT segment, CAST(2 * median(dev2) AS BIGINT) AS mad4
+  FROM dev GROUP BY segment
+)
+SELECT d.segment,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MAX(md.med2) AS DOUBLE) / 2.0 AS median_cents,
+       CAST(MAX(m.mad4) AS DOUBLE) / 4.0 AS mad_cents,
+       CAST(SUM(CASE WHEN 2 * d.dev2 > 3 * m.mad4 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_outliers
+FROM dev d
+JOIN mad m ON d.segment = m.segment
+JOIN med md ON d.segment = md.segment
+GROUP BY d.segment
+"""
+
+
+@workload("dq_mad_robust_outliers", oracle=_MAD_SQL)
+def dq_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier audit: per-segment median + median-absolute-
+    deviation over account balances, counting rows with
+    |x - median| > 3 * MAD — the outlier detector that (unlike the
+    z-score in events_anomaly_zscore) is not itself corrupted by the
+    outliers it hunts. The entire decision is INTEGER arithmetic:
+    medians are doubled (2*median of ints is an exact int even when the
+    median falls between two values), deviations are |2x - med2|, and
+    the 3-MAD test compares 2*dev2 > 3*mad4 — no float enters until the
+    two display columns. Exact grouped medians are percentile sorts
+    within each segment here; at 100 TB the same statistic comes from
+    the distributed bucket-offset order-statistic used by
+    sketch_approx_quantiles' certification path."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(
+        _MAD_SQL.replace("median(cents)", "percentile(cents, 0.5)").replace(
+            "median(dev2)", "percentile(dev2, 0.5)"
+        )
+    )
