@@ -80,6 +80,26 @@ def hourly_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFr
     )
 
 
+def sliding_counts_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of `events_sliding_window`: 1h windows sliding every
+    30 min (each event lands in 2 windows) with a late-data watermark.
+    Overlapping windows multiply per-window state 2x, not per-event work —
+    the window() expansion happens map-side before the keyed aggregate."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def session_counts_stream(
     events: DataFrame, gap: str = "6 hours", watermark: str = "1 hour"
 ) -> DataFrame:

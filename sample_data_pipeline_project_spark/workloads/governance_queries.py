@@ -290,3 +290,42 @@ def dq_mad_robust_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             "median(dev2)", "percentile(dev2, 0.5)"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Benford first-digit audit
+# --------------------------------------------------------------------------
+def _benford_sql(strtype: str) -> str:
+    """`strtype` is the dialect's string type name for CAST (STRING in
+    Spark, VARCHAR in DuckDB); everything else is shared text."""
+    return f"""
+WITH d AS (
+  SELECT CAST(substr(CAST({_CENTS} AS {strtype}), 1, 1) AS BIGINT) AS digit
+  FROM orders WHERE {_CENTS} > 0
+),
+obs AS (
+  SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+),
+tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs)
+SELECT digit, n_obs,
+       ROUND(ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 9)
+         AS p_expected,
+       CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE) AS p_observed,
+       ROUND(CAST(n_obs AS DOUBLE) / CAST(n AS DOUBLE)
+             - ln(1.0 + 1.0 / CAST(digit AS DOUBLE)) / ln(10.0), 9)
+         AS deviation
+FROM obs CROSS JOIN tot
+"""
+
+
+@workload("dq_benford_first_digit", oracle=_benford_sql("VARCHAR"))
+def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit over order totals — the classic
+    fabricated-data / unit-mixing detector for financial columns. The
+    first significant digit is taken from the DECIMAL-exact cents string
+    (identical integer rendering on both engines — no float log10
+    anywhere near the digit extraction); expected shares ln(1+1/d)/ln(10)
+    are ROUND(9)ed for libm portability. One map-side-combinable shuffle
+    on a 9-value key; the totals join is a 1-row broadcast."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_benford_sql("STRING"))

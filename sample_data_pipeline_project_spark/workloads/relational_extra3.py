@@ -439,3 +439,57 @@ def agg_listagg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFram
             F.count(F.lit(1)).alias("n_nations"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Array higher-order functions over embeddings
+# --------------------------------------------------------------------------
+_HOF_ORACLE = """
+WITH folded AS (
+  SELECT vec_id,
+         CAST(len(embedding) AS BIGINT) AS dim,
+         CAST(len(list_filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (acc, v) -> acc + v) AS l1_norm,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))),
+           (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END) AS max_abs,
+         list_reduce(
+           list_prepend(CAST(0.0 AS DOUBLE),
+             list_transform(embedding,
+               x -> LEAST(GREATEST(CAST(x AS DOUBLE), -0.25), 0.25))),
+           (acc, v) -> acc + v) AS clipped_sum
+  FROM embeddings
+)
+SELECT vec_id, dim, n_pos, l1_norm, max_abs, clipped_sum
+FROM folded
+"""
+
+
+@workload("scalar_array_hof_funcs", oracle=_HOF_ORACLE)
+def scalar_array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array higher-order-function surface over `array<float>` embeddings:
+    transform / filter / aggregate with BOTH fold shapes — a running sum
+    and a running max (custom combiner) — plus an element-wise clamp
+    chain. Everything runs JVM-side inside codegen (no UDF); float
+    determinism comes from the repo's left-fold contract (functions/
+    vectors.py): float->double casts are exact, per-element ops are IEEE,
+    and the fold order is fixed, so DuckDB's list_reduce mirror is
+    bit-identical. Pure projection — zero shuffles at any scale."""
+    e = load_table(spark, sf_dir, "embeddings")
+    absd = "transform(embedding, x -> abs(CAST(x AS DOUBLE)))"
+    return e.selectExpr(
+        "vec_id",
+        "CAST(size(embedding) AS BIGINT) AS dim",
+        "CAST(size(filter(embedding, x -> x > 0)) AS BIGINT) AS n_pos",
+        f"aggregate({absd}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        " AS l1_norm",
+        f"aggregate({absd}, CAST(0.0 AS DOUBLE),"
+        " (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END) AS max_abs",
+        "aggregate(transform(embedding,"
+        " x -> LEAST(GREATEST(CAST(x AS DOUBLE), -0.25), 0.25)),"
+        " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS clipped_sum",
+    )

@@ -480,3 +480,32 @@ def stream_debounce(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_kept"),
         )
     )
+
+
+_SLIDING_ORACLE = """
+WITH offsets AS (SELECT * FROM (VALUES (0), (1800)) AS t(off)),
+slid AS (
+  SELECT e.*,
+         make_timestamp((((floor((epoch(e.ts) - o.off) / 3600) * 3600)::BIGINT + o.off) * 1000000)::BIGINT) AS window_start
+  FROM events e CROSS JOIN offsets o
+)
+SELECT window_start, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM slid
+GROUP BY window_start
+"""
+
+
+@workload("stream_sliding_window", oracle=_SLIDING_ORACLE)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B6 (streaming) — the 1h/30min SLIDING window aggregation as a real
+    Structured Streaming query (readStream -> watermark -> overlapping
+    windowed agg -> availableNow -> memory sink), stream-vs-batch parity
+    against the same offsets-decomposition DuckDB oracle as the batch
+    workload. Decimal-exact value sums make the double hash portable."""
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        sliding_counts_stream,
+    )
+
+    events = stream_events(spark, sf_dir)
+    return run_stream_to_table(sliding_counts_stream(events))
