@@ -329,3 +329,84 @@ def dq_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a 9-value key; the totals join is a 1-row broadcast."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_benford_sql("STRING"))
+
+
+# --------------------------------------------------------------------------
+# Referential-integrity audit (FK orphan check)
+# --------------------------------------------------------------------------
+_RI_SQL = """
+WITH o_orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows
+  FROM orders o LEFT JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_custkey IS NULL
+),
+l_orphans AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_orphans,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_rows
+  FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+  WHERE o.o_orderkey IS NULL
+)
+SELECT 'orders.o_custkey->customer' AS fk, n_orphans, n_rows,
+       CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_share
+FROM o_orphans
+UNION ALL
+SELECT 'lineitem.l_orderkey->orders' AS fk, n_orphans, n_rows,
+       CAST(n_orphans AS DOUBLE) / CAST(n_rows AS DOUBLE) AS orphan_share
+FROM l_orphans
+"""
+
+
+@workload("dq_referential_integrity", oracle=_RI_SQL)
+def dq_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for the two load-bearing
+    foreign keys (orders->customer, lineitem->orders) — the DQ check that
+    catches partial loads and out-of-order ingestion, complementing the
+    rule-based dq_expectations_orders. Each FK is one anti-join-shaped
+    LEFT JOIN + IS NULL count: an equi-join on the key (broadcast or
+    shuffled by Catalyst/AQE as sizes dictate), never a cross product;
+    output is 2 rows regardless of scale."""
+    for t in ("orders", "customer", "lineitem"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(_RI_SQL)
+
+
+# --------------------------------------------------------------------------
+# Equi-depth histogram (ANALYZE-style optimizer statistics)
+# --------------------------------------------------------------------------
+_EQD_BUCKETS = 10
+
+_EQD_SQL = f"""
+WITH priced AS (
+  SELECT o_orderpriority AS priority, {_CENTS} AS cents, o_orderkey
+  FROM orders
+),
+tiled AS (
+  SELECT priority, cents,
+         NTILE({_EQD_BUCKETS}) OVER (
+           PARTITION BY priority ORDER BY cents, o_orderkey
+         ) AS bucket
+  FROM priced
+)
+SELECT priority, CAST(bucket AS BIGINT) AS bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(MIN(cents) AS BIGINT) AS lo_cents,
+       CAST(MAX(cents) AS BIGINT) AS hi_cents
+FROM tiled GROUP BY priority, bucket
+"""
+
+
+@workload("stats_equidepth_histogram", oracle=_EQD_SQL)
+def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth (equal-height) histogram per priority class — the
+    ANALYZE-TABLE statistic a cost-based optimizer uses for selectivity
+    estimation: {n} buckets of near-equal row count with their value
+    boundaries. NTILE is made deterministic by the unique
+    (cents, o_orderkey) tiebreak, so bucket membership — and therefore
+    every boundary — is exact on both engines. Windows are partitioned
+    by the priority class (the per-column-group statistics unit); at
+    true 100 TB column granularity the same histogram comes from the
+    distributed bucket-offset order statistic (sketch_approx_quantiles'
+    certification path) rather than a per-group sort."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(_EQD_SQL)

@@ -509,3 +509,84 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     events = stream_events(spark, sf_dir)
     return run_stream_to_table(sliding_counts_stream(events))
+
+
+# --------------------------------------------------------------------------
+# Streaming Count-Min sketch: mergeable counters maintained incrementally
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.workloads.text_queries import (  # noqa: E402
+    _CM_SEEDS,
+    _CM_TOP,
+    _cm_bucket_sql,
+    _cm_oracle,
+)
+
+
+@workload("stream_countmin_merge", oracle=_cm_oracle())
+def stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min sketch maintained AS A STREAM: documents arrive as
+    micro-batches and two streaming aggregates run in complete mode —
+    the 3x1024 counter matrix (bounded state by construction: the whole
+    point of a sketch) and the exact per-token counts the certification
+    needs. CM counters are purely ADDITIVE, so the streamed sketch is
+    identical to the one-shot batch sketch for ANY micro-batch partition
+    of the corpus — the same order-independence argument as
+    stream_minhash_dedup — and the workload hashes against the identical
+    batch oracle, estimates included. Point queries (min-over-rows for
+    the exact top-50) run batch-side on the materialized counters."""
+    from sample_data_pipeline_project_spark.functions.text import tokens
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    doc_stream = (
+        spark.readStream.schema(d.schema)
+        .format("parquet")
+        .load(f"{sf_dir.rstrip('/')}/documents.parque[t]")
+    )
+    toks = doc_stream.select(F.explode(tokens("text")).alias("tok"))
+    # streaming aggregate 1: exact token counts (complete mode)
+    tc = run_stream_to_table(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_count"))
+    ).cache()
+    # streaming aggregate 2: the CM counter matrix — map-side bucket
+    # expansion, then a (seed, bucket)-keyed running count; state is the
+    # fixed 3x1024 matrix regardless of stream length
+    bucket_structs = F.array(
+        *[
+            F.struct(
+                F.lit(s).alias("seed"),
+                F.expr(_cm_bucket_sql(s)).alias("bucket"),
+            )
+            for s in range(_CM_SEEDS)
+        ]
+    )
+    doc_stream2 = (
+        spark.readStream.schema(d.schema)
+        .format("parquet")
+        .load(f"{sf_dir.rstrip('/')}/documents.parque[t]")
+    )
+    hashed = (
+        doc_stream2.select(F.explode(tokens("text")).alias("tok"))
+        .select(F.explode(bucket_structs).alias("h"))
+        .select("h.seed", "h.bucket")
+    )
+    cm = run_stream_to_table(
+        hashed.groupBy("seed", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = tc.orderBy(F.col("exact_count").desc(), F.col("tok").asc()).limit(
+        _CM_TOP
+    )
+    probes = top.select(
+        "tok", "exact_count", F.explode(bucket_structs).alias("h")
+    ).select("tok", "exact_count", "h.seed", "h.bucket")
+    est = (
+        probes.join(F.broadcast(cm), ["seed", "bucket"])
+        .groupBy("tok", "exact_count")
+        .agg(F.min("c").alias("cm_estimate"))
+    )
+    return est.select(
+        "tok",
+        F.col("exact_count").cast("long"),
+        F.col("cm_estimate").cast("long"),
+        (F.col("cm_estimate") >= F.col("exact_count")).alias("overestimate_ok"),
+    )
