@@ -576,3 +576,111 @@ def edit_distance_pairs(
         cand.select("doc_a", "doc_b", dist.alias("prefix_edit_distance"))
         .filter(F.col("prefix_edit_distance") >= 0)
     )
+
+
+def containment_pairs_prefix(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram_n: int | None = None,
+) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs (a, b), a != b, with
+    token-set CONTAINMENT |A∩B| / |A| >= threshold — "document a is
+    (nearly) contained in document b", the quote-expansion / boilerplate-
+    wrapper / near-superset relation symmetric Jaccard cannot see (a
+    short doc fully quoted inside a long one has low Jaccard but
+    containment 1.0). The dedup policy it feeds: keep the superset,
+    drop the contained copy.
+
+    Lossless prefix filter, one-sided (the containment analogue of the
+    Bayardo/PPJoin prefix theorem): if |A∩B| >= ceil(t*|A|), then among
+    A's first |A| - ceil(t*|A|) + 1 rarest-ranked tokens at least one is
+    in B (pigeonhole). So only the PROBE side (a) indexes a prefix; the
+    candidate side (b) indexes every token — there is no prefix bound on
+    b because a shared token may sit anywhere in a superset. Candidates
+    are then verified exactly.
+
+    All threshold arithmetic is EXACT-RATIONAL: t is taken as p/q
+    (Fraction), ceil(t*n) = (p*n + q - 1) div q, and the keep test is
+    q*shared >= p*n_a — integer compares end-to-end, so boundary pairs
+    (containment exactly t) can never be lost to IEEE rounding and the
+    quadratic SQL oracle states the identical integer inequality.
+
+    Scale shape: rank-by-df (bucketed two-level rank — no global
+    window), prefix-vs-full inverted-index equi-join on the token rank,
+    |B| >= t*|A| length pruning at candidate generation, verify on
+    candidates only. Caching contract as jaccard_pairs_prefix: caller
+    owns clearCache between repeated invocations.
+    """
+    from fractions import Fraction
+
+    from sample_data_pipeline_project_spark.operators.ranks import (
+        bucketed_global_rank,
+    )
+
+    frac = Fraction(threshold).limit_denominator(1_000_000)
+    p, q = frac.numerator, frac.denominator
+    toks = token_sets(docs, id_col, text_col, ngram_n).cache()
+    df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    ranked_vocab, _ = bucketed_global_rank(
+        df_counts, "df", ["tok"], n_buckets=256, out_col="rank"
+    )
+    tok_rank = ranked_vocab.select("tok", F.col("rank").cast("int").alias("rank"))
+    ranked = toks.join(F.broadcast(tok_rank), "tok").select(id_col, "rank")
+    per_doc = ranked.groupBy(id_col).agg(
+        F.sort_array(F.collect_list("rank")).alias("ranks"),
+        F.count(F.lit(1)).alias("n_tok"),
+    ).cache()
+    # prefix_len = n - ceil(t*n) + 1, in exact integers
+    ceil_tn = F.expr(f"CAST(({p} * n_tok + {q} - 1) AS BIGINT) div {q}")
+    prefix_len = (F.col("n_tok") - ceil_tn + F.lit(1)).cast("int")
+    pa = per_doc.select(
+        F.col(id_col).alias("a"),
+        F.col("n_tok").alias("n_a"),
+        F.explode(F.slice("ranks", 1, prefix_len)).alias("rank"),
+    )
+    pb = per_doc.select(
+        F.col(id_col).alias("b"),
+        F.col("n_tok").alias("n_b"),
+        F.explode("ranks").alias("rank"),
+    )
+    cands = (
+        pa.join(pb, "rank")
+        .filter(F.col("a") != F.col("b"))
+        .filter(F.lit(q) * F.col("n_b") >= F.lit(p) * F.col("n_a"))
+        .select("a", "b")
+        .distinct()
+    )
+    verified = (
+        cands.join(
+            per_doc.select(
+                F.col(id_col).alias("a"),
+                F.col("ranks").alias("ranks_a"),
+                F.col("n_tok").alias("n_a"),
+            ),
+            "a",
+        )
+        .join(
+            per_doc.select(
+                F.col(id_col).alias("b"),
+                F.col("ranks").alias("ranks_b"),
+                F.col("n_tok").alias("n_b"),
+            ),
+            "b",
+        )
+        .withColumn(
+            "shared", F.size(F.array_intersect("ranks_a", "ranks_b")).cast("long")
+        )
+        .filter(F.lit(q) * F.col("shared") >= F.lit(p) * F.col("n_a"))
+    )
+    return verified.select(
+        "a",
+        "b",
+        "shared",
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+        (F.col("shared").cast("double") / F.col("n_a").cast("double")).alias(
+            "containment"
+        ),
+    )

@@ -413,3 +413,63 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_candidates_incremental(
         base_sigs, delta, _NUM_HASHES, _BANDS
     )
+
+
+# --------------------------------------------------------------------------
+# Containment (asymmetric near-superset) detection
+# --------------------------------------------------------------------------
+_CONT_P, _CONT_Q = 9, 10  # threshold 0.9 as an exact rational
+_CONT_N = 3  # trigram shingles: word-level sets are degenerate on short docs
+
+_DUCK_TRIGRAMS = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+_CONT_ORACLE = f"""
+WITH base AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+  FROM documents
+),
+toks AS (
+  SELECT doc_id, unnest({_DUCK_TRIGRAMS}) AS tok FROM base
+),
+sizes AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tok FROM toks GROUP BY doc_id
+),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, CAST(COUNT(*) AS BIGINT) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id != b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT s.a, s.b, s.shared, sa.n_tok AS n_a, sb.n_tok AS n_b,
+       CAST(s.shared AS DOUBLE) / CAST(sa.n_tok AS DOUBLE) AS containment
+FROM shared s
+JOIN sizes sa ON s.a = sa.doc_id
+JOIN sizes sb ON s.b = sb.doc_id
+WHERE {_CONT_Q} * s.shared >= {_CONT_P} * sa.n_tok
+"""
+
+
+@workload("dedup_containment_pairs", oracle=_CONT_ORACLE)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASYMMETRIC near-dup detection: ordered pairs where >= 90% of doc
+    a's TRIGRAM-SHINGLE set appears in doc b — the near-SUPERSET relation
+    (quote expansion, boilerplate wrappers) that symmetric Jaccard
+    misses; the curation policy keeps the superset and drops the
+    contained copy. Spark side is the lossless one-sided prefix filter
+    (`operators/dedup.py:containment_pairs_prefix`) with EXACT-RATIONAL
+    threshold arithmetic (q*shared >= p*n_a — no IEEE boundary loss);
+    the oracle is the quadratic ordered-pair form stating the identical
+    integer inequality."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    return containment_pairs_prefix(
+        d, _CONT_P / _CONT_Q, ngram_n=_CONT_N
+    ).select(
+        "a", "b", "shared", "n_a", "n_b", "containment"
+    )

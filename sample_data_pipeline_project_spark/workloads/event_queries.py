@@ -749,3 +749,105 @@ def events_type_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Semi-structured schema discovery: JSON key space of props
+# --------------------------------------------------------------------------
+_KEYSPACE_ORACLE = """
+WITH keysx AS (
+  SELECT unnest(json_keys(props::JSON)) AS json_key FROM events
+  WHERE props IS NOT NULL
+)
+SELECT json_key, CAST(COUNT(*) AS BIGINT) AS n_rows
+FROM keysx GROUP BY json_key
+"""
+
+
+@workload("events_json_keyspace", oracle=_KEYSPACE_ORACLE)
+def events_json_keyspace(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured SCHEMA DISCOVERY: enumerate the JSON key space of
+    `events.props` with per-key row counts — the profiling step that
+    decides which keys deserve promotion to typed columns (the
+    events_variant_agg path) on an evolving feed. json_object_keys runs
+    JVM-side per row; the aggregate key domain is the schema size, not
+    the row count, so the shuffle is bounded by the feed's real key
+    vocabulary at any scale."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("props").isNotNull())
+        .select(F.explode(F.json_object_keys("props")).alias("json_key"))
+        .groupBy("json_key")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Gaps-and-islands: longest consecutive-day activity streak per user
+# --------------------------------------------------------------------------
+_STREAK_ORACLE = """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+keyed AS (
+  SELECT user_id, day,
+         day - CAST(ROW_NUMBER() OVER (
+           PARTITION BY user_id ORDER BY day
+         ) AS INTEGER) AS island_key
+  FROM days
+),
+islands AS (
+  SELECT user_id, island_key,
+         CAST(COUNT(*) AS BIGINT) AS streak_days,
+         MIN(day) AS streak_start,
+         MAX(day) AS streak_end
+  FROM keyed GROUP BY user_id, island_key
+),
+best AS (
+  SELECT user_id, streak_days, streak_start, streak_end,
+         ROW_NUMBER() OVER (
+           PARTITION BY user_id
+           ORDER BY streak_days DESC, streak_start ASC
+         ) AS rn
+  FROM islands
+)
+SELECT user_id, streak_days, streak_start, streak_end
+FROM best WHERE rn = 1
+"""
+
+
+@workload("events_activity_streaks", oracle=_STREAK_ORACLE)
+def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GAPS-AND-ISLANDS: each user's longest run of consecutive active
+    days, via the classic day-minus-row_number island key (consecutive
+    days share a constant key; any gap shifts it). The raw stream first
+    collapses to DISTINCT (user, day) — calendar-bounded per user — so
+    every window rides the user partitioning over at most |days| rows;
+    the longest-streak pick is a per-user rank with a deterministic
+    (streak_days DESC, streak_start) tiebreak. Integer/date arithmetic
+    only. The engine-side twin of the reference's ledger gap check
+    (A13), pointed at activity data instead of run windows."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    days = e.select(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("day")
+    keyed = days.withColumn(
+        "island_key",
+        F.date_sub(F.col("day"), F.row_number().over(w)),
+    )
+    islands = keyed.groupBy("user_id", "island_key").agg(
+        F.count(F.lit(1)).cast("long").alias("streak_days"),
+        F.min("day").alias("streak_start"),
+        F.max("day").alias("streak_end"),
+    )
+    wb = Window.partitionBy("user_id").orderBy(
+        F.col("streak_days").desc(), F.col("streak_start").asc()
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(wb))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "streak_days", "streak_start", "streak_end")
+    )

@@ -410,3 +410,66 @@ def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     certification path) rather than a per-group sort."""
     load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
     return spark.sql(_EQD_SQL)
+
+
+# --------------------------------------------------------------------------
+# Source-format roundtrip certification (CSV + JSON-lines connectors)
+# --------------------------------------------------------------------------
+_FMT_ORACLE = """
+WITH src AS (
+  SELECT o_orderstatus, CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+  FROM orders
+)
+SELECT 'csv' AS fmt, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_dec) AS DOUBLE) AS sum_price
+FROM src GROUP BY o_orderstatus
+UNION ALL
+SELECT 'json' AS fmt, o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(price_dec) AS DOUBLE) AS sum_price
+FROM src GROUP BY o_orderstatus
+"""
+
+
+@workload("source_csv_json_roundtrip", oracle=_FMT_ORACLE)
+def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-connector certification: orders written to CSV and
+    JSON-lines, read back with explicit schemas, and aggregated — the
+    oracle computes the SAME aggregate from the original parquet, so a
+    hash match proves the roundtrip lossless (the reason money rides as
+    DECIMAL(18,2): decimal-string rendering is exact in both directions,
+    where raw doubles would depend on the writer's float formatting).
+    Both connectors scale like parquet reads (splittable files,
+    schema-on-read, predicate evaluation after parse); the write here is
+    a one-time fixture, excluded from nothing — it IS the measured
+    workload, matching how an ingest job would land raw vendor feeds."""
+    import os
+    import shutil
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", "fmt_roundtrip")
+    shutil.rmtree(root, ignore_errors=True)
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    csv_path = f"{root}/orders_csv"
+    json_path = f"{root}/orders_json"
+    src.write.option("header", True).csv(csv_path)
+    src.write.json(json_path)
+
+    schema = "o_orderstatus string, price_dec decimal(18,2)"
+    csv_df = spark.read.schema(schema).option("header", True).csv(csv_path)
+    json_df = spark.read.schema(schema).json(json_path)
+
+    def agg(df: DataFrame, fmt: str) -> DataFrame:
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("price_dec").cast("double").alias("sum_price"),
+        ).select(F.lit(fmt).alias("fmt"), "o_orderstatus", "n_orders", "sum_price")
+
+    return agg(csv_df, "csv").unionAll(agg(json_df, "json"))

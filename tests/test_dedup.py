@@ -131,3 +131,89 @@ def test_minhash_incremental_equals_full_minus_base_base(spark):
         ).collect()
     }
     assert got == want and len(want) > 0
+
+
+# --------------------------------------------------------------------------
+# Containment (asymmetric) pairs
+# --------------------------------------------------------------------------
+def _brute_containment(docs: list[tuple[int, str]], t: float, n: int | None):
+    def shingles(text):
+        toks = text.lower().strip().split()
+        if n is None:
+            return set(toks)
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+    sets = {i: shingles(tx) for i, tx in docs}
+    out = {}
+    from fractions import Fraction
+
+    f = Fraction(t).limit_denominator(1_000_000)
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            shared = len(sa & sb)
+            if f.denominator * shared >= f.numerator * len(sa):
+                out[(a, b)] = shared
+    return out
+
+
+def test_containment_pairs_match_bruteforce(spark):
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    docs = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "alpha beta gamma"),
+        (4, "completely different tokens here now"),
+        (5, "alpha beta gamma delta epsilon zeta"),  # exact dup of 1
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        (r["a"], r["b"]): r["shared"]
+        for r in containment_pairs_prefix(df, 0.9).collect()
+    }
+    assert got == _brute_containment(docs, 0.9, None)
+    # asymmetry: 1 is contained in 2, but 2 is not contained in 1
+    assert (1, 2) in got and (2, 1) not in got
+
+
+def test_containment_boundary_pair_not_lost(spark):
+    """A pair at containment EXACTLY t must survive the prefix filter —
+    the exact-rational threshold arithmetic guarantee."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    # |A| = 10 tokens, 9 of them in B -> containment exactly 0.9
+    a_text = " ".join(f"t{i}" for i in range(10))
+    b_text = " ".join(f"t{i}" for i in range(9)) + " x1 x2 x3"
+    df = spark.createDataFrame(
+        [(1, a_text), (2, b_text)], "doc_id long, text string"
+    )
+    got = {(r["a"], r["b"]) for r in containment_pairs_prefix(df, 0.9).collect()}
+    assert (1, 2) in got
+
+
+def test_containment_random_bruteforce_parity(spark):
+    import random as _random
+
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+
+    rng = _random.Random(23)
+    vocab = [f"w{i}" for i in range(30)]
+    docs = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randint(3, 15))))
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    for t in (0.8, 1.0):
+        got = {
+            (r["a"], r["b"]): r["shared"]
+            for r in containment_pairs_prefix(df, t).collect()
+        }
+        assert got == _brute_containment(docs, t, None), t
