@@ -70,6 +70,7 @@ def load_all() -> dict[str, Workload]:
         relational_tpch2,
         similarity_queries,
         streaming_queries,
+        table_queries,
         text_queries,
     )
 
