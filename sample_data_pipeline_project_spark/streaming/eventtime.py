@@ -609,3 +609,126 @@ def debounce_stateful(events: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming overlap detection (the reference's A14 interval self-join,
+# online)
+# ---------------------------------------------------------------------------
+_OVL_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("pipeline_name", T.StringType()),
+        T.StructField("index_name", T.StringType()),
+        T.StructField("source_run_id", T.LongType()),
+        T.StructField("source_window_start_ts", T.TimestampNTZType()),
+        T.StructField("source_window_end_ts", T.TimestampNTZType()),
+        T.StructField("overlaps_with_run_id", T.LongType()),
+        T.StructField("overlaps_with_start_ts", T.TimestampNTZType()),
+        T.StructField("overlaps_with_end_ts", T.TimestampNTZType()),
+    ]
+)
+# state = every interval seen so far in this (pipeline, index, start_day)
+# cohort — bounded by runs-per-day (the reference's own day-banding is
+# what makes per-group state finite)
+_OVL_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("run_ids", T.ArrayType(T.LongType())),
+        T.StructField("start_us", T.ArrayType(T.LongType())),
+        T.StructField("end_us", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def ledger_overlaps_stateful(runs: DataFrame) -> DataFrame:
+    """Online overlap detection (reference semantics:
+    snowflake_tasks.py:488-584 — the A14 interval self-join — run as a
+    stream): per (pipeline, index, start_day) cohort, each arriving run
+    is tested against every interval seen so far; an overlapping pair is
+    emitted the moment its LATER member arrives, as both ordered rows
+    (source, overlaps_with) and (overlaps_with, source) — exactly the
+    ordered-pair set the batch self-join produces, so the result is
+    arrival-order-independent and one oracle covers stream and batch.
+
+    Interval tests are exact epoch-microsecond integer compares (the
+    half-open a.start < b.end AND a.end > b.start predicate). State is
+    the cohort's interval list — bounded by runs-per-day, the same
+    day-band that bounds the batch join's quadratic term."""
+    import numpy as np
+    import pandas as pd
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            ids, starts, ends = (list(x) for x in state.get)
+        else:
+            ids, starts, ends = [], [], []
+        pdfs = [p for p in pdf_iter if len(p)]
+        frames = []
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+                ["query_window_start_ts", "run_id"], kind="mergesort"
+            )
+            s_us = (
+                pdf["query_window_start_ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            e_us = (
+                pdf["query_window_end_ts"]
+                .to_numpy()
+                .astype("datetime64[us]")
+                .astype("int64")
+            )
+            rids = pdf["run_id"].to_numpy()
+            rows = []
+            for i in range(len(pdf)):
+                r_id, r_s, r_e = int(rids[i]), int(s_us[i]), int(e_us[i])
+                if ids:
+                    sa = np.asarray(starts, dtype="int64")
+                    ea = np.asarray(ends, dtype="int64")
+                    ia = np.asarray(ids, dtype="int64")
+                    hit = (sa < r_e) & (ea > r_s) & (ia != r_id)
+                    for j in np.nonzero(hit)[0]:
+                        s_id, s_s, s_e = int(ia[j]), int(sa[j]), int(ea[j])
+                        rows.append((s_id, s_s, s_e, r_id, r_s, r_e))
+                        rows.append((r_id, r_s, r_e, s_id, s_s, s_e))
+                ids.append(r_id)
+                starts.append(r_s)
+                ends.append(r_e)
+            state.update((ids, starts, ends))
+            if rows:
+                arr = np.asarray(rows, dtype="int64")
+                frames.append(
+                    pd.DataFrame(
+                        {
+                            "pipeline_name": [key[0]] * len(rows),
+                            "index_name": [key[1]] * len(rows),
+                            "source_run_id": arr[:, 0],
+                            "source_window_start_ts": arr[:, 1].astype(
+                                "datetime64[us]"
+                            ),
+                            "source_window_end_ts": arr[:, 2].astype(
+                                "datetime64[us]"
+                            ),
+                            "overlaps_with_run_id": arr[:, 3],
+                            "overlaps_with_start_ts": arr[:, 4].astype(
+                                "datetime64[us]"
+                            ),
+                            "overlaps_with_end_ts": arr[:, 5].astype(
+                                "datetime64[us]"
+                            ),
+                        }
+                    )
+                )
+        if frames:
+            yield from iter(frames)
+
+    return runs.groupBy(
+        "pipeline_name", "index_name", "query_window_start_day"
+    ).applyInPandasWithState(
+        update,
+        outputStructType=_OVL_OUT_SCHEMA,
+        stateStructType=_OVL_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

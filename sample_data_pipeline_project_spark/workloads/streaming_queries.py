@@ -590,3 +590,44 @@ def stream_countmin_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cm_estimate").cast("long"),
         (F.col("cm_estimate") >= F.col("exact_count")).alias("overestimate_ok"),
     )
+
+
+@workload(
+    "stream_ledger_overlaps",
+    oracle=f"""
+WITH {LEDGER_CTE}
+SELECT t1.pipeline_name, t1.index_name,
+       t1.run_id AS source_run_id,
+       t1.query_window_start_ts AS source_window_start_ts,
+       t1.query_window_end_ts AS source_window_end_ts,
+       t2.run_id AS overlaps_with_run_id,
+       t2.query_window_start_ts AS overlaps_with_start_ts,
+       t2.query_window_end_ts AS overlaps_with_end_ts
+FROM pipeline_runs t1
+JOIN pipeline_runs t2
+  ON t1.pipeline_name = t2.pipeline_name
+ AND t1.index_name = t2.index_name
+ AND t1.query_window_start_day = t2.query_window_start_day
+ AND t1.query_window_start_ts < t2.query_window_end_ts
+ AND t1.query_window_end_ts > t2.query_window_start_ts
+ AND t1.run_id != t2.run_id
+""",
+)
+def stream_ledger_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A14 as a STREAM — the reference's overlap self-join running online
+    over ALL (pipeline, index, day) cohorts: each arriving run is tested
+    against the cohort's interval state and every overlapping pair is
+    emitted the moment its later member arrives, as both ordered rows —
+    the exact ordered-pair set of the batch self-join, verified against
+    the batch SQL oracle (stream-vs-batch parity for the reference's
+    highest-value operator). Exact integer epoch-micros interval
+    compares; per-cohort state bounded by the day band."""
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        ledger_overlaps_stateful,
+        ledger_runs_stream,
+    )
+
+    runs = ledger_runs_stream(stream_events(spark, sf_dir))
+    return run_stream_to_table(
+        ledger_overlaps_stateful(runs), output_mode="append"
+    )

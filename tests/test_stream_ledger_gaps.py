@@ -206,3 +206,44 @@ def test_debounce_state_spans_batch_boundary(spark, tmp_path):
     assert got[4] == 1, "within-5-min repeat across batch boundary must drop"
     assert got[5] == 0, "gap beyond 5 min must keep"
     assert got[6] == 0, "first event for a new key must keep"
+
+
+# ---------------------------------------------------------------------------
+# Streaming overlap detection: pairs across micro-batch boundaries
+# ---------------------------------------------------------------------------
+def _run_overlaps(spark, src, ckpt, sink):
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        ledger_overlaps_stateful,
+    )
+
+    stream = spark.readStream.schema(_RUN_SCHEMA).parquet(src)
+    q = (
+        ledger_overlaps_stateful(stream)
+        .writeStream.format("parquet")
+        .option("path", sink)
+        .option("checkpointLocation", ckpt)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+
+def test_overlap_pair_across_batch_boundary(spark, tmp_path):
+    src, ckpt, sink = (str(tmp_path / d) for d in ("osrc", "ockpt", "osink"))
+    # batch 1: [0,10) and [20,30) — no overlap
+    _runs(spark, [(1, 0, 10), (2, 20, 30)]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    _run_overlaps(spark, src, ckpt, sink)
+    assert spark.read.parquet(sink).count() == 0
+
+    # batch 2: [5,25) — overlaps BOTH batch-1 intervals via state;
+    # each unordered pair appears as two ordered rows
+    _runs(spark, [(3, 5, 25)]).coalesce(1).write.mode("append").parquet(src)
+    _run_overlaps(spark, src, ckpt, sink)
+    out = spark.read.parquet(sink).collect()
+    pairs = {(r["source_run_id"], r["overlaps_with_run_id"]) for r in out}
+    assert pairs == {(1, 3), (3, 1), (2, 3), (3, 2)}
+    assert len(out) == 4
