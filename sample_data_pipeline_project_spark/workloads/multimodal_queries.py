@@ -284,3 +284,108 @@ def multimodal_patch_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = _docs_as_media(spark, sf_dir, "image")
     return patch_token_stats(media, patch_w=_PATCH_W, patch_h=_PATCH_H)
+
+
+# --------------------------------------------------------------------------
+# Video FRAME-level near-dup: sampled frames -> per-frame dHash ->
+# banded Hamming join across videos. Second full value-hash multimodal
+# oracle — every frame byte re-derived from hex(payload) at its frame
+# offset.
+# --------------------------------------------------------------------------
+_FR_EVERY = 2
+_FR_NFRAMES = 4
+_FR_MAX_HAMMING = 3
+
+
+def _duck_frame_dhash_oracle() -> str:
+    from sample_data_pipeline_project_spark.multimodal.ops import DHASH_BITS
+
+    def byte_sql(j: int) -> str:
+        c1 = f"substr(hx, 2 * (f * flen + {j}) - 1, 1)"
+        c2 = f"substr(hx, 2 * (f * flen + {j}), 1)"
+        return (
+            f"CASE WHEN {j} <= flen THEN"
+            f" (instr('0123456789ABCDEF', {c1}) - 1) * 16"
+            f" + (instr('0123456789ABCDEF', {c2}) - 1) ELSE 0 END"
+        )
+
+    bytes_sel = ",\n         ".join(
+        f"{byte_sql(j)} AS b_{j}" for j in range(1, DHASH_BITS + 2)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b_{j} > b_{j + 1} THEN CAST({1 << (j - 1)} AS BIGINT)"
+        f" ELSE 0 END)"
+        for j in range(1, DHASH_BITS + 1)
+    )
+    frames = ", ".join(f"({f})" for f in range(0, _FR_NFRAMES, _FR_EVERY))
+    return f"""
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) // {_FR_NFRAMES} AS flen
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, f, flen, hx FROM h CROSS JOIN (VALUES {frames}) t(f)
+),
+bs AS (SELECT doc_id, f, {bytes_sel} FROM fr),
+fps AS (SELECT doc_id, f, {fp} AS dh FROM bs)
+SELECT a.doc_id AS a, CAST(a.f AS INTEGER) AS frame_a,
+       b.doc_id AS b, CAST(b.f AS INTEGER) AS frame_b,
+       a.dh AS dhash_a, b.dh AS dhash_b,
+       bit_count(xor(a.dh, b.dh)) AS hamming
+FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.dh, b.dh)) <= {_FR_MAX_HAMMING}
+"""
+
+
+@workload("multimodal_frame_neardup", oracle=_duck_frame_dhash_oracle())
+def multimodal_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video FRAME-level near-dup detection: every payload treated as a
+    4-frame video, every 2nd frame sampled (`sample_frames`), each frame
+    dHashed (`content_dhash` over the frame bytes), then the generic
+    banded Hamming self-join finds cross-video frame pairs within
+    Hamming distance 3 — "which videos share a near-identical frame",
+    the shot-level dedup a video ingest pipeline runs before training.
+    FULL value-hash oracle: DuckDB re-derives every sampled frame's
+    bytes from hex(payload) at the frame offset and replays the
+    identical dHash + banded-join arithmetic. All stages are the
+    already-certified primitives composed: byte slicing (mapInPandas),
+    gradient-sign hashing, pigeonhole-exact banded join."""
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        DHASH_BITS,
+        content_dhash,
+        sample_frames,
+    )
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        banded_hamming_pairs,
+    )
+
+    media = _docs_as_media(spark, sf_dir, "video", n_frames=_FR_NFRAMES)
+    frames = sample_frames(media, every_n=_FR_EVERY)
+    sig = content_dhash(
+        frames.select(
+            # composite frame id: doc * n_frames + frame_idx (frame_idx <
+            # n_frames, so the encoding is collision-free and monotone in
+            # (doc, frame) — pair order matches the oracle's doc order)
+            (
+                F.col("media_id") * _FR_NFRAMES + F.col("frame_idx")
+            ).alias("media_id"),
+            F.col("frame").alias("payload"),
+        )
+    ).withColumnRenamed("dhash", "fp")
+    pairs = banded_hamming_pairs(
+        sig, DHASH_BITS, _FR_MAX_HAMMING, id_col="media_id", fp_col="fp"
+    )
+    nf = F.lit(_FR_NFRAMES)
+    return (
+        pairs.filter((F.col("a") / nf).cast("long") != (F.col("b") / nf).cast("long"))
+        .select(
+            (F.col("a") / nf).cast("long").alias("a"),
+            (F.col("a") % nf).cast("int").alias("frame_a"),
+            (F.col("b") / nf).cast("long").alias("b"),
+            (F.col("b") % nf).cast("int").alias("frame_b"),
+            F.col("fp_a").alias("dhash_a"),
+            F.col("fp_b").alias("dhash_b"),
+            "hamming",
+        )
+    )
