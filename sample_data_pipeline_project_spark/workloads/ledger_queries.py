@@ -180,3 +180,80 @@ def ledger_overlap_input(spark: SparkSession, sf_dir: str) -> DataFrame:
         "2024-01-10T00:00:00",
         "2024-01-12T00:00:00",
     )
+
+
+# --------------------------------------------------------------------------
+# Event-time containment join: events -> the run window holding them
+# --------------------------------------------------------------------------
+@workload(
+    "join_events_to_runs",
+    oracle=f"""
+WITH {LEDGER_CTE}
+SELECT r.run_id, r.pipeline_name,
+       CAST(COUNT(*) AS BIGINT) AS n_events_in_window
+FROM pipeline_runs r
+JOIN events e
+  ON e.event_type = r.pipeline_name
+ AND e.ts >= r.query_window_start_ts
+ AND e.ts < r.query_window_end_ts
+GROUP BY r.run_id, r.pipeline_name
+""",
+)
+def join_events_to_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time INTERVAL-CONTAINMENT join at scale: count the events of
+    a pipeline's type falling inside each run's [start, end) window —
+    the attribution query behind "which run ingested this event". A
+    naive theta join is a BroadcastNestedLoopJoin; here both sides are
+    bucketed onto a 5-minute time grid (each window spans at most 2
+    cells, each event exactly 1), the join is an EQUI-join on
+    (pipeline, cell), and the exact containment predicate runs as a
+    join residual — the time-axis analogue of
+    operators/rangejoin.band_range_join, and the same two-stage
+    coarse-band-then-exact idea as the reference's day filter
+    (overlap_checks.py:49-61). Bucket fan-out is a fixed 2x on the runs
+    side, so shuffle volume stays linear at any scale."""
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    _CELL_US = 300_000_000  # 5-minute grid, microseconds
+    runs = derived_ledger(spark, sf_dir)
+    run_cells = runs.select(
+        "run_id",
+        "pipeline_name",
+        "query_window_start_ts",
+        "query_window_end_ts",
+        F.explode(
+            F.array(
+                (
+                    F.unix_micros(
+                        F.col("query_window_start_ts").cast("timestamp")
+                    )
+                    / _CELL_US
+                ).cast("long"),
+                (
+                    F.unix_micros(
+                        F.col("query_window_start_ts").cast("timestamp")
+                    )
+                    / _CELL_US
+                ).cast("long")
+                + 1,
+            )
+        ).alias("cell"),
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("pipeline_name"),
+        F.col("ts"),
+        (F.unix_micros(F.col("ts").cast("timestamp")) / _CELL_US)
+        .cast("long")
+        .alias("cell"),
+    )
+    return (
+        run_cells.join(events, ["pipeline_name", "cell"])
+        .filter(
+            (F.col("ts") >= F.col("query_window_start_ts"))
+            & (F.col("ts") < F.col("query_window_end_ts"))
+        )
+        .groupBy("run_id", "pipeline_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events_in_window"))
+    )

@@ -1324,3 +1324,104 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("tf").cast("long"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Zipf power-law fit over the token rank-frequency curve
+# --------------------------------------------------------------------------
+_ZIPF_TOP = 200
+_ZIPF_SCALE = 1_000_000  # ln values as 6-dp scaled integers
+
+_ZIPF_ORACLE = f"""
+WITH tc AS (
+  SELECT tok, CAST(COUNT(*) AS BIGINT) AS n
+  FROM (SELECT unnest({_DUCK_TOKENS}) AS tok FROM documents)
+  WHERE tok <> ''
+  GROUP BY tok
+),
+top AS (
+  SELECT tok, n FROM tc ORDER BY n DESC, tok ASC LIMIT {_ZIPF_TOP}
+),
+ranked AS (
+  SELECT x.tok, x.n, CAST(1 + COUNT(y.tok) AS BIGINT) AS rnk
+  FROM top x LEFT JOIN top y
+    ON y.n > x.n OR (y.n = x.n AND y.tok < x.tok)
+  GROUP BY x.tok, x.n
+),
+pts AS (
+  SELECT CAST(ROUND(ln(CAST(rnk AS DOUBLE)) * {_ZIPF_SCALE}.0) AS BIGINT) AS x,
+         CAST(ROUND(ln(CAST(n AS DOUBLE)) * {_ZIPF_SCALE}.0) AS BIGINT) AS y
+  FROM ranked
+),
+s AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS np,
+         CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx, CAST(SUM(x * y) AS BIGINT) AS sxy
+  FROM pts
+)
+SELECT np,
+       ROUND(CAST(np * sxy - sx * sy AS DOUBLE)
+             / CAST(np * sxx - sx * sx AS DOUBLE), 9) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE) - CAST(np * sxy - sx * sy AS DOUBLE)
+              / CAST(np * sxx - sx * sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             / CAST(np AS DOUBLE) / {_ZIPF_SCALE}.0, 9) AS ln_c_intercept
+FROM s
+"""
+
+
+@workload("text_zipf_exponent", oracle=_ZIPF_ORACLE)
+def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZIPF power-law fit of the corpus rank-frequency curve: OLS of
+    ln(count) on ln(rank) over the top-200 tokens — slope near -1 is the
+    natural-language signature, deviations flag synthetic/boilerplate
+    corpora (a corpus-level quality signal beside the per-doc filters).
+    Determinism: ln values become 6-dp SCALED INTEGERS (ROUND absorbs
+    libm ulps) so the five OLS sufficient statistics sum exactly —
+    int64-safe by scale choice — and the slope/intercept are two final
+    IEEE expressions ROUND(9)ed. Top-200 via TakeOrderedAndProject;
+    ranks from the bounded k x k self-join (no global window)."""
+    tc = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    top = tc.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(_ZIPF_TOP)
+    x, y = top.alias("x"), top.alias("y")
+    ahead = (F.col("y.n") > F.col("x.n")) | (
+        (F.col("y.n") == F.col("x.n")) & (F.col("y.tok") < F.col("x.tok"))
+    )
+    ranked = (
+        x.join(y, ahead, "left")
+        .groupBy(F.col("x.tok").alias("tok"), F.col("x.n").alias("n"))
+        .agg((F.lit(1) + F.count(F.col("y.tok"))).cast("long").alias("rnk"))
+    )
+    pts = ranked.select(
+        F.round(F.log(F.col("rnk").cast("double")) * _ZIPF_SCALE)
+        .cast("long")
+        .alias("x"),
+        F.round(F.log(F.col("n").cast("double")) * _ZIPF_SCALE)
+        .cast("long")
+        .alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("long").alias("np"),
+        F.sum("x").cast("long").alias("sx"),
+        F.sum("y").cast("long").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+    )
+    slope = (F.col("np") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    ) / (F.col("np") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    intercept = (
+        (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+        / F.col("np").cast("double")
+        / F.lit(float(_ZIPF_SCALE))
+    )
+    return s.select(
+        "np",
+        F.round(slope, 9).alias("zipf_slope"),
+        F.round(intercept, 9).alias("ln_c_intercept"),
+    )
