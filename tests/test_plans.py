@@ -247,3 +247,30 @@ def test_ewma_single_partitioned_window_exchange(spark):
     plan must carry a single hash-partitioned exchange, not one per lag."""
     df = load_all()["timeseries_ewma"].fn(spark, _SF)
     assert exchange_count(df) <= 1, exchange_count(df)
+
+
+def test_events_to_runs_containment_join_is_equi_not_nested_loop(spark):
+    """The grid-bucketed interval-containment join must plan as an
+    equi-join (broadcast at toy scale, sort-merge at corpus scale) —
+    never a nested loop over the theta predicate."""
+    df = load_all()["join_events_to_runs"].fn(spark, _SF)
+    strategies = join_strategies(df)
+    assert strategies, "expected join nodes"
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies, strategies
+
+
+def test_containment_dedup_candidate_join_is_equi(spark):
+    """containment_pairs_prefix: prefix-vs-full index join rides the
+    token-rank equi-key; verify joins ride candidate ids."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        containment_pairs_prefix,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    d = load_table(spark, _SF, "documents")
+    df = containment_pairs_prefix(d, 0.9, ngram_n=3)
+    strategies = join_strategies(df)
+    assert strategies, "expected join nodes"
+    assert "BroadcastNestedLoopJoin" not in strategies, strategies
+    assert "CartesianProduct" not in strategies, strategies
