@@ -493,3 +493,107 @@ def scalar_array_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         " x -> LEAST(GREATEST(CAST(x AS DOUBLE), -0.25), 0.25)),"
         " CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) AS clipped_sum",
     )
+
+
+# --------------------------------------------------------------------------
+# Multiset (bag) set operations: EXCEPT ALL / INTERSECT ALL
+# --------------------------------------------------------------------------
+_SETOP_ALL_ORACLE = """
+WITH ca AS (
+  SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'BUILDING'
+),
+cb AS (
+  SELECT c_nationkey AS k FROM customer WHERE c_mktsegment = 'MACHINERY'
+),
+ex AS (SELECT k FROM ca EXCEPT ALL SELECT k FROM cb),
+ix AS (SELECT k FROM ca INTERSECT ALL SELECT k FROM cb)
+SELECT 'except_all' AS op, CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM ex GROUP BY k
+UNION ALL
+SELECT 'intersect_all' AS op, CAST(k AS BIGINT) AS k,
+       CAST(COUNT(*) AS BIGINT) AS multiplicity
+FROM ix GROUP BY k
+"""
+
+
+@workload("setop_bag_except_intersect_all", oracle=_SETOP_ALL_ORACLE)
+def setop_bag_except_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTISET set operations — EXCEPT ALL / INTERSECT ALL (bag
+    semantics: per-row multiplicities, max(m1-m2,0) and min(m1,m2)) —
+    the variants the DISTINCT-based setop workloads can't express.
+    Output is the per-key multiplicity table of each result so the bag
+    cardinalities themselves are value-hashed. Spark plans these as one
+    hash aggregate over tagged counts — a single keyed shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    ca = c.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_nationkey").cast("long").alias("k")
+    )
+    cb = c.filter(F.col("c_mktsegment") == "MACHINERY").select(
+        F.col("c_nationkey").cast("long").alias("k")
+    )
+    ex = (
+        ca.exceptAll(cb)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .select(F.lit("except_all").alias("op"), "k", "multiplicity")
+    )
+    ix = (
+        ca.intersectAll(cb)
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("multiplicity"))
+        .select(F.lit("intersect_all").alias("op"), "k", "multiplicity")
+    )
+    return ex.unionAll(ix)
+
+
+# --------------------------------------------------------------------------
+# Explicit null-ordering semantics (NULLS FIRST / NULLS LAST)
+# --------------------------------------------------------------------------
+_NULLS_ORACLE = """
+WITH v AS (
+  SELECT event_id,
+         CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS val
+  FROM events
+),
+nf AS (
+  SELECT event_id, val FROM v
+  ORDER BY val DESC NULLS FIRST, event_id ASC LIMIT 5
+),
+nl AS (
+  SELECT event_id, val FROM v
+  ORDER BY val ASC NULLS LAST, event_id ASC LIMIT 5
+)
+SELECT 'desc_nulls_first' AS op, event_id, val FROM nf
+UNION ALL
+SELECT 'asc_nulls_last' AS op, event_id, val FROM nl
+"""
+
+
+@workload("sort_null_ordering", oracle=_NULLS_ORACLE)
+def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit NULL-ORDERING semantics: the engines DISAGREE by default
+    (Spark sorts nulls first ascending, DuckDB last), so portable sorts
+    must state NULLS FIRST/LAST — this workload pins both spellings
+    (DESC NULLS FIRST and ASC NULLS LAST) through TakeOrdered top-5s
+    with a unique tiebreak, value-hashed across engines. The kind of
+    semantic edge a query engine has to get right, stated as a test."""
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("event_id") % 7 == 0, None)
+        .otherwise(F.col("value"))
+        .alias("val"),
+    )
+    nf = (
+        e.orderBy(F.col("val").desc_nulls_first(), F.col("event_id").asc())
+        .limit(5)
+        .select(F.lit("desc_nulls_first").alias("op"), "event_id", "val")
+    )
+    nl = (
+        e.orderBy(F.col("val").asc_nulls_last(), F.col("event_id").asc())
+        .limit(5)
+        .select(F.lit("asc_nulls_last").alias("op"), "event_id", "val")
+    )
+    return nf.unionAll(nl)
