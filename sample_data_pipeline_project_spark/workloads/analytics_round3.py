@@ -625,3 +625,107 @@ def text_hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.col("rrf").desc(), F.col("doc_id").asc()).limit(
         _RRF_TOP
     )
+
+
+# --------------------------------------------------------------------------
+# Embedding dimension covariance / correlation (exact-int Gram moments)
+# --------------------------------------------------------------------------
+_GRAM_SCALE = 262144  # 2^18 — floor(x * 2^18) is exponent-shift exact
+
+_DIMCOV_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, CAST(t.i - 1 AS INTEGER) AS i,
+         CAST(FLOOR(CAST(embedding[CAST(t.i AS INTEGER)] AS DOUBLE)
+                    * {_GRAM_SCALE}) AS BIGINT) AS qv
+  FROM embeddings, range(1, 65) AS t(i)
+),
+m AS (
+  SELECT i, CAST(SUM(qv) AS BIGINT) AS sx,
+         CAST(SUM(qv * qv) AS BIGINT) AS sxx,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM q GROUP BY i
+),
+p AS (
+  SELECT a.i AS i, b.i AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS sxy
+  FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.i < b.i
+  GROUP BY a.i, b.i
+)
+SELECT p.i, p.j, p.sxy,
+       ROUND(
+         CAST(CAST(mi.n AS HUGEINT) * p.sxy
+              - CAST(mi.sx AS HUGEINT) * mj.sx AS DOUBLE)
+         / SQRT(CAST(CAST(mi.n AS HUGEINT) * mi.sxx
+                     - CAST(mi.sx AS HUGEINT) * mi.sx AS DOUBLE))
+         / SQRT(CAST(CAST(mj.n AS HUGEINT) * mj.sxx
+                     - CAST(mj.sx AS HUGEINT) * mj.sx AS DOUBLE)),
+         9) AS corr
+FROM p
+JOIN m mi ON p.i = mi.i
+JOIN m mj ON p.j = mj.i
+WHERE CAST(mi.n AS HUGEINT) * mi.sxx - CAST(mi.sx AS HUGEINT) * mi.sx > 0
+  AND CAST(mj.n AS HUGEINT) * mj.sxx - CAST(mj.sx AS HUGEINT) * mj.sx > 0
+"""
+
+
+@workload("embedding_dim_covariance", oracle=_DIMCOV_ORACLE)
+def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-dimension correlation matrix (operators/gram.py): each
+    Arrow batch collapses map-side to a d×d exact-int Gram partial
+    (Q.T @ Q over floor(x·2^18) quantized values) + first moments, the
+    shuffle carries O(d²) rows per BATCH, and the reduce is an
+    associative integer sum — the X^T X shape an embedding-quality
+    audit runs at corpus scale, with no per-row shuffle and no float
+    drift. Pearson corr per dim pair is derived from the exact moments
+    in wide-int arithmetic (DECIMAL(38,0) / HUGEINT); the only float
+    math is the textually-identical cast/sqrt/divide chain, ROUND(_,9)
+    guarded. Zero-variance dims are filtered identically on both
+    sides."""
+    from sample_data_pipeline_project_spark.operators.gram import gram_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    agg = (
+        gram_moments(emb, "embedding")
+        .groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("sx").alias("sx"),
+            F.sum("cnt").alias("cnt"),
+        )
+    )
+    m = agg.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("d"),
+        F.col("sx").alias("msx"),
+        F.col("sxy").alias("msxx"),
+        F.col("cnt").alias("mn"),
+    )
+    p = agg.filter(F.col("i") < F.col("j")).select("i", "j", "sxy")
+    wide = lambda c: F.col(c).cast("decimal(38,0)")  # noqa: E731
+    mi = m.select(
+        F.col("d").alias("i"),
+        F.col("msx").alias("sx_i"),
+        F.col("msxx").alias("sxx_i"),
+        F.col("mn").alias("n"),
+    )
+    mj = m.select(
+        F.col("d").alias("j"),
+        F.col("msx").alias("sx_j"),
+        F.col("msxx").alias("sxx_j"),
+    )
+    joined = p.join(F.broadcast(mi), "i").join(F.broadcast(mj), "j")
+    num = wide("n") * wide("sxy") - wide("sx_i") * wide("sx_j")
+    den_i = wide("n") * wide("sxx_i") - wide("sx_i") * wide("sx_i")
+    den_j = wide("n") * wide("sxx_j") - wide("sx_j") * wide("sx_j")
+    return (
+        joined.filter((den_i > 0) & (den_j > 0))
+        .select(
+            "i",
+            "j",
+            "sxy",
+            F.round(
+                num.cast("double")
+                / F.sqrt(den_i.cast("double"))
+                / F.sqrt(den_j.cast("double")),
+                9,
+            ).alias("corr"),
+        )
+    )

@@ -851,3 +851,150 @@ def events_activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") == 1)
         .select("user_id", "streak_days", "streak_start", "streak_end")
     )
+
+
+# --------------------------------------------------------------------------
+# HLL set-intersection: audience overlap via inclusion-exclusion
+# --------------------------------------------------------------------------
+@workload(
+    "sketch_hll_intersection",
+    oracle="""
+WITH ut AS (SELECT DISTINCT user_id, event_type FROM events)
+SELECT x.event_type AS type_a, y.event_type AS type_b,
+       COUNT(DISTINCT x.user_id) AS exact_both,
+       TRUE AS inter_ok
+FROM ut x JOIN ut y ON x.user_id = y.user_id AND x.event_type < y.event_type
+GROUP BY x.event_type, y.event_type
+""",
+)
+def sketch_hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience-overlap between every event-type pair by HLL
+    inclusion-exclusion: |A∩B| ≈ est(A) + est(B) − est(A ∪ B), with the
+    pairwise union taken by the scalar two-sketch `hll_union` over
+    per-type sketches built ONCE (one mergeable-agg shuffle; the pair
+    cross-product is |types|², a constant). This is the production path
+    at 100 TB — store per-type sketches, answer any pairwise overlap
+    without touching raw data; the exact side here exists only to
+    certify it. `inter_ok` asserts the sketch estimate lands within
+    5% of the exact UNION size + 1 (inclusion-exclusion error scales
+    with the union, not the intersection); the oracle states the
+    invariant as TRUE over the exact intersection counts."""
+    e = load_table(spark, sf_dir, "events")
+    per_type = e.groupBy("event_type").agg(
+        F.expr("hll_sketch_agg(user_id, 14)").alias("sketch"),
+        F.count_distinct("user_id").alias("exact_n"),
+    )
+    a = per_type.select(
+        F.col("event_type").alias("type_a"),
+        F.col("sketch").alias("sk_a"),
+        F.col("exact_n").alias("n_a"),
+    )
+    b = per_type.select(
+        F.col("event_type").alias("type_b"),
+        F.col("sketch").alias("sk_b"),
+        F.col("exact_n").alias("n_b"),
+    )
+    pairs = a.join(b, F.col("type_a") < F.col("type_b"))
+    ut = e.select("user_id", "event_type").distinct()
+    both = (
+        ut.alias("x")
+        .join(
+            ut.alias("y"),
+            (F.col("x.user_id") == F.col("y.user_id"))
+            & (F.col("x.event_type") < F.col("y.event_type")),
+        )
+        .groupBy(
+            F.col("x.event_type").alias("type_a"),
+            F.col("y.event_type").alias("type_b"),
+        )
+        .agg(F.count_distinct("x.user_id").alias("exact_both"))
+    )
+    approx = (
+        F.expr("hll_sketch_estimate(sk_a)")
+        + F.expr("hll_sketch_estimate(sk_b)")
+        - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+    )
+    exact_union = F.col("n_a") + F.col("n_b") - F.col("exact_both")
+    return pairs.join(both, ["type_a", "type_b"]).select(
+        "type_a",
+        "type_b",
+        "exact_both",
+        (F.abs(approx - F.col("exact_both")) <= 0.05 * exact_union + 1).alias(
+            "inter_ok"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# Time-weighted average (TWAP): duration-weighted value per user-day
+# --------------------------------------------------------------------------
+@workload(
+    "timeseries_twap",
+    oracle="""
+WITH seq AS (
+  SELECT user_id, CAST(ts AS DATE) AS day, ts, value,
+         LEAD(ts) OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                        ORDER BY ts, event_id) AS next_ts
+  FROM events
+),
+weighted AS (
+  SELECT user_id, day,
+         CAST(epoch_us(COALESCE(next_ts, CAST(day + 1 AS TIMESTAMP)))
+              - epoch_us(ts) AS BIGINT) AS dur_us,
+         CAST(CAST(value AS DECIMAL(18,6)) AS DECIMAL(24,6)) AS v
+  FROM seq
+)
+SELECT user_id, day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(dur_us) AS BIGINT) AS total_us,
+       ROUND(CAST(SUM(v * CAST(dur_us AS DECIMAL(13,0))) AS DOUBLE)
+             / CAST(CAST(SUM(dur_us) AS BIGINT) AS DOUBLE), 9) AS twap
+FROM weighted
+GROUP BY user_id, day
+""",
+)
+def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average price (TWAP) per user-day: each event's
+    value is weighted by its holding duration — microseconds until the
+    next event in the same user-day, the last event running to midnight.
+    The LEAD window is partitioned by (user_id, day) with a (ts,
+    event_id) tiebreak — calendar-bounded partitions, no global sort.
+    Exactness contract: durations are exact BIGINT microseconds, values
+    go through DECIMAL(18,6), the weighted sum is an exact DECIMAL(38,6)
+    — the only float math is ONE final division, guarded by ROUND(_,9)
+    because the scaled sum exceeds 2^53 (DuckDB's DECIMAL→DOUBLE
+    double-rounds there; the repo's ln-output guard applies)."""
+    e = load_table(spark, sf_dir, "events")
+    day = F.col("ts").cast("date").alias("day")
+    w = Window.partitionBy("user_id", F.col("ts").cast("date")).orderBy(
+        "ts", "event_id"
+    )
+    seq = e.select(
+        "user_id",
+        day,
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,6)").cast("decimal(24,6)").alias("v"),
+        F.lead("ts").over(w).alias("next_ts"),
+    )
+    dur_us = (
+        F.unix_micros(
+            F.coalesce(
+                F.col("next_ts").cast("timestamp"),
+                F.date_add("day", 1).cast("timestamp"),
+            )
+        )
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ).cast("long")
+    weighted = seq.select(
+        "user_id", "day", dur_us.alias("dur_us"), "v"
+    )
+    return weighted.groupBy("user_id", "day").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum("dur_us").cast("long").alias("total_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dur_us").cast("decimal(13,0)")).cast("double")
+            / F.sum("dur_us").cast("long").cast("double"),
+            9,
+        ).alias("twap"),
+    )

@@ -182,3 +182,67 @@ def snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg(snapshot_read(spark, path, v1), 1).unionAll(
         agg(snapshot_read(spark, path, v2), 2)
     )
+
+
+# --------------------------------------------------------------------------
+# Table reconciliation diff: fingerprint anti-entropy between two versions
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.functions.text import (  # noqa: E402
+    md5_prefix_uint32_sql,
+)
+
+_DIFF_U32 = md5_prefix_uint32_sql("'diff|' || CAST(o_orderkey AS STRING)")
+
+_DIFF_ORACLE = f"""
+WITH h AS (
+  SELECT o_orderkey, ({_DIFF_U32}) % 100 AS cls FROM orders
+)
+SELECT o_orderkey, 'D' AS change_type FROM h WHERE cls < 2
+UNION ALL
+SELECT o_orderkey, 'U' AS change_type FROM h WHERE cls >= 2 AND cls < 5
+UNION ALL
+SELECT o_orderkey + 100000000 AS o_orderkey, 'I' AS change_type
+FROM h WHERE cls >= 5 AND cls < 6
+"""
+
+
+@workload("table_diff_reconcile", oracle=_DIFF_ORACLE)
+def table_diff_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Version reconciliation (operators/diff.py): build v2 of orders by a
+    DERIVED mutation set (md5-keyed classes: 2% deleted, 3% repriced, 1%
+    cloned as inserts — no RNG), then diff v2 against v1 by 16-byte row
+    fingerprints on a full-outer key join. The oracle restates the
+    mutation arithmetic directly, so a hash match certifies the diff
+    finds EXACTLY the changed keys with the right class — any
+    fingerprint or join defect surfaces as a mismatch. Scale shape: both
+    sides reduce to (key, md5) before the shuffle; output is
+    change-volume-sized, not table-sized."""
+    from sample_data_pipeline_project_spark.operators.diff import table_diff
+
+    orders = load_table(spark, sf_dir, "orders")
+    cols = orders.columns
+    cls = (F.expr(_DIFF_U32) % 100).alias("cls")
+    v1 = orders
+    tagged = orders.select(*cols, cls)
+    kept = tagged.filter(F.col("cls") >= 2)
+    updated = kept.select(
+        *[
+            F.when(F.col("cls") < 5, F.col("o_totalprice") + F.lit(1.0))
+            .otherwise(F.col("o_totalprice"))
+            .alias(c)
+            if c == "o_totalprice"
+            else F.col(c)
+            for c in cols
+        ],
+        "cls",
+    )
+    inserts = tagged.filter((F.col("cls") >= 5) & (F.col("cls") < 6)).select(
+        *[
+            (F.col("o_orderkey") + F.lit(100000000)).alias(c)
+            if c == "o_orderkey"
+            else F.col(c)
+            for c in cols
+        ]
+    )
+    v2 = updated.drop("cls").unionAll(inserts)
+    return table_diff(v1, v2, key_cols=["o_orderkey"], compare_cols=cols)

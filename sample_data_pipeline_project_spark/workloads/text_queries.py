@@ -1425,3 +1425,60 @@ def text_zipf_exponent(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(slope, 9).alias("zipf_slope"),
         F.round(intercept, 9).alias("ln_c_intercept"),
     )
+
+
+# --------------------------------------------------------------------------
+# LM training pairs: k-token context -> next-token target, hash-sampled
+# --------------------------------------------------------------------------
+_CTP_K = 4
+_CTP_MOD = 20  # keep 5% of positions, deterministically
+_CTP_U32 = md5_prefix_uint32_sql(
+    "'ctp|' || CAST(doc_id AS STRING) || '|' || CAST(p AS STRING)"
+)
+
+_CTP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, {_DUCK_TOKENS} AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, CAST(UNNEST(range({_CTP_K + 1}, len(toks) + 1)) AS BIGINT) AS p
+  FROM t
+)
+SELECT doc_id, p,
+       array_to_string(toks[p - {_CTP_K}:p - 1], ' ') AS context,
+       toks[CAST(p AS INTEGER)] AS target
+FROM pos
+WHERE ({_CTP_U32}) % {_CTP_MOD} = 0
+"""
+
+
+@workload("train_context_target_pairs", oracle=_CTP_ORACLE)
+def train_context_target_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-token-prediction training pairs: for each token position p >
+    K(=4), emit the K-token context window and the target token, keeping
+    a deterministic 5% hash sample of positions (md5('ctp|doc|p') mod
+    20). Implementation is the LAG-window form — tokens are exploded to
+    (doc_id, pos, tok) and the context is K LAG columns over a window
+    PARTITIONED BY doc_id — so no row ever carries the whole token
+    array: partitions are document-bounded, the explode is pipelined,
+    and the sample predicate prunes before the (doc_id, pos) output
+    projection. This is the dataset-assembly step between the repo's
+    tokenization (text_token_stats) and sequence packing
+    (text_sequence_packing)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    exploded = d.select(
+        "doc_id", F.posexplode(toks).alias("pos0", "tok")
+    ).select("doc_id", (F.col("pos0") + 1).alias("p"), "tok")
+    w = Window.partitionBy("doc_id").orderBy("p")
+    lags = [F.lag("tok", k).over(w) for k in range(_CTP_K, 0, -1)]
+    return (
+        exploded.select(
+            "doc_id",
+            "p",
+            F.concat_ws(" ", *lags).alias("context"),
+            F.col("tok").alias("target"),
+        )
+        .filter(F.col("p") > _CTP_K)
+        .filter(F.expr(f"({_CTP_U32}) % {_CTP_MOD} = 0"))
+    )
