@@ -168,3 +168,64 @@ def kcore_peel(
             .localCheckpoint(eager=True)
         )
     return _degrees(e)
+
+
+def hits_bipartite(
+    edges: DataFrame,
+    hub_col: str,
+    auth_col: str,
+    iters: int = 2,
+    scale: int = 1_000_000,
+) -> DataFrame:
+    """HITS hubs-and-authorities over a bipartite edge list, INTEGER
+    arithmetic throughout: scores start at `scale`, each half-iteration
+    sums the opposite side's scores over the edges and re-normalizes by
+    `score * scale DIV max(score)` — floor division, so every
+    intermediate is an exact BIGINT and the result is bit-identical on
+    any engine (no float accumulation order to pin).
+
+    Returns (hub, hub_score) after `iters` full hub<-auth<-hub rounds.
+
+    Scale shape: each half-iteration is one equi-join on the edge list +
+    one keyed aggregate (both map-side combinable) + a 1-row global-max
+    broadcast — the same per-round cost envelope as pagerank_fixed, with
+    a fixed iteration count so lineage stays shallow (no checkpoint
+    needed for small `iters`).
+    """
+    if iters < 1:
+        raise ValueError("hits_bipartite: iters must be >= 1")
+    # materialize the deduped edge list ONCE — every half-iteration joins
+    # against it, and without this the plan re-scans + re-distincts the
+    # input 2·iters times (pagerank_fixed's lineage-truncation pattern)
+    e = (
+        edges.select(F.col(hub_col).alias("hub"), F.col(auth_col).alias("auth"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _normalize(scores: DataFrame, key: str) -> DataFrame:
+        mx = scores.agg(F.max("s").alias("mx"))
+        return scores.crossJoin(F.broadcast(mx)).select(
+            key, F.expr(f"CAST(s * {scale} DIV mx AS BIGINT)").alias("s")
+        )
+
+    # authorities start uniform at `scale`; first hub pass is then just
+    # scale * degree(hub)
+    hubs = e.groupBy("hub").agg(
+        (F.count(F.lit(1)) * F.lit(scale)).cast("long").alias("s")
+    )
+    hubs = _normalize(hubs, "hub")
+    for _ in range(iters - 1):
+        auths = (
+            e.join(hubs, "hub")
+            .groupBy("auth")
+            .agg(F.sum("s").cast("long").alias("s"))
+        )
+        auths = _normalize(auths, "auth")
+        hubs = (
+            e.join(auths, "auth")
+            .groupBy("hub")
+            .agg(F.sum("s").cast("long").alias("s"))
+        )
+        hubs = _normalize(hubs, "hub")
+    return hubs.select("hub", F.col("s").alias("hub_score"))

@@ -177,3 +177,45 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kcore_peel(edges, _KCORE_K, _KCORE_ROUNDS).select(
         F.col("vertex").cast("long"), F.col("degree").cast("long")
     )
+
+
+# --------------------------------------------------------------------------
+# HITS hubs/authorities over the user <-> event-type bipartite graph
+# --------------------------------------------------------------------------
+_HITS_ORACLE = """
+WITH e AS (SELECT DISTINCT user_id AS hub, event_type AS auth FROM events),
+h1 AS (SELECT hub, CAST(COUNT(*) * 1000000 AS BIGINT) AS s FROM e GROUP BY hub),
+h1n AS (SELECT hub, CAST(s * 1000000 // (SELECT MAX(s) FROM h1) AS BIGINT) AS s
+        FROM h1),
+a1 AS (SELECT auth, CAST(SUM(s) AS BIGINT) AS s
+       FROM e JOIN h1n USING (hub) GROUP BY auth),
+a1n AS (SELECT auth, CAST(s * 1000000 // (SELECT MAX(s) FROM a1) AS BIGINT) AS s
+        FROM a1),
+h2 AS (SELECT hub, CAST(SUM(s) AS BIGINT) AS s
+       FROM e JOIN a1n USING (auth) GROUP BY hub),
+h2n AS (SELECT hub, CAST(s * 1000000 // (SELECT MAX(s) FROM h2) AS BIGINT) AS s
+        FROM h2)
+SELECT hub AS user_id, s AS hub_score FROM h2n
+"""
+
+
+@workload("graph_hits_bipartite", oracle=_HITS_ORACLE)
+def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (operators/graph.py:hits_bipartite) on the user->event-type
+    bipartite graph, 2 full rounds, INTEGER-scaled scores (start at 1e6,
+    re-normalize by floor-division against the max after every
+    half-step) — a second fixed-point graph family beside pagerank/
+    k-core, with zero float accumulation: the oracle unrolls the exact
+    same integer recurrence in SQL, so the value hash certifies every
+    join + aggregate + normalize round bit-for-bit. Per round: two
+    edge-list equi-joins + keyed sums (map-side combinable) + a 1-row
+    broadcast max."""
+    from sample_data_pipeline_project_spark.operators.graph import hits_bipartite
+
+    e = load_table(spark, sf_dir, "events")
+    return hits_bipartite(
+        e.select("user_id", "event_type"),
+        hub_col="user_id",
+        auth_col="event_type",
+        iters=2,
+    ).select(F.col("hub").alias("user_id"), "hub_score")

@@ -163,3 +163,53 @@ def test_kcore_random_graphs_match_bruteforce(spark):
             assert _run_kcore(spark, edges, k, 3) == _brute_kcore(
                 edges, k, 3
             ), (trial, k)
+
+
+# --------------------------------------------------------------------------
+# hits_bipartite
+# --------------------------------------------------------------------------
+def _hits_brute(edges, iters=2, scale=1_000_000):
+    hubs = sorted({u for u, _ in edges})
+    auths = sorted({t for _, t in edges})
+    es = set(edges)
+    h = {u: scale * sum(1 for (uu, _) in es if uu == u) for u in hubs}
+    mx = max(h.values())
+    h = {u: s * scale // mx for u, s in h.items()}
+    for _ in range(iters - 1):
+        a = {t: sum(h[u] for (u, tt) in es if tt == t) for t in auths}
+        mx = max(a.values())
+        a = {t: s * scale // mx for t, s in a.items()}
+        h = {u: sum(a[t] for (uu, t) in es if uu == u) for u in hubs}
+        mx = max(h.values())
+        h = {u: s * scale // mx for u, s in h.items()}
+    return h
+
+
+def test_hits_bipartite_brute_parity(spark):
+    from sample_data_pipeline_project_spark.operators.graph import hits_bipartite
+
+    edges = [
+        (1, "a"), (1, "b"), (1, "c"),
+        (2, "a"), (2, "b"),
+        (3, "c"),
+        (4, "a"), (4, "d"), (4, "c"), (4, "b"),
+        (5, "d"),
+        (5, "d"),  # duplicate edge must not double-count
+    ]
+    df = spark.createDataFrame(edges, "u long, t string")
+    got = {
+        r["hub"]: r["hub_score"]
+        for r in hits_bipartite(df, "u", "t", iters=3).collect()
+    }
+    assert got == _hits_brute(list(set(edges)), iters=3)
+
+
+def test_hits_bipartite_iters_guard(spark):
+    from sample_data_pipeline_project_spark.operators.graph import hits_bipartite
+
+    df = spark.createDataFrame([(1, "a")], "u long, t string")
+    try:
+        hits_bipartite(df, "u", "t", iters=0)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
