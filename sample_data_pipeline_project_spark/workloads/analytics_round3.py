@@ -729,3 +729,61 @@ def embedding_dim_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("corr"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Pareto frontier (skyline): cheapest-yet-latest orders per priority
+# --------------------------------------------------------------------------
+_SKYLINE_ORACLE = """
+WITH o AS (
+  SELECT o_orderpriority AS grp, o_orderkey,
+         CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+           AS order_day,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS price_cents
+  FROM orders
+)
+SELECT grp, o_orderkey, order_day, price_cents
+FROM o a
+WHERE NOT EXISTS (
+  SELECT 1 FROM o b
+  WHERE b.grp = a.grp
+    AND b.order_day >= a.order_day AND b.price_cents <= a.price_cents
+    AND (b.order_day > a.order_day OR b.price_cents < a.price_cents)
+)
+"""
+
+
+@workload("pareto_frontier_orders", oracle=_SKYLINE_ORACLE)
+def pareto_frontier_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skyline query (operators/pareto.py): per order priority, the
+    Pareto frontier maximizing order date while minimizing price — the
+    multi-objective 'latest AND cheapest' set no single ORDER BY can
+    express. Two-phase distributed skyline: local frontiers per
+    (group, 32-way hash shard) kill dominated rows map-side inside
+    Arrow batches, then a frontier-of-candidates pass per group over
+    the shard survivors — phase-2 input is |shards| x frontier-sized,
+    never data-sized. Exact integer axes (epoch days, DECIMAL cents);
+    the oracle is the quadratic NOT EXISTS dominator test."""
+    from sample_data_pipeline_project_spark.operators.pareto import (
+        pareto_frontier_2d,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+        .cast("long")
+        .alias("order_day"),
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("price_cents"),
+    )
+    return pareto_frontier_2d(
+        o,
+        group_cols=["grp"],
+        maximize_col="order_day",
+        minimize_col="price_cents",
+        id_cols=["o_orderkey"],
+        n_shards=32,
+    )

@@ -257,3 +257,104 @@ def join_events_to_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("run_id", "pipeline_name")
         .agg(F.count(F.lit(1)).cast("long").alias("n_events_in_window"))
     )
+
+
+# --------------------------------------------------------------------------
+# Interval-union coverage: merged run windows (islands) per pipeline group
+# --------------------------------------------------------------------------
+_COVERAGE_ORACLE = f"""
+WITH {LEDGER_CTE},
+seq AS (
+  SELECT pipeline_name, index_name,
+         query_window_start_ts AS s, query_window_end_ts AS e, run_id,
+         MAX(query_window_end_ts) OVER (
+           PARTITION BY pipeline_name, index_name
+           ORDER BY query_window_start_ts, run_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM pipeline_runs
+),
+flagged AS (
+  SELECT *, CASE WHEN prev_max_e IS NULL OR s > prev_max_e
+                 THEN 1 ELSE 0 END AS is_new
+  FROM seq
+),
+islands AS (
+  SELECT pipeline_name, index_name, s, e,
+         CAST(SUM(is_new) OVER (
+           PARTITION BY pipeline_name, index_name
+           ORDER BY s, run_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS island_seq
+  FROM flagged
+),
+merged AS (
+  SELECT pipeline_name, index_name, island_seq,
+         CAST(epoch_us(MAX(e)) - epoch_us(MIN(s)) AS BIGINT) AS covered_us,
+         CAST(COUNT(*) AS BIGINT) AS n_runs
+  FROM islands
+  GROUP BY pipeline_name, index_name, island_seq
+)
+SELECT pipeline_name, index_name,
+       CAST(COUNT(*) AS BIGINT) AS n_islands,
+       CAST(SUM(covered_us) AS BIGINT) AS total_covered_us,
+       CAST(MAX(covered_us) AS BIGINT) AS max_island_us,
+       CAST(MAX(n_runs) AS BIGINT) AS max_island_runs
+FROM merged
+GROUP BY pipeline_name, index_name
+"""
+
+
+@workload("ledger_coverage_islands", oracle=_COVERAGE_ORACLE)
+def ledger_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-UNION coverage per (pipeline, index): overlapping or
+    touching run windows merge into islands (strict-gap test `start >
+    cummax(prev ends)`, half-open semantics shared with A13 gap
+    detection), then per-group totals — how much wall-clock each
+    pipeline actually covered, counting overlaps once. One shuffle on
+    the group key serves both windows AND both group-bys
+    (co-partitioned); the cummax window is the same O(1)-state
+    per-partition scan the gap detector uses, so the shape survives any
+    per-group run count. Integer microsecond arithmetic end-to-end."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    runs = derived_ledger(spark, sf_dir)
+    w = Window.partitionBy("pipeline_name", "index_name").orderBy(
+        "query_window_start_ts", "run_id"
+    )
+    prev_max_e = F.max("query_window_end_ts").over(
+        w.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = runs.select(
+        "pipeline_name",
+        "index_name",
+        F.col("query_window_start_ts").alias("s"),
+        F.col("query_window_end_ts").alias("e"),
+        "run_id",
+        F.when(
+            prev_max_e.isNull() | (F.col("query_window_start_ts") > prev_max_e),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    w2 = Window.partitionBy("pipeline_name", "index_name").orderBy("s", "run_id")
+    islands = flagged.withColumn(
+        "island_seq",
+        F.sum("is_new").over(
+            w2.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).cast("long"),
+    )
+    merged = islands.groupBy("pipeline_name", "index_name", "island_seq").agg(
+        (
+            F.unix_micros(F.max("e").cast("timestamp"))
+            - F.unix_micros(F.min("s").cast("timestamp"))
+        ).alias("covered_us"),
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+    )
+    return merged.groupBy("pipeline_name", "index_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_islands"),
+        F.sum("covered_us").cast("long").alias("total_covered_us"),
+        F.max("covered_us").cast("long").alias("max_island_us"),
+        F.max("n_runs").cast("long").alias("max_island_runs"),
+    )
