@@ -170,6 +170,72 @@ def kcore_peel(
     return _degrees(e)
 
 
+def bfs_hops(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+    seed_col: str = "vertex",
+) -> DataFrame:
+    """Fixed-round multi-source BFS over an undirected simple graph.
+
+    Runs `rounds` synchronous label-relaxation iterations from the seed
+    set: every vertex reachable within `rounds` edges of ANY seed gets
+    its exact minimum hop count (0 for seeds themselves). Unreached
+    vertices are absent from the result. This is the "blast radius"
+    primitive over a near-dup graph — given a set of known-bad documents
+    (seeds), how far does contamination spread through near-duplicate
+    links, and in how many steps.
+
+    Fixed-round semantics (the pagerank_fixed/kcore_peel contract): the
+    result after exactly `rounds` relaxations is deterministic whether
+    or not the frontier has emptied, so a SQL oracle can unroll the
+    identical rounds. Hop counts are exact integers — no float anywhere.
+
+    Scale shape: each round is one equi-join of the current distance
+    table against the symmetrized edge list plus one keyed MIN
+    aggregate (map-side combinable); lineage is truncated per round with
+    an eager localCheckpoint so plans stay constant-size. Distance-table
+    rows only ever carry (vertex, hops) — O(V) state, edge-sized
+    shuffles, no frontier materialization on the driver.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    # Symmetrize once — relaxation below walks src -> dst only.
+    sym = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    dist = (
+        seeds.select(F.col(seed_col).alias("vertex"))
+        .distinct()
+        .select("vertex", F.lit(0).cast("long").alias("hops"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        relaxed = (
+            dist.join(sym, dist["vertex"] == sym["src"])
+            .select(F.col("dst").alias("vertex"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("vertex")
+            .agg(F.min("hops").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
 def hits_bipartite(
     edges: DataFrame,
     hub_col: str,

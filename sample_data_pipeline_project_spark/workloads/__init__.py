@@ -55,6 +55,7 @@ def load_all() -> dict[str, Workload]:
     from sample_data_pipeline_project_spark.workloads import (  # noqa: F401
         analytics_extra,
         analytics_round3,
+        analytics_round3c,
         asof_queries,
         curation_queries,
         dedup_queries,
