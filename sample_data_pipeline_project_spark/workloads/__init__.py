@@ -56,6 +56,7 @@ def load_all() -> dict[str, Workload]:
         analytics_extra,
         analytics_round3,
         analytics_round3c,
+        analytics_round3d,
         asof_queries,
         curation_queries,
         dedup_queries,

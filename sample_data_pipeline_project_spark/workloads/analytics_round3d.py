@@ -1,0 +1,403 @@
+"""Round-3 sketch + information-theory + rank-statistics workloads:
+Misra-Gries heavy hitters, tie-corrected Spearman correlation, per-source
+KL divergence, and event-type/weekday mutual information.
+
+Determinism notes (additions to the repo-wide contract):
+  - Order-dependent float SUMS of ln() terms are avoided entirely by the
+    SCALED-INTEGER TERM SUM tactic: each per-cell term is computed as a
+    double in identical textual order on both engines, multiplied by 1e9,
+    ROUND(_, 0)ed (absorbing libm ulps, the ROUND(_,9) guard in integer
+    form) and cast to BIGINT while exactly integral — the cross-cell SUM
+    is then exact int64 arithmetic, summation-order-independent AND
+    map-side combinable (unlike the sorted-left-fold tactic, which must
+    collect a group's terms into one array).
+  - Spearman uses TIE-CORRECTED average ranks computed analytically from
+    per-value counts (rank2 = 2*|{x' < x}| + m + 1, an exact integer equal
+    to twice the average rank) — no per-row window, no tiebreak column
+    needed, deterministic under arbitrary duplicate rows. Pearson is
+    affine-invariant, so integer rank2 values give the exact Spearman rho.
+  - Misra-Gries counter VALUES depend on the (deterministic) shard layout
+    but are not oracle-stateable; the workload certifies the sketch's
+    provable invariants instead (guaranteed-present set via the all-integer
+    predicate true*(k+1) > n, underestimation, and the n/(k+1) error
+    bound), exactly the ANN-recall certification pattern (C9).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from sample_data_pipeline_project_spark.functions.text import tokens
+from sample_data_pipeline_project_spark.operators.heavyhitters import mg_summary
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+_DUCK_TOKENS = "string_split_regex(lower(trim(text)), '\\s+')"
+_CENTS_EP = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+# --------------------------------------------------------------------------
+# Misra-Gries heavy hitters over price-magnitude buckets (certified)
+# --------------------------------------------------------------------------
+_MG_K = 4
+_MG_SHARDS = 32
+
+# floor(log2(cents)) via bit length — pure integer logic, no libm log2
+# whose ulp at power-of-two boundaries could flip FLOOR cross-engine.
+_MG_BUCKET = (
+    "CAST(length(bin(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+    " AS BIGINT))) - 1 AS VARCHAR)"
+)
+
+_MG_ORACLE = f"""
+WITH t AS (
+  SELECT {_MG_BUCKET} AS item FROM orders
+),
+c AS (
+  SELECT item, COUNT(*) AS true_count FROM t GROUP BY item
+),
+n AS (SELECT SUM(true_count) AS n FROM c)
+SELECT c.item, CAST(c.true_count AS BIGINT) AS true_count,
+       TRUE AS present, TRUE AS underestimate_ok, TRUE AS error_bound_ok
+FROM c, n
+WHERE c.true_count * {_MG_K + 1} > n.n
+"""
+
+
+@workload("sketch_misra_gries_buckets", oracle=_MG_ORACLE)
+def sketch_misra_gries_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MISRA-GRIES heavy hitters over the order price-magnitude stream
+    (bucket = floor(log2(cents)) via exact BIT LENGTH, no libm) — the
+    deterministic, mergeable, UNDERestimating dual of the Count-Min
+    workload (C17), with the classic guarantee est in
+    [true - n/(k+1), true]. With k=4 counters against ~20 live buckets
+    the per-shard passes evict constantly, exercising the sketch for
+    real; the two modal buckets (~33% each) clear the 20% guarantee
+    threshold. The stream is hash-sharded; each shard runs the
+    O(k)-memory sequential pass (applyInPandas, pinned order); the
+    bounded shards x k summary rows merge once driver-side
+    (operators/heavyhitters.py). Certification: every bucket whose true
+    count exceeds n/(k+1) (ALL-INTEGER predicate true*(k+1) > n) must be
+    present, underestimated, and within the error bound — each stated as
+    TRUE by the oracle; the sketch's raw counter values are deliberately
+    not hashed (they depend on the shard layout)."""
+    o = load_table(spark, sf_dir, "orders")
+    stream = o.select(
+        "o_orderkey",
+        F.expr(
+            "CAST(length(bin(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100"
+            " AS BIGINT))) - 1 AS STRING)"
+        ).alias("item"),
+    )
+    summary = mg_summary(
+        stream, _MG_K, item_col="item", order_cols=["o_orderkey"],
+        num_shards=_MG_SHARDS,
+    )
+    est_df = spark.createDataFrame(
+        [(t, int(c)) for t, c in sorted(summary.items())] or [("", 0)],
+        "item string, est long",
+    )
+    exact = stream.groupBy("item").agg(
+        F.count(F.lit(1)).alias("true_count")
+    )
+    total = exact.agg(F.sum("true_count").alias("n"))
+    guaranteed = (
+        exact.crossJoin(F.broadcast(total))
+        .filter(F.col("true_count") * (_MG_K + 1) > F.col("n"))
+        .join(F.broadcast(est_df), "item", "left")
+    )
+    return guaranteed.select(
+        "item",
+        F.col("true_count").cast("long"),
+        F.col("est").isNotNull().alias("present"),
+        (F.col("est") <= F.col("true_count")).alias("underestimate_ok"),
+        (
+            (F.col("true_count") - F.col("est")) * (_MG_K + 1) <= F.col("n")
+        ).alias("error_bound_ok"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Tie-corrected Spearman rank correlation per supplier
+# --------------------------------------------------------------------------
+_SPEARMAN_ORACLE = f"""
+WITH li AS (
+  SELECT l_suppkey AS supp, CAST(l_quantity AS BIGINT) AS x,
+         {_CENTS_EP} AS y
+  FROM lineitem
+),
+xc AS (
+  SELECT supp, x, COUNT(*) AS m FROM li GROUP BY supp, x
+),
+xr AS (
+  SELECT supp, x,
+         2 * COALESCE(SUM(m) OVER (PARTITION BY supp ORDER BY x
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + m + 1 AS rx
+  FROM xc
+),
+yc AS (
+  SELECT supp, y, COUNT(*) AS m FROM li GROUP BY supp, y
+),
+yr AS (
+  SELECT supp, y,
+         2 * COALESCE(SUM(m) OVER (PARTITION BY supp ORDER BY y
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + m + 1 AS ry
+  FROM yc
+),
+cells AS (
+  SELECT li.supp, li.x, li.y, COUNT(*) AS w FROM li GROUP BY li.supp, li.x, li.y
+),
+s AS (
+  SELECT c.supp, SUM(c.w) AS n,
+         SUM(c.w * xr.rx) AS sa, SUM(c.w * yr.ry) AS sb,
+         SUM(c.w * xr.rx * xr.rx) AS saa,
+         SUM(c.w * yr.ry * yr.ry) AS sbb,
+         SUM(c.w * xr.rx * yr.ry) AS sab
+  FROM cells c
+  JOIN xr ON c.supp = xr.supp AND c.x = xr.x
+  JOIN yr ON c.supp = yr.supp AND c.y = yr.y
+  GROUP BY c.supp
+)
+SELECT CAST(supp AS BIGINT) AS supp, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sab AS DOUBLE)
+        - CAST(sa AS DOUBLE) * CAST(sb AS DOUBLE))
+       / NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(saa AS DOUBLE)
+                     - CAST(sa AS DOUBLE) * CAST(sa AS DOUBLE))
+                * SQRT(CAST(n AS DOUBLE) * CAST(sbb AS DOUBLE)
+                       - CAST(sb AS DOUBLE) * CAST(sb AS DOUBLE)), 0.0)
+       AS spearman_rho
+FROM s
+"""
+
+
+@workload("stats_spearman_qty_price", oracle=_SPEARMAN_ORACLE)
+def stats_spearman_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIE-CORRECTED SPEARMAN rank correlation between quantity and price
+    per supplier. Average ranks are computed ANALYTICALLY from per-value
+    counts (rank2 = 2*#{smaller} + m + 1 — twice the average rank, an
+    exact integer), so duplicate rows need no tiebreak column and no
+    per-row window exists: the windows ride the per-supplier DISTINCT
+    value tables (value-domain-bounded), and Pearson's affine invariance
+    makes rho over integer rank2 exactly Spearman's rho. Sufficient
+    statistics are exact int64 (peak ~9e17 at sf10); one final float
+    expression per supplier."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("supp"),
+        F.col("l_quantity").cast("long").alias("x"),
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("y"),
+    )
+
+    def rank2(col: str, out: str) -> DataFrame:
+        cnt = li.groupBy("supp", col).agg(F.count(F.lit(1)).alias("m"))
+        w = (
+            Window.partitionBy("supp")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return cnt.select(
+            "supp",
+            col,
+            (
+                2 * F.coalesce(F.sum("m").over(w), F.lit(0))
+                + F.col("m")
+                + 1
+            ).alias(out),
+        )
+
+    cells = li.groupBy("supp", "x", "y").agg(F.count(F.lit(1)).alias("w"))
+    joined = cells.join(rank2("x", "rx"), ["supp", "x"]).join(
+        rank2("y", "ry"), ["supp", "y"]
+    )
+    s = joined.groupBy("supp").agg(
+        F.sum("w").alias("n"),
+        F.sum(F.col("w") * F.col("rx")).alias("sa"),
+        F.sum(F.col("w") * F.col("ry")).alias("sb"),
+        F.sum(F.col("w") * F.col("rx") * F.col("rx")).alias("saa"),
+        F.sum(F.col("w") * F.col("ry") * F.col("ry")).alias("sbb"),
+        F.sum(F.col("w") * F.col("rx") * F.col("ry")).alias("sab"),
+    )
+    rho = (
+        F.col("n").cast("double") * F.col("sab").cast("double")
+        - F.col("sa").cast("double") * F.col("sb").cast("double")
+    ) / F.nullif(
+        F.sqrt(
+            F.col("n").cast("double") * F.col("saa").cast("double")
+            - F.col("sa").cast("double") * F.col("sa").cast("double")
+        )
+        * F.sqrt(
+            F.col("n").cast("double") * F.col("sbb").cast("double")
+            - F.col("sb").cast("double") * F.col("sb").cast("double")
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        F.col("supp").cast("long"),
+        F.col("n").cast("long"),
+        rho.alias("spearman_rho"),
+    )
+
+
+# --------------------------------------------------------------------------
+# KL divergence of each source's token distribution vs the corpus
+# --------------------------------------------------------------------------
+_KL_TERM = (
+    "(CAST(c_st AS DOUBLE) / CAST(n_s AS DOUBLE))"
+    " * ln((CAST(c_st AS DOUBLE) * CAST(n AS DOUBLE))"
+    " / (CAST(n_s AS DOUBLE) * CAST(c_t AS DOUBLE)))"
+)
+
+_KL_ORACLE = f"""
+WITH t AS (
+  SELECT source, unnest({_DUCK_TOKENS}) AS tok FROM documents
+),
+st AS (
+  SELECT source, tok, COUNT(*) AS c_st FROM t WHERE tok != ''
+  GROUP BY source, tok
+),
+src AS (SELECT source, SUM(c_st) AS n_s FROM st GROUP BY source),
+gt AS (SELECT tok, SUM(c_st) AS c_t FROM st GROUP BY tok),
+n AS (SELECT SUM(c_st) AS n FROM st),
+terms AS (
+  SELECT st.source,
+         CAST(ROUND({_KL_TERM} * 1000000000.0, 0) AS BIGINT) AS term_scaled
+  FROM st
+  JOIN src ON st.source = src.source
+  JOIN gt ON st.tok = gt.tok
+  CROSS JOIN n
+)
+SELECT t.source, CAST(src.n_s AS BIGINT) AS n_tokens,
+       CAST(SUM(t.term_scaled) AS DOUBLE) / 1000000000.0 AS kl_nats
+FROM terms t JOIN src ON t.source = src.source
+GROUP BY t.source, src.n_s
+"""
+
+
+@workload("text_kl_divergence_by_source", oracle=_KL_ORACLE)
+def text_kl_divergence_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DOMAIN-SKEW detector: KL(source || corpus) over token unigram
+    distributions — how far each provenance source's language drifts from
+    the overall mix (the quantitative side of corpus-mix curation). All
+    distributions are exact integer counts; each (source, token) cell's
+    p*ln(p/q) term uses the SCALED-INTEGER TERM SUM tactic (term * 1e9
+    rounded to BIGINT), so the per-source reduction is an exact,
+    map-side-combinable int64 SUM with no float summation-order
+    dependence. Shuffles are keyed (source, token) then source; the token
+    marginal joins broadcast (vocabulary-bounded)."""
+    d = load_table(spark, sf_dir, "documents")
+    st = (
+        d.select("source", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("c_st"))
+    )
+    src = st.groupBy("source").agg(F.sum("c_st").alias("n_s"))
+    gt = st.groupBy("tok").agg(F.sum("c_st").alias("c_t"))
+    n = st.agg(F.sum("c_st").alias("n"))
+    term = (
+        F.col("c_st").cast("double") / F.col("n_s").cast("double")
+    ) * F.log(
+        (F.col("c_st").cast("double") * F.col("n").cast("double"))
+        / (F.col("n_s").cast("double") * F.col("c_t").cast("double"))
+    )
+    terms = (
+        st.join(F.broadcast(src), "source")
+        .join(F.broadcast(gt), "tok")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "n_s",
+            F.round(term * 1000000000.0, 0).cast("long").alias("term_scaled"),
+        )
+    )
+    return (
+        terms.groupBy("source", "n_s")
+        .agg(F.sum("term_scaled").alias("s"))
+        .select(
+            "source",
+            F.col("n_s").cast("long").alias("n_tokens"),
+            (F.col("s").cast("double") / 1000000000.0).alias("kl_nats"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Mutual information: event_type vs weekday
+# --------------------------------------------------------------------------
+_MI_TERM = (
+    "(CAST(c_xy AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * ln((CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE))"
+    " / (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))"
+)
+
+_MI_ORACLE = f"""
+WITH e AS (
+  SELECT event_type AS x,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS y
+  FROM events
+),
+xy AS (SELECT x, y, COUNT(*) AS c_xy FROM e GROUP BY x, y),
+mx AS (SELECT x, SUM(c_xy) AS c_x FROM xy GROUP BY x),
+my AS (SELECT y, SUM(c_xy) AS c_y FROM xy GROUP BY y),
+n AS (SELECT SUM(c_xy) AS n FROM xy),
+terms AS (
+  SELECT CAST(ROUND({_MI_TERM} * 1000000000.0, 0) AS BIGINT) AS term_scaled
+  FROM xy JOIN mx ON xy.x = mx.x JOIN my ON xy.y = my.y CROSS JOIN n
+)
+SELECT CAST(n.n AS BIGINT) AS n_events,
+       CAST(SUM(t.term_scaled) AS DOUBLE) / 1000000000.0 AS mi_nats
+FROM terms t CROSS JOIN n
+GROUP BY n.n
+"""
+
+
+@workload("stats_mutual_information_type_dow", oracle=_MI_ORACLE)
+def stats_mutual_information_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL INFORMATION between event type and weekday — the
+    feature-relevance / dependence screen (is behavior day-of-week
+    dependent at all). Weekday is the epoch-anchored mod-7 key (the C50
+    dialect-portable convention); the contingency table is one
+    map-side-combinable aggregate bounded by |types| x 7 cells; each
+    cell's MI term uses the scaled-integer term sum, so the final
+    reduction is exact int64. Output is a single row at any scale."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("x"),
+        F.pmod(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ),
+            F.lit(7),
+        ).cast("long").alias("y"),
+    )
+    xy = e.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    mx = xy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    my = xy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = xy.agg(F.sum("c_xy").alias("n"))
+    term = (
+        F.col("c_xy").cast("double") / F.col("n").cast("double")
+    ) * F.log(
+        (F.col("c_xy").cast("double") * F.col("n").cast("double"))
+        / (F.col("c_x").cast("double") * F.col("c_y").cast("double"))
+    )
+    terms = (
+        xy.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.round(term * 1000000000.0, 0).cast("long").alias("term_scaled"),
+        )
+    )
+    return (
+        terms.groupBy("n")
+        .agg(F.sum("term_scaled").alias("s"))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            (F.col("s").cast("double") / 1000000000.0).alias("mi_nats"),
+        )
+    )
