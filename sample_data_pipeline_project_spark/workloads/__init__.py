@@ -15,7 +15,13 @@ Determinism contract (what makes Spark-vs-DuckDB value hashes stable):
   - NEVER cast float->integer directly: Spark truncates, DuckDB rounds.
     Route money through DECIMAL(18,2) first, and wrap fractional index
     arithmetic in explicit FLOOR on BOTH sides (window_rolling_median
-    found both divergences).
+    found both divergences);
+  - float constants embedded in ORACLE SQL must ride as
+    CAST('<repr>' AS DOUBLE), never as bare decimal literals: DuckDB
+    parses a bare 16-digit literal as DECIMAL(17,16), and its
+    decimal->double conversion can be 1 ulp off the correctly-rounded
+    string parse (timeseries_weekly_spectrum found this when the ulp
+    moved a ROUND across an exact .5).
 """
 
 from __future__ import annotations

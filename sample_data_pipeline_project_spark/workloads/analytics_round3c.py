@@ -470,3 +470,226 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             lcc.alias("lcc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Weekly spectrum: DFT power of the daily-revenue series at fixed periods
+# --------------------------------------------------------------------------
+import math as _math
+
+_SPECTRUM_PERIODS = (7, 5)
+_SPECTRUM_SCALE = 1_000_000  # micro-dollar projection grid
+
+# (period, residue) -> cos/sin of 2*pi*k/p as shortest-round-trip literals.
+# The literals ride as CAST('...' AS DOUBLE): string->double parses are
+# correctly rounded (identical) on both engines, whereas a BARE decimal
+# literal like -0.9009688679024191 is parsed by DuckDB as DECIMAL(17,16)
+# and its decimal->double conversion can land 1 ulp off the string parse —
+# which moved a ROUND(x, 0) across an exact .5 boundary in testing.
+_SPECTRUM_CONSTS = [
+    (p, k, repr(_math.cos(2 * _math.pi * k / p)), repr(_math.sin(2 * _math.pi * k / p)))
+    for p in _SPECTRUM_PERIODS
+    for k in range(p)
+]
+
+_SPECTRUM_VALUES = ",\n         ".join(
+    f"({p}, {k}, CAST('{c}' AS DOUBLE), CAST('{s}' AS DOUBLE))"
+    for p, k, c, s in _SPECTRUM_CONSTS
+)
+
+_SPECTRUM_ORACLE = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         SUM({_DOLLARS}) AS y
+  FROM orders GROUP BY 1
+),
+consts(period, k, c, s) AS (
+  VALUES {_SPECTRUM_VALUES}
+),
+res AS (
+  SELECT cn.period, cn.k, cn.c, cn.s, SUM(dy.y) AS sk
+  FROM daily dy
+  JOIN consts cn ON dy.d % cn.period = cn.k
+  GROUP BY cn.period, cn.k, cn.c, cn.s
+),
+proj AS (
+  SELECT period,
+         SUM(CAST(ROUND(CAST(sk AS DOUBLE) * c * {_SPECTRUM_SCALE}.0, 0)
+             AS BIGINT)) AS sc,
+         SUM(CAST(ROUND(CAST(sk AS DOUBLE) * s * {_SPECTRUM_SCALE}.0, 0)
+             AS BIGINT)) AS ss,
+         COUNT(*) AS n_residues
+  FROM res GROUP BY period
+)
+SELECT CAST(period AS BIGINT) AS period,
+       CAST(n_residues AS BIGINT) AS n_residues,
+       (CAST(sc AS DOUBLE) / {_SPECTRUM_SCALE}.0)
+       * (CAST(sc AS DOUBLE) / {_SPECTRUM_SCALE}.0)
+       + (CAST(ss AS DOUBLE) / {_SPECTRUM_SCALE}.0)
+       * (CAST(ss AS DOUBLE) / {_SPECTRUM_SCALE}.0) AS power
+FROM proj
+"""
+
+
+@workload("timeseries_weekly_spectrum", oracle=_SPECTRUM_ORACLE)
+def timeseries_weekly_spectrum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERIODICITY detection by direct DFT projection: the daily-revenue
+    series' spectral power at the weekly frequency (period 7) vs a
+    non-calendar control period (5) — the frequency-domain twin of the
+    lag-7 ACF peak (C84). Exact shape: residue sums S_k = SUM(y | d%p = k)
+    collapse the series to p integers per period BEFORE any float math
+    (map-side-combinable, calendar-length-independent state), then the
+    cos/sin projections use repr(float) literal constants and the
+    scaled-integer term sum (micro-dollar grid), so the p-term reductions
+    are exact int64 sums. All joins broadcast (constants are 12 rows)."""
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+            ((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long") / 100)
+            .cast("long")
+            .alias("dollars"),
+        )
+        .groupBy("d")
+        .agg(F.sum("dollars").alias("y"))
+    )
+    consts = spark.createDataFrame(
+        [(p, k, float(c), float(s)) for p, k, c, s in _SPECTRUM_CONSTS],
+        "period long, k long, c double, s double",
+    )
+    res = (
+        daily.crossJoin(F.broadcast(consts))
+        .filter(F.pmod(F.col("d"), F.col("period")) == F.col("k"))
+        .groupBy("period", "k", "c", "s")
+        .agg(F.sum("y").alias("sk"))
+    )
+    proj = res.groupBy("period").agg(
+        F.sum(
+            F.round(F.col("sk").cast("double") * F.col("c") * _SPECTRUM_SCALE, 0)
+            .cast("long")
+        ).alias("sc"),
+        F.sum(
+            F.round(F.col("sk").cast("double") * F.col("s") * _SPECTRUM_SCALE, 0)
+            .cast("long")
+        ).alias("ss"),
+        F.count(F.lit(1)).alias("n_residues"),
+    )
+    power = (F.col("sc").cast("double") / _SPECTRUM_SCALE) * (
+        F.col("sc").cast("double") / _SPECTRUM_SCALE
+    ) + (F.col("ss").cast("double") / _SPECTRUM_SCALE) * (
+        F.col("ss").cast("double") / _SPECTRUM_SCALE
+    )
+    return proj.select(
+        F.col("period").cast("long"),
+        F.col("n_residues").cast("long"),
+        power.alias("power"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cross-correlation (lead-lag) between view and click daily volumes
+# --------------------------------------------------------------------------
+_CCF_MAX_LAG = 3
+_CCF_X = "view"
+_CCF_Y = "click"
+
+_CCF_ORACLE = f"""
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS cnt
+  FROM events
+  WHERE event_type IN ('{_CCF_X}', '{_CCF_Y}')
+  GROUP BY event_type, 2
+),
+lags AS (SELECT unnest(range(-{_CCF_MAX_LAG}, {_CCF_MAX_LAG + 1})) AS lag),
+pairs AS (
+  SELECT l.lag, a.cnt AS x, b.cnt AS y
+  FROM daily a
+  JOIN lags l ON TRUE
+  JOIN daily b ON b.d = a.d + l.lag
+  WHERE a.event_type = '{_CCF_X}' AND b.event_type = '{_CCF_Y}'
+),
+s AS (
+  SELECT lag, COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+  FROM pairs GROUP BY lag
+)
+SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n,
+       (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       / NULLIF(SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+              * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+              - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)), 0.0) AS ccf
+FROM s
+"""
+
+
+@workload("timeseries_ccf_view_click", oracle=_CCF_ORACLE)
+def timeseries_ccf_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-CORRELATION lead-lag analysis between daily view volume and
+    daily click volume at lags -3..+3 — "does one metric lead the other"
+    (positive-lag peak = views lead clicks). Same scale shape as the ACF
+    (C84): per-type daily aggregate, 7-way lag fan-out by equi-join (no
+    windows), per-lag Pearson from six exact int64 sufficient statistics,
+    identical-textual-order float finish."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.filter(F.col("event_type").isin(_CCF_X, _CCF_Y))
+        .select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lags = spark.range(-_CCF_MAX_LAG, _CCF_MAX_LAG + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = daily.filter(F.col("event_type") == _CCF_X).alias("a")
+    b = daily.filter(F.col("event_type") == _CCF_Y).alias("b")
+    pairs = (
+        a.crossJoin(F.broadcast(lags))
+        .join(
+            F.broadcast(b),
+            F.col("b.d") == F.col("a.d") + F.col("lag"),
+        )
+        .select("lag", F.col("a.cnt").alias("x"), F.col("b.cnt").alias("y"))
+    )
+    s = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    ccf = (
+        F.col("n").cast("double") * F.col("sxy").cast("double")
+        - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / F.nullif(
+        F.sqrt(
+            F.col("n").cast("double") * F.col("sxx").cast("double")
+            - F.col("sx").cast("double") * F.col("sx").cast("double")
+        )
+        * F.sqrt(
+            F.col("n").cast("double") * F.col("syy").cast("double")
+            - F.col("sy").cast("double") * F.col("sy").cast("double")
+        ),
+        F.lit(0.0),
+    )
+    return s.select(
+        F.col("lag").cast("long"),
+        F.col("n").cast("long"),
+        ccf.alias("ccf"),
+    )

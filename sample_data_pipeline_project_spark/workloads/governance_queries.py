@@ -473,3 +473,58 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(fmt).alias("fmt"), "o_orderstatus", "n_orders", "sum_price")
 
     return agg(csv_df, "csv").unionAll(agg(json_df, "json"))
+
+
+# --------------------------------------------------------------------------
+# ORC source roundtrip certification (columnar-format connector + NTZ ts)
+# --------------------------------------------------------------------------
+_ORC_ORACLE = """
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+       MIN(CAST(o_orderdate AS TIMESTAMP)) AS min_ts,
+       MAX(CAST(o_orderdate AS TIMESTAMP)) AS max_ts
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@workload("source_orc_roundtrip", oracle=_ORC_ORACLE)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC connector certification (the columnar sibling of
+    source_csv_json_roundtrip): orders written to ORC via the uniform
+    formats API (sources/formats.py) — including a TIMESTAMP_NTZ column,
+    the encoding where ORC's writer-timezone semantics classically
+    corrupt parquet-born data — read back with its embedded schema and
+    aggregated; the oracle computes the identical aggregate from the
+    original parquet, so a hash match certifies both the value fidelity
+    and the timezone-free timestamp contract across the format boundary.
+    ORC scans scale like parquet (splittable stripes, predicate pushdown,
+    column projection)."""
+    import os
+    import shutil
+
+    from sample_data_pipeline_project_spark.sources.formats import (
+        read_table,
+        write_table,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    root = os.path.join(repo_root, "spark-warehouse", "fmt_orc_roundtrip")
+    shutil.rmtree(root, ignore_errors=True)
+
+    src = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+        F.col("o_orderdate").cast("timestamp_ntz").alias("ots"),
+    )
+    path = f"{root}/orders_orc"
+    write_table(src, path, fmt="orc")
+    orc_df = read_table(spark, path, fmt="orc")
+    return orc_df.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("price_dec").cast("double").alias("sum_price"),
+        F.min("ots").alias("min_ts"),
+        F.max("ots").alias("max_ts"),
+    )
