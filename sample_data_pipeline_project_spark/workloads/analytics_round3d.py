@@ -401,3 +401,68 @@ def stats_mutual_information_type_dow(spark: SparkSession, sf_dir: str) -> DataF
             (F.col("s").cast("double") / 1000000000.0).alias("mi_nats"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Incremental JOIN-view maintenance (delta-join IVM)
+# --------------------------------------------------------------------------
+_IVM_CUTOFF = "2000-01-01"
+
+_IVM_ORACLE = f"""
+SELECT n.n_name AS nation,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders o
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+"""
+
+
+@workload("incremental_join_maintenance", oracle=_IVM_ORACLE)
+def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a JOIN view (delta-join IVM) — the join
+    extension of C6's mergeable-aggregate maintenance: the standing
+    revenue-per-nation view V = agg(orders |><| customer |><| nation) is
+    updated for an orders delta by joining ONLY the delta against the
+    dimensions (d(A |><| B) = dA |><| B when B is static; the symmetric
+    dA |><| B union A |><| dB rule covers a two-sided delta) and merging
+    partial aggregates — the base fact partition is never rescanned. The
+    oracle is the full recompute the maintained view must equal exactly
+    (DECIMAL partials keep the merge order-independent)."""
+    from sample_data_pipeline_project_spark.operators.incremental import (
+        merge_partial_aggs,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), F.col("n_name").alias("nation")
+    )
+    cutoff = F.lit(_IVM_CUTOFF).cast("date")
+
+    def view_partial(fact: DataFrame) -> DataFrame:
+        return (
+            fact.join(F.broadcast(c), "o_custkey")
+            .join(F.broadcast(n), "c_nationkey")
+            .groupBy("nation")
+            .agg(
+                F.count(F.lit(1)).alias("n_orders"),
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias(
+                    "rev_dec"
+                ),
+            )
+        )
+
+    state = view_partial(o.filter(F.to_date("o_orderdate") < cutoff))
+    delta = view_partial(o.filter(F.to_date("o_orderdate") >= cutoff))
+    merged = merge_partial_aggs(
+        state, delta, key_cols=["nation"], sum_cols=["n_orders", "rev_dec"]
+    )
+    return merged.select(
+        "nation",
+        F.col("n_orders").cast("long"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )

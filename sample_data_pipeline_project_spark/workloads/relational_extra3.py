@@ -597,3 +597,107 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("asc_nulls_last").alias("op"), "event_id", "val")
     )
     return nf.unionAll(nl)
+
+
+# --------------------------------------------------------------------------
+# Null-safe equality join (<=> / IS NOT DISTINCT FROM)
+# --------------------------------------------------------------------------
+_NSJ_ORACLE = """
+WITH a AS (
+  SELECT NULLIF(o.o_orderpriority, '1-URGENT') AS prio, COUNT(*) AS n_a
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+  GROUP BY 1
+),
+b AS (
+  SELECT NULLIF(o.o_orderpriority, '1-URGENT') AS prio, COUNT(*) AS n_b
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'MACHINERY'
+  GROUP BY 1
+)
+SELECT a.prio, CAST(a.n_a AS BIGINT) AS n_a, CAST(b.n_b AS BIGINT) AS n_b
+FROM a JOIN b ON a.prio IS NOT DISTINCT FROM b.prio
+"""
+
+
+@workload("join_null_safe_eq", oracle=_NSJ_ORACLE)
+def join_null_safe_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SAFE equality join (Spark `<=>` == ANSI IS NOT DISTINCT FROM):
+    the join key is deliberately made nullable via NULLIF, and the
+    NULL-keyed groups on the two sides must MATCH EACH OTHER — the
+    semantics a plain equi-join silently drops (NULL = NULL is NULL).
+    Both sides aggregate before joining, so the null-safe comparison runs
+    over key-domain-bounded tables; Spark plans `<=>` as a hash join on
+    the key's null-safe representation, not a nested loop."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    joined = o.join(F.broadcast(c), "o_custkey").withColumn(
+        "prio", F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT"))
+    )
+
+    def side(seg: str, out: str) -> DataFrame:
+        return (
+            joined.filter(F.col("c_mktsegment") == seg)
+            .groupBy("prio")
+            .agg(F.count(F.lit(1)).alias(out))
+        )
+
+    a = side("BUILDING", "n_a").alias("a")
+    b = side("MACHINERY", "n_b").alias("b")
+    return a.join(b, F.col("a.prio").eqNullSafe(F.col("b.prio"))).select(
+        F.col("a.prio").alias("prio"),
+        F.col("n_a").cast("long"),
+        F.col("n_b").cast("long"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Outer-explode semantics (posexplode_outer keeps empty-array parents)
+# --------------------------------------------------------------------------
+_XPL_N = 60
+
+_XPL_ORACLE = f"""
+WITH g AS (
+  SELECT doc_id,
+         GREATEST(len(string_split_regex(lower(trim(text)), '\\s+'))
+                  - {_XPL_N - 1}, 0) AS n_grams
+  FROM documents
+)
+SELECT CAST(n_grams > 0 AS BOOLEAN) AS has_ngrams,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN n_grams > 0 THEN n_grams ELSE 1 END) AS BIGINT)
+         AS n_rows_after_explode
+FROM g GROUP BY 1
+"""
+
+
+@workload("explode_outer_semantics", oracle=_XPL_ORACLE)
+def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUTER-EXPLODE semantics pinned: posexplode_outer over {n}-token
+    n-gram arrays keeps documents whose array is EMPTY (shorter than {n}
+    tokens) as a single NULL row — the lossless flatten a plain explode
+    would silently drop (the classic row-loss bug in tokenize-then-join
+    pipelines). Spark genuinely runs the Generate operator and aggregates
+    its output; the oracle reproduces the row arithmetic from array
+    lengths alone (empty array -> exactly one row), so a hash match pins
+    the operator's multiplicity contract."""
+    from sample_data_pipeline_project_spark.functions.text import (
+        tokens,
+        word_ngrams,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    exploded = (
+        d.select("doc_id", tokens("text").alias("__t"))
+        .select("doc_id", word_ngrams("__t", _XPL_N).alias("__g"))
+        .select("doc_id", F.posexplode_outer("__g").alias("pos", "gram"))
+    )
+    return (
+        exploded.groupBy(F.col("pos").isNotNull().alias("has_ngrams"))
+        .agg(
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_rows_after_explode"),
+        )
+    )
