@@ -528,3 +528,47 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ots").alias("min_ts"),
         F.max("ots").alias("max_ts"),
     )
+
+
+# --------------------------------------------------------------------------
+# Nested-struct schema pruning through a parquet boundary
+# --------------------------------------------------------------------------
+_NESTED_ORACLE = """
+SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+FROM events GROUP BY user_id
+"""
+
+
+@workload("nested_struct_pruning", oracle=_NESTED_ORACLE)
+def nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NESTED-COLUMN projection through a real parquet boundary: events
+    are re-landed with their attributes folded into a two-level struct
+    (payload.who.user_id etc.), read back, and ONLY payload.who.user_id
+    is referenced — Catalyst's nested-schema pruning must push the
+    one-leaf ReadSchema into the scan instead of materializing the whole
+    struct (asserted in tests/test_plans.py; at 100 TB reading one leaf
+    vs the full payload struct is the whole game for wide event schemas).
+    The aggregate is hashed against the flat-table oracle, certifying the
+    nested roundtrip is lossless."""
+    import os
+    import shutil
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    path = os.path.join(repo_root, "spark-warehouse", "nested_events")
+    shutil.rmtree(path, ignore_errors=True)
+
+    ev = load_table(spark, sf_dir, "events")
+    nested = ev.select(
+        "event_id",
+        F.struct(
+            F.struct("user_id", "event_type").alias("who"),
+            F.struct("ts", "value").alias("what"),
+        ).alias("payload"),
+    )
+    nested.write.mode("overwrite").parquet(path)
+    back = spark.read.parquet(path)
+    return back.groupBy(
+        F.col("payload.who.user_id").alias("user_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))

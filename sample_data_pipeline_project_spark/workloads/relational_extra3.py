@@ -701,3 +701,68 @@ def explode_outer_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_rows_after_explode"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# MAP higher-order functions (map_from_entries / transform_values /
+# map_filter / map_entries roundtrip)
+# --------------------------------------------------------------------------
+_MAP_HOF_MIN_SHARE = 0.25
+
+_MAP_HOF_ORACLE = f"""
+WITH cnt AS (
+  SELECT user_id, event_type, COUNT(*) AS n_type
+  FROM events GROUP BY user_id, event_type
+),
+tot AS (SELECT user_id, SUM(n_type) AS n_total FROM cnt GROUP BY user_id)
+SELECT c.user_id, c.event_type,
+       CAST(c.n_type AS BIGINT) AS n_type,
+       CAST(c.n_type AS DOUBLE) / CAST(t.n_total AS DOUBLE) AS share
+FROM cnt c JOIN tot t ON c.user_id = t.user_id
+WHERE CAST(c.n_type AS DOUBLE) / CAST(t.n_total AS DOUBLE)
+      >= {_MAP_HOF_MIN_SHARE}
+"""
+
+
+@workload("scalar_map_hof_funcs", oracle=_MAP_HOF_ORACLE)
+def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order-function surface (the map twin of C59's array
+    HOFs): per-user event-type counts become a map<type, n> via
+    map_from_entries, shares are computed with transform_values, dominant
+    types selected with map_filter, and map_entries + explode flattens
+    back to rows — all JVM-side codegen, no Python crossing. The oracle
+    restates the pipeline relationally (maps are an encoding, not a
+    semantic), so a hash match certifies the map ops are lossless. Map
+    keys are unique by construction (built FROM a grouped aggregate);
+    output rows are order-insensitive so map iteration order is moot."""
+    ev = load_table(spark, sf_dir, "events")
+    cnt = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    m = cnt.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n_type"))
+        ).alias("type_counts")
+    )
+    with_share = m.select(
+        "user_id",
+        F.expr(
+            "map_filter("
+            "  transform_values(type_counts,"
+            "    (k, v) -> struct(v AS n_type,"
+            "      CAST(v AS DOUBLE) / CAST(aggregate(map_values(type_counts),"
+            "        0L, (acc, x) -> acc + x) AS DOUBLE) AS share)),"
+            f"  (k, v) -> v.share >= {_MAP_HOF_MIN_SHARE})"
+        ).alias("dominant"),
+    )
+    return (
+        with_share.select(
+            "user_id", F.explode(F.map_entries("dominant")).alias("e")
+        )
+        .select(
+            "user_id",
+            F.col("e.key").alias("event_type"),
+            F.col("e.value.n_type").cast("long").alias("n_type"),
+            F.col("e.value.share").alias("share"),
+        )
+    )

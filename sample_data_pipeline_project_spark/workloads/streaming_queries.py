@@ -631,3 +631,46 @@ def stream_ledger_overlaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_stream_to_table(
         ledger_overlaps_stateful(runs), output_mode="append"
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming exact deduplication (exactly-once ingest over a dirty feed)
+# --------------------------------------------------------------------------
+_SDEDUP_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY event_type
+"""
+
+
+@workload("stream_exact_dedup", oracle=_SDEDUP_ORACLE)
+def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING EXACT DEDUPLICATION — the exactly-once ingest pattern for
+    an at-least-once feed: the events stream is deliberately doubled
+    (union of two file-source readers over the same data = every record
+    delivered twice), then `dropDuplicates(event_id)` keeps stateful
+    first-wins state per key and the downstream aggregate must equal the
+    batch aggregate over the CLEAN table — duplicates fully absorbed
+    before they can double-count. State is one entry per distinct key
+    (the production shape bounds it with dropDuplicatesWithinWatermark;
+    the finite availableNow source here needs no expiry to terminate).
+    Parity with the batch oracle certifies both the dedup semantics and
+    that the doubled delivery had zero numeric effect."""
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    doubled = stream_events(spark, sf_dir).unionByName(
+        stream_events(spark, sf_dir)
+    )
+    deduped = doubled.dropDuplicates(["event_id"])
+    agg = deduped.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,6)"))
+        .cast("double")
+        .alias("sum_value"),
+    )
+    return run_stream_to_table(agg, output_mode="complete")

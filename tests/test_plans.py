@@ -274,3 +274,19 @@ def test_containment_dedup_candidate_join_is_equi(spark):
     assert strategies, "expected join nodes"
     assert "BroadcastNestedLoopJoin" not in strategies, strategies
     assert "CartesianProduct" not in strategies, strategies
+
+
+def test_nested_struct_pruning_reads_one_leaf(spark):
+    """The nested-events scan must read ONLY payload.who.user_id — nested
+    schema pruning pushed into the parquet ReadSchema, not a full-struct
+    materialization (the workload re-lands events under a two-level
+    struct precisely to pin this)."""
+    from sample_data_pipeline_project_spark.plans.introspect import scan_schemas
+
+    df = load_all()["nested_struct_pruning"].fn(spark, _SF)
+    schemas = [s for s in scan_schemas(df) if "payload" in s]
+    assert schemas, "expected a nested-parquet scan"
+    for s in schemas:
+        assert "user_id" in s, s
+        assert "what" not in s, s  # ts/value struct pruned away
+        assert "event_type" not in s, s  # sibling leaf pruned away
