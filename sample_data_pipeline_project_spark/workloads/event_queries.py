@@ -998,3 +998,51 @@ def timeseries_twap(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("twap"),
     )
+
+
+# --------------------------------------------------------------------------
+# Sequential pattern mining: top event-type trigrams
+# --------------------------------------------------------------------------
+_TRIGRAM_TOP = 10
+
+_TRIGRAM_ORACLE = f"""
+WITH seq AS (
+  SELECT user_id, event_type AS t1,
+         LEAD(event_type, 1) OVER w AS t2,
+         LEAD(event_type, 2) OVER w AS t3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+)
+SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n
+FROM seq WHERE t3 IS NOT NULL
+GROUP BY t1, t2, t3
+ORDER BY n DESC, t1, t2, t3
+LIMIT {_TRIGRAM_TOP}
+"""
+
+
+@workload("events_trigram_patterns", oracle=_TRIGRAM_ORACLE)
+def events_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEQUENTIAL PATTERN MINING: the top-{k} most frequent ordered
+    event-type TRIGRAMS across user sessions (the 3-step extension of the
+    C3 Markov transition matrix — which multi-step behavioral paths
+    dominate). Two LEAD windows ride user-partitioned, (ts, event_id)-
+    deterministic ordering; the trigram aggregate is bounded by
+    |types|^3 cells; top-k goes through orderBy().limit() —
+    TakeOrderedAndProject with a full-column tiebreak, never a global
+    rank window."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    return (
+        seq.groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy(F.col("n").desc(), "t1", "t2", "t3")
+        .limit(_TRIGRAM_TOP)
+    )

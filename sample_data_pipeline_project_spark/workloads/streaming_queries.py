@@ -674,3 +674,164 @@ def stream_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("sum_value"),
     )
     return run_stream_to_table(agg, output_mode="complete")
+
+
+# --------------------------------------------------------------------------
+# Stream enriched against an SCD2 (temporal) dimension
+# --------------------------------------------------------------------------
+_SCD2_BOUNDARY = "2000-01-01"
+
+_SCD2_ENRICH_ORACLE = f"""
+WITH dim AS (
+  SELECT c_custkey AS user_id, 1 AS version,
+         TIMESTAMP '1900-01-01 00:00:00' AS valid_from,
+         TIMESTAMP '{_SCD2_BOUNDARY} 00:00:00' AS valid_to,
+         c_mktsegment AS segment
+  FROM customer
+  UNION ALL
+  SELECT c_custkey, 2,
+         TIMESTAMP '{_SCD2_BOUNDARY} 00:00:00',
+         TIMESTAMP '2100-01-01 00:00:00',
+         c_mktsegment || '_V2'
+  FROM customer
+)
+SELECT e.event_id, e.user_id, e.ts, d.version, d.segment
+FROM events e
+JOIN dim d ON e.user_id = d.user_id
+          AND e.ts >= d.valid_from AND e.ts < d.valid_to
+"""
+
+
+@workload("stream_scd2_enrich", oracle=_SCD2_ENRICH_ORACLE)
+def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming enrichment against an SCD2 TEMPORAL dimension: each event
+    joins the dimension VERSION whose [valid_from, valid_to) interval
+    contains its event time — the online form of the point-in-time lookup
+    SCD2 exists for (operators/scd2.py maintains such dimensions; here a
+    two-version dimension is derived deterministically from customer).
+    The static side broadcasts and the interval predicate rides the
+    hash-join residual, so the stream stays stateless append mode
+    (no watermark, no state store) — at 100 TB/day this is a map-side
+    join per micro-batch. Batch-oracle parity certifies the temporal
+    predicate semantics online == offline."""
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    c = load_table(spark, sf_dir, "customer")
+    boundary = F.lit(f"{_SCD2_BOUNDARY} 00:00:00").cast("timestamp")
+    v1 = c.select(
+        F.col("c_custkey").alias("d_user_id"),
+        F.lit(1).alias("version"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        boundary.alias("valid_to"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    v2 = c.select(
+        F.col("c_custkey").alias("d_user_id"),
+        F.lit(2).alias("version"),
+        boundary.alias("valid_from"),
+        F.lit("2100-01-01 00:00:00").cast("timestamp").alias("valid_to"),
+        F.concat(F.col("c_mktsegment"), F.lit("_V2")).alias("segment"),
+    )
+    dim = F.broadcast(v1.unionByName(v2))
+    ev = stream_events(spark, sf_dir).select("event_id", "user_id", "ts")
+    joined = ev.join(
+        dim,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("ts") >= F.col("valid_from"))
+        & (F.col("ts") < F.col("valid_to")),
+    ).select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        F.col("version").cast("int"),
+        "segment",
+    )
+    return run_stream_to_table(joined, output_mode="append")
+
+
+# --------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join (watermark-expiry null emission)
+# --------------------------------------------------------------------------
+_SSLOJ_MARGIN = "3 hours"
+
+_SSLOJ_ORACLE = """
+WITH mx AS (SELECT MAX(ts) AS m FROM events),
+c AS (
+  SELECT user_id, event_id, ts FROM events, mx
+  WHERE event_type = 'click' AND ts <= m - INTERVAL 3 HOUR
+),
+v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
+SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
+       v.event_id AS view_id, v.ts AS view_ts
+FROM c LEFT JOIN v
+  ON v.user_id = c.user_id
+ AND v.ts <= c.ts
+ AND v.ts >= c.ts - INTERVAL 1 HOUR
+"""
+
+
+@workload("stream_click_view_left_outer", oracle=_SSLOJ_ORACLE)
+def stream_click_view_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the semantics the inner join
+    (stream_click_view_join) can't express: clicks with NO view in the
+    preceding hour must still emit, null-padded, and may only do so once
+    the watermark proves no matching view can ever arrive (state-expiry
+    emission, the subtlest stream-join behavior). Because the final
+    watermark halts at max_ts - delay, tail clicks whose expiry hasn't
+    been proven are excluded from the checked surface by the SAME
+    event-time predicate on both engines (click_ts <= max_ts - 3h, a
+    margin past delay + join bound); within that region outer semantics
+    are fully determined and batch parity is exact."""
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        run_stream_to_table,
+        stream_events,
+    )
+
+    ev1 = stream_events(spark, sf_dir)
+    ev2 = stream_events(spark, sf_dir)
+    c = (
+        ev1.filter(F.col("event_type") == "click")
+        .withWatermark("ts", "1 hour")
+        .select(
+            "user_id",
+            F.col("event_id").alias("click_id"),
+            F.col("ts").alias("click_ts"),
+        )
+    )
+    v = (
+        ev2.filter(F.col("event_type") == "view")
+        .withWatermark("ts", "1 hour")
+        .select(
+            F.col("user_id").alias("v_user_id"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+    )
+    joined = c.join(
+        v,
+        (F.col("user_id") == F.col("v_user_id"))
+        & (F.col("view_ts") <= F.col("click_ts"))
+        & (F.col("view_ts") >= F.col("click_ts") - F.expr("INTERVAL 1 HOUR")),
+        "leftOuter",
+    ).select(
+        "user_id",
+        "click_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        "view_id",
+        F.col("view_ts").cast("timestamp_ntz").alias("view_ts"),
+    )
+    out = run_stream_to_table(joined, output_mode="append")
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("m"))
+    return (
+        out.crossJoin(F.broadcast(mx))
+        .filter(
+            F.col("click_ts")
+            <= F.col("m").cast("timestamp_ntz") - F.expr(f"INTERVAL {_SSLOJ_MARGIN}")
+        )
+        .drop("m")
+    )
