@@ -466,3 +466,98 @@ def incremental_join_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_orders").cast("long"),
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Chi-square statistic of independence: event_type vs weekday
+# --------------------------------------------------------------------------
+# (O - E)^2 / E with E = c_x*c_y/n, written once and reused verbatim:
+# numerator and denominator stay in exact integer cross-products as long
+# as possible ((n*O - cx*cy)^2 / (n * cx * cy), all int64-exact at the
+# contingency-cell level), one double division per cell, then the
+# scaled-integer term sum.
+_CHI2_TERM = (
+    "(CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)"
+    " - CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))"
+    " * (CAST(n AS DOUBLE) * CAST(c_xy AS DOUBLE)"
+    " - CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))"
+    " / (CAST(n AS DOUBLE) * CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE))"
+)
+
+_CHI2_ORACLE = f"""
+WITH e AS (
+  SELECT event_type AS x,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) % 7 AS y
+  FROM events
+),
+xy AS (SELECT x, y, COUNT(*) AS c_xy FROM e GROUP BY x, y),
+mx AS (SELECT x, SUM(c_xy) AS c_x FROM xy GROUP BY x),
+my AS (SELECT y, SUM(c_xy) AS c_y FROM xy GROUP BY y),
+n AS (SELECT SUM(c_xy) AS n FROM xy),
+terms AS (
+  SELECT CAST(ROUND({_CHI2_TERM} * 1000000000.0, 0) AS BIGINT) AS term_scaled,
+         n.n
+  FROM xy JOIN mx ON xy.x = mx.x JOIN my ON xy.y = my.y CROSS JOIN n
+),
+cells AS (SELECT COUNT(*) AS n_cells FROM xy)
+SELECT CAST(t.n AS BIGINT) AS n_events,
+       CAST(c.n_cells AS BIGINT) AS n_cells,
+       CAST(SUM(t.term_scaled) AS DOUBLE) / 1000000000.0 AS chi2
+FROM terms t CROSS JOIN cells c
+GROUP BY t.n, c.n_cells
+"""
+
+
+@workload("stats_chi_square_type_dow", oracle=_CHI2_ORACLE)
+def stats_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHI-SQUARE statistic of independence over the same event-type x
+    weekday contingency table as the MI screen (C92) — the classical
+    test-statistic form of the dependence question ((O-E)^2/E summed
+    over cells). The per-cell term is algebraically rearranged to
+    (n*O - cx*cy)^2 / (n*cx*cy) so every operand is an exact integer
+    cross-product before the single division; cross-cell reduction uses
+    the scaled-integer term sum. One row out at any scale (the cell
+    count rides along as the degrees-of-freedom ingredient)."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        F.col("event_type").alias("x"),
+        F.pmod(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            ),
+            F.lit(7),
+        ).cast("long").alias("y"),
+    )
+    xy = e.groupBy("x", "y").agg(F.count(F.lit(1)).alias("c_xy"))
+    mx = xy.groupBy("x").agg(F.sum("c_xy").alias("c_x"))
+    my = xy.groupBy("y").agg(F.sum("c_xy").alias("c_y"))
+    n = xy.agg(F.sum("c_xy").alias("n"))
+    cells = xy.agg(F.count(F.lit(1)).alias("n_cells"))
+    dev = (
+        F.col("n").cast("double") * F.col("c_xy").cast("double")
+        - F.col("c_x").cast("double") * F.col("c_y").cast("double")
+    )
+    term = dev * dev / (
+        F.col("n").cast("double")
+        * F.col("c_x").cast("double")
+        * F.col("c_y").cast("double")
+    )
+    terms = (
+        xy.join(F.broadcast(mx), "x")
+        .join(F.broadcast(my), "y")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "n",
+            F.round(term * 1000000000.0, 0).cast("long").alias("term_scaled"),
+        )
+    )
+    return (
+        terms.crossJoin(F.broadcast(cells))
+        .groupBy("n", "n_cells")
+        .agg(F.sum("term_scaled").alias("s"))
+        .select(
+            F.col("n").cast("long").alias("n_events"),
+            F.col("n_cells").cast("long").alias("n_cells"),
+            (F.col("s").cast("double") / 1000000000.0).alias("chi2"),
+        )
+    )

@@ -213,3 +213,78 @@ def test_hits_bipartite_iters_guard(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# --------------------------------------------------------------------------
+# bfs_hops
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.operators.graph import bfs_hops  # noqa: E402
+
+
+def _brute_bfs(edges, seeds, rounds):
+    adj = {}
+    for a, b in edges:
+        if a != b:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+    dist = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for r in range(1, rounds + 1):
+        nxt = set()
+        for u in frontier:
+            for w in adj.get(u, ()):
+                if w not in dist:
+                    dist[w] = r
+                    nxt.add(w)
+        frontier = nxt
+    return dist
+
+
+def _run_bfs(spark, edges, seeds, rounds):
+    e = spark.createDataFrame(edges, "a long, b long")
+    s = spark.createDataFrame([(x,) for x in seeds], "vertex long")
+    out = bfs_hops(e, s, rounds)
+    return {r["vertex"]: r["hops"] for r in out.collect()}
+
+
+def test_bfs_matches_bruteforce_random(spark):
+    import random
+
+    rnd = random.Random(7)
+    for trial in range(4):
+        n = 30
+        edges = [
+            (rnd.randrange(n), rnd.randrange(n)) for _ in range(60)
+        ]
+        seeds = [0, 5]
+        for rounds in (0, 1, 3):
+            got = _run_bfs(spark, edges, seeds, rounds)
+            want = _brute_bfs(edges, seeds, rounds)
+            assert got == want, (trial, rounds)
+
+
+def test_bfs_zero_rounds_is_seed_set(spark):
+    got = _run_bfs(spark, [(1, 2), (2, 3)], [2], 0)
+    assert got == {2: 0}
+
+
+def test_bfs_disconnected_unreached_absent(spark):
+    got = _run_bfs(spark, [(1, 2), (10, 11)], [1], 5)
+    assert got == {1: 0, 2: 1}
+
+
+def test_bfs_min_over_multiple_seeds(spark):
+    # path 1-2-3-4-5, seeds at both ends: 3 is 2 hops from each
+    edges = [(1, 2), (2, 3), (3, 4), (4, 5)]
+    got = _run_bfs(spark, edges, [1, 5], 4)
+    assert got == {1: 0, 5: 0, 2: 1, 4: 1, 3: 2}
+
+
+def test_bfs_negative_rounds_raises(spark):
+    e = spark.createDataFrame([(1, 2)], "a long, b long")
+    s = spark.createDataFrame([(1,)], "vertex long")
+    try:
+        bfs_hops(e, s, -1)
+        raise AssertionError("expected ValueError")
+    except ValueError:
+        pass
