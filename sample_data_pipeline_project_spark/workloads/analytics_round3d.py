@@ -561,3 +561,89 @@ def stats_chi_square_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s").cast("double") / 1000000000.0).alias("chi2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Gini concentration of order value within each customer segment
+# --------------------------------------------------------------------------
+_GINI_DOLLARS = (
+    "CAST(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+    " // 100 AS BIGINT)"
+)
+
+_GINI_ORACLE = f"""
+WITH pts AS (
+  SELECT c.c_mktsegment AS segment, {_GINI_DOLLARS} AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+vc AS (SELECT segment, v, COUNT(*) AS m FROM pts GROUP BY segment, v),
+vr AS (
+  SELECT segment, v, m,
+         2 * COALESCE(SUM(m) OVER (PARTITION BY segment ORDER BY v
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + m + 1 AS r2
+  FROM vc
+),
+s AS (
+  SELECT segment, SUM(m) AS n, SUM(m * v) AS total,
+         SUM(m * r2 * v) AS nsum
+  FROM vr GROUP BY segment
+)
+SELECT segment, CAST(n AS BIGINT) AS n_orders,
+       CAST(total AS BIGINT) AS total_dollars,
+       CAST(nsum AS DOUBLE) / (CAST(n AS DOUBLE) * CAST(total AS DOUBLE))
+       - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE) AS gini
+FROM s
+"""
+
+
+@workload("stats_gini_revenue_by_segment", oracle=_GINI_ORACLE)
+def stats_gini_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GINI concentration of order value per customer segment — the
+    inequality screen ("is revenue dominated by a few whale orders")
+    behind sampling and skew decisions. Uses the C90 analytic-rank
+    machinery: average ranks from per-value counts (r2 = twice the
+    average rank, exact int), so G = sum(m*r2*v)/(n*total) - (n+1)/n is
+    exact integer sufficient statistics under two final divisions —
+    no per-row window (the rank window rides per-segment DISTINCT
+    dollar values; sum(m*r2*v) peaks ~3e18 at sf1 in floor-dollars;
+    switch the partial to DECIMAL beyond that)."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    pts = o.join(F.broadcast(c), "o_custkey").select(
+        "segment",
+        ((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long") / 100)
+        .cast("long")
+        .alias("v"),
+    )
+    vc = pts.groupBy("segment", "v").agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        Window.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    vr = vc.select(
+        "segment",
+        "v",
+        "m",
+        (2 * F.coalesce(F.sum("m").over(w), F.lit(0)) + F.col("m") + 1).alias(
+            "r2"
+        ),
+    )
+    s = vr.groupBy("segment").agg(
+        F.sum("m").alias("n"),
+        F.sum(F.col("m") * F.col("v")).alias("total"),
+        F.sum(F.col("m") * F.col("r2") * F.col("v")).alias("nsum"),
+    )
+    gini = F.col("nsum").cast("double") / (
+        F.col("n").cast("double") * F.col("total").cast("double")
+    ) - (F.col("n") + 1).cast("double") / F.col("n").cast("double")
+    return s.select(
+        "segment",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("total").cast("long").alias("total_dollars"),
+        gini.alias("gini"),
+    )

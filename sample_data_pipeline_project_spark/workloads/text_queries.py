@@ -1482,3 +1482,96 @@ def train_context_target_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("p") > _CTP_K)
         .filter(F.expr(f"({_CTP_U32}) % {_CTP_MOD} = 0"))
     )
+
+
+# --------------------------------------------------------------------------
+# Cohen's kappa: chance-corrected agreement between the lang-ID heuristic
+# and the labeled lang column (inter-annotator agreement)
+# --------------------------------------------------------------------------
+_KAPPA_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, {_DUCK_TOKENS} AS toks FROM documents
+),
+s AS (
+  SELECT doc_id, lang,
+         {_duck_lang_scores()}
+  FROM t
+),
+pred AS (
+  SELECT lang AS a,
+         CASE GREATEST(score_en, score_es, score_fr, score_de, score_zh)
+           WHEN score_en THEN 'en'
+           WHEN score_es THEN 'es'
+           WHEN score_fr THEN 'fr'
+           WHEN score_de THEN 'de'
+           ELSE 'zh' END AS b
+  FROM s
+),
+cells AS (SELECT a, b, COUNT(*) AS m FROM pred GROUP BY a, b),
+ra AS (SELECT a, SUM(m) AS row_n FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(m) AS col_n FROM cells GROUP BY b),
+agg AS (
+  SELECT SUM(m) AS n,
+         SUM(CASE WHEN a = b THEN m ELSE 0 END) AS agree
+  FROM cells
+),
+chance AS (
+  SELECT SUM(ra.row_n * cb.col_n) AS rc
+  FROM ra JOIN cb ON ra.a = cb.b
+)
+SELECT CAST(agg.n AS BIGINT) AS n_docs,
+       CAST(agg.agree AS BIGINT) AS n_agree,
+       CAST(agg.n * agg.agree - chance.rc AS DOUBLE)
+       / CAST(agg.n * agg.n - chance.rc AS DOUBLE) AS kappa
+FROM agg CROSS JOIN chance
+"""
+
+
+@workload("stats_cohens_kappa_langid", oracle=_KAPPA_ORACLE)
+def stats_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHEN'S KAPPA — chance-corrected inter-annotator agreement between
+    the heuristic lang-ID (annotator A) and the labeled lang column
+    (annotator B): the metric labeling pipelines report before trusting
+    model-assigned labels (raw accuracy rewards majority-class collapse;
+    kappa does not). Algebra stays exact integers end-to-end:
+    kappa = (n*agree - sum(row_k*col_k)) / (n^2 - sum(row_k*col_k)) is
+    ONE division of two int64 cross-products derived from the
+    |langs|^2-bounded confusion cells. Reuses the C45 argmax expressions;
+    all reductions are map-side combinable."""
+    d = load_table(spark, sf_dir, "documents").withColumn("toks", tokens("text"))
+    scored = d.select(
+        F.col("lang").alias("a"),
+        *[stopword_count("toks", lang).alias(f"score_{lang}") for lang in _LANGS],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in _LANGS])
+    pred = F.when(F.col("score_en") == best, "en")
+    for lang in _LANGS[1:-1]:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    pred = pred.otherwise(_LANGS[-1])
+    cells = (
+        scored.select("a", pred.alias("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("m"))
+    )
+    ra = cells.groupBy("a").agg(F.sum("m").alias("row_n"))
+    cb = cells.groupBy("b").agg(F.sum("m").alias("col_n"))
+    agg = cells.agg(
+        F.sum("m").alias("n"),
+        F.sum(F.when(F.col("a") == F.col("b"), F.col("m")).otherwise(0)).alias(
+            "agree"
+        ),
+    )
+    chance = (
+        ra.join(cb, ra["a"] == cb["b"])
+        .agg(F.sum(F.col("row_n") * F.col("col_n")).alias("rc"))
+    )
+    out = agg.crossJoin(F.broadcast(chance))
+    kappa = (
+        (F.col("n") * F.col("agree") - F.col("rc")).cast("double")
+        / (F.col("n") * F.col("n") - F.col("rc")).cast("double")
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("agree").cast("long").alias("n_agree"),
+        kappa.alias("kappa"),
+    )
