@@ -693,3 +693,96 @@ def timeseries_ccf_view_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long"),
         ccf.alias("ccf"),
     )
+
+
+# --------------------------------------------------------------------------
+# Maximum drawdown of cumulative revenue per priority class
+# --------------------------------------------------------------------------
+_DRAWDOWN_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         SUM({_DOLLARS}) AS y
+  FROM orders GROUP BY 1, 2
+),
+cum AS (
+  SELECT priority, d,
+         SUM(y) OVER (PARTITION BY priority ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM daily
+),
+dd AS (
+  SELECT priority, d,
+         MAX(c) OVER (PARTITION BY priority ORDER BY d
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c
+           AS drawdown
+  FROM cum
+),
+best AS (
+  SELECT priority, MAX(drawdown) AS max_drawdown FROM dd GROUP BY priority
+)
+SELECT b.priority, CAST(b.max_drawdown AS BIGINT) AS max_drawdown,
+       CAST(MIN(d.d) AS BIGINT) AS first_day_at_max
+FROM best b JOIN dd d
+  ON d.priority = b.priority AND d.drawdown = b.max_drawdown
+GROUP BY b.priority, b.max_drawdown
+"""
+
+
+@workload("timeseries_max_drawdown", oracle=_DRAWDOWN_ORACLE)
+def timeseries_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAXIMUM DRAWDOWN of the cumulative daily-revenue curve per order
+    priority — the running-peak-to-trough metric (largest slump below the
+    best day so far). Pure integer arithmetic end-to-end in floor-dollars:
+    running SUM then running MAX ride priority-partitioned windows over
+    the CALENDAR-BOUNDED daily aggregate (the C49 CUSUM shape — windows
+    never touch raw order rows), and the argmax day is made deterministic
+    by taking the EARLIEST day attaining the max (MIN-day join, no rank
+    window)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    daily = (
+        o.select(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(
+                F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+            ((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long") / 100)
+            .cast("long")
+            .alias("dollars"),
+        )
+        .groupBy("priority", "d")
+        .agg(F.sum("dollars").alias("y"))
+    )
+    w = (
+        W.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = daily.select("priority", "d", F.sum("y").over(w).alias("c"))
+    dd = cum.select(
+        "priority", "d", (F.max("c").over(w) - F.col("c")).alias("drawdown")
+    )
+    best = (
+        dd.groupBy("priority")
+        .agg(F.max("drawdown").alias("max_drawdown"))
+        .withColumnRenamed("priority", "b_priority")
+    )
+    return (
+        dd.join(
+            F.broadcast(best),
+            (F.col("priority") == F.col("b_priority"))
+            & (F.col("drawdown") == F.col("max_drawdown")),
+        )
+        .groupBy("b_priority", "max_drawdown")
+        .agg(F.min("d").alias("first_day_at_max"))
+        .select(
+            F.col("b_priority").alias("priority"),
+            F.col("max_drawdown").cast("long"),
+            F.col("first_day_at_max").cast("long"),
+        )
+    )

@@ -766,3 +766,42 @@ def scalar_map_hof_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("e.value.share").alias("share"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Calendar scalar functions (add_months clamping, last_day, quarter)
+# --------------------------------------------------------------------------
+_CAL_ORACLE = """
+SELECT o_orderkey,
+       CAST(o_orderdate AS DATE) AS d,
+       CAST(CAST(o_orderdate AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus_3mo,
+       last_day(CAST(o_orderdate AS DATE)) AS month_end,
+       CAST(quarter(CAST(o_orderdate AS DATE)) AS INTEGER) AS qtr,
+       CAST(year(CAST(o_orderdate AS DATE)) * 100
+            + month(CAST(o_orderdate AS DATE)) AS INTEGER) AS yyyymm,
+       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+            last_day(CAST(o_orderdate AS DATE))) AS INTEGER)
+         AS days_to_month_end
+FROM orders
+WHERE o_orderkey <= 2000
+"""
+
+
+@workload("scalar_calendar_funcs", oracle=_CAL_ORACLE)
+def scalar_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALENDAR scalar-function surface (the date half A18 implies):
+    add_months with its end-of-month CLAMPING semantics (Jan 31 + 1mo =
+    Feb 28 — both engines clamp, pinned here), last_day, quarter, and
+    yyyymm bucketing — the expressions every fiscal rollup is built
+    from, all JVM-side codegen, zero shuffles (pure projection)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 2000)
+    d = F.col("o_orderdate").cast("date")
+    return o.select(
+        "o_orderkey",
+        d.alias("d"),
+        F.add_months(d, 3).alias("plus_3mo"),
+        F.last_day(d).alias("month_end"),
+        F.quarter(d).cast("int").alias("qtr"),
+        (F.year(d) * 100 + F.month(d)).cast("int").alias("yyyymm"),
+        F.datediff(F.last_day(d), d).cast("int").alias("days_to_month_end"),
+    )
