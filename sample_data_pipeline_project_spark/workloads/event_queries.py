@@ -1046,3 +1046,48 @@ def events_trigram_patterns(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n").desc(), "t1", "t2", "t3")
         .limit(_TRIGRAM_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Array-valued per-user recent history (array aggregation parity)
+# --------------------------------------------------------------------------
+_HIST_K = 3
+
+_HIST_ORACLE = f"""
+WITH ranked AS (
+  SELECT user_id, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       list_sort(list(event_id)) AS recent_event_ids,
+       CAST(COUNT(*) AS BIGINT) AS n_recent
+FROM ranked WHERE rn <= {_HIST_K}
+GROUP BY user_id
+"""
+
+
+@workload("events_recent_history_array", oracle=_HIST_ORACLE)
+def events_recent_history_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ARRAY-VALUED aggregation through the correctness gate: each user's
+    {k} most recent event ids materialized as a SORTED array column — the
+    feature-store "recent history" shape (one row per user, history as a
+    nested list). The top-k ranks ride user-partitioned windows with a
+    unique (ts, event_id) tiebreak; the array is sorted ascending on both
+    engines so collect order can't leak into the value hash — pinning
+    that nested array values survive the Spark->Arrow and DuckDB->Python
+    boundaries identically."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    ranked = ev.select(
+        "user_id", "event_id", F.row_number().over(w).alias("rn")
+    ).filter(F.col("rn") <= _HIST_K)
+    return ranked.groupBy("user_id").agg(
+        F.sort_array(F.collect_list("event_id")).alias("recent_event_ids"),
+        F.count(F.lit(1)).cast("long").alias("n_recent"),
+    )

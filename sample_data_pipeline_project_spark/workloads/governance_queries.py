@@ -572,3 +572,65 @@ def nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     return back.groupBy(
         F.col("payload.who.user_id").alias("user_id")
     ).agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+# --------------------------------------------------------------------------
+# Order-insensitive table fingerprint (fast cross-replica equality check)
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.functions.text import (  # noqa: E402
+    md5_prefix_uint32_sql,
+)
+
+
+def _md5_word2_sql(expr: str) -> str:
+    """Hex chars 9..16 of md5(expr) as a u32 — the second independent
+    fingerprint word (same portable substr/instr technique as
+    md5_prefix_uint32_sql)."""
+    h = f"md5({expr})"
+    terms = [
+        f"(instr('0123456789abcdef', substr({h}, {k}, 1)) - 1)"
+        f" * CAST({16 ** (16 - k)} AS BIGINT)"
+        for k in range(9, 17)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+_FP_ROW = (
+    "CAST(o_orderkey AS STRING) || '|' || CAST(o_custkey AS STRING)"
+    " || '|' || o_orderstatus || '|' || CAST(CAST(CAST(o_totalprice"
+    " AS DECIMAL(18,2)) * 100 AS BIGINT) AS STRING)"
+)
+
+_FP_ORACLE = f"""
+SELECT o_orderstatus,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(bit_xor({md5_prefix_uint32_sql(_FP_ROW)}) AS BIGINT) AS fp_w1,
+       CAST(bit_xor({_md5_word2_sql(_FP_ROW)}) AS BIGINT) AS fp_w2
+FROM orders GROUP BY o_orderstatus
+"""
+
+
+@workload("dq_table_fingerprint", oracle=_FP_ORACLE)
+def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE TABLE FINGERPRINT: per-row md5 over a canonical
+    integer/string rendering (no float formatting anywhere), reduced with
+    the commutative-associative BIT_XOR aggregate — the O(1)-state
+    replica-equality primitive (anti-entropy's cheap first pass before
+    C76's row-level diff): equal fingerprints per group mean the row SETS
+    match with 2^-64 collision odds, computed with one map-side-combinable
+    pass and no shuffle of row data. The oracle recomputes the identical
+    fingerprint in DuckDB, certifying the canonical rendering is
+    engine-portable."""
+    o = load_table(spark, sf_dir, "orders")
+    row = F.expr(_FP_ROW)
+    w1 = F.expr(md5_prefix_uint32_sql(_FP_ROW))
+    w2 = F.expr(_md5_word2_sql(_FP_ROW))
+    return (
+        o.select("o_orderstatus", row.alias("r"), w1.alias("w1"), w2.alias("w2"))
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.expr("bit_xor(w1)").cast("long").alias("fp_w1"),
+            F.expr("bit_xor(w2)").cast("long").alias("fp_w2"),
+        )
+    )
