@@ -647,3 +647,93 @@ def stats_gini_revenue_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("total").cast("long").alias("total_dollars"),
         gini.alias("gini"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exact interpolated percentile (percentile_cont) — distributed order stats
+# --------------------------------------------------------------------------
+_PCONT_PS = ("0.25", "0.5", "0.9")  # repr strings: literal-parse portable
+
+_PCONT_CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+_PCONT_ORACLE = f"""
+WITH ranked AS (
+  SELECT {_PCONT_CENTS} AS v,
+         ROW_NUMBER() OVER (ORDER BY {_PCONT_CENTS}, o_orderkey) AS rn
+  FROM orders
+),
+nn AS (SELECT COUNT(*) AS n FROM orders),
+ps AS (
+  SELECT p, CAST(nn.n - 1 AS DOUBLE) * p AS h, nn.n AS n
+  FROM (VALUES {", ".join(f"(CAST('{p}' AS DOUBLE))" for p in _PCONT_PS)})
+       AS t(p) CROSS JOIN nn
+),
+t AS (
+  SELECT p, n, h,
+         CAST(FLOOR(h) AS BIGINT) + 1 AS lo_rn,
+         CAST(FLOOR(h) AS BIGINT) + 1
+           + (CASE WHEN h = FLOOR(h) THEN 0 ELSE 1 END) AS hi_rn,
+         h - FLOOR(h) AS frac
+  FROM ps
+)
+SELECT t.p, CAST(t.n AS BIGINT) AS n,
+       CAST(lo.v AS DOUBLE)
+       + (CAST(hi.v AS DOUBLE) - CAST(lo.v AS DOUBLE)) * t.frac
+         AS pcont_cents
+FROM t
+JOIN ranked lo ON lo.rn = t.lo_rn
+JOIN ranked hi ON hi.rn = t.hi_rn
+"""
+
+
+@workload("percentile_cont_exact", oracle=_PCONT_ORACLE)
+def percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT PERCENTILE_CONT (linear interpolation between the two
+    adjacent order statistics at h = (n-1)*p) computed DISTRIBUTED via
+    the C4 bucketed-global-rank machinery — value-range buckets + offset
+    ranks, no global window, no single-partition sort; only the two rows
+    at each target rank survive to the driver-free interpolation. The
+    fractional weight is bound identically on both engines (Python
+    computes h = (n-1)*p with the same two IEEE doubles DuckDB multiplies;
+    frac rides as a repr literal in Spark and as h - FLOOR(h) in SQL),
+    and lo/hi are exact integer cents, so the single interpolation
+    expression is bit-identical cross-engine."""
+    import math
+
+    from sample_data_pipeline_project_spark.operators.ranks import (
+        bucketed_global_rank,
+    )
+
+    o = load_table(spark, sf_dir, "orders").select(
+        (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("v"),
+        "o_orderkey",
+    )
+    ranked, n = bucketed_global_rank(o, "v", ["o_orderkey"])
+    rows = []
+    for p_str in _PCONT_PS:
+        p = float(p_str)
+        h = float(n - 1) * p
+        lo_rn = int(math.floor(h)) + 1
+        hi_rn = lo_rn + (0 if h == math.floor(h) else 1)
+        rows.append((p, n, lo_rn, hi_rn, h - math.floor(h)))
+    targets = spark.createDataFrame(
+        rows, "p double, n long, lo_rn long, hi_rn long, frac double"
+    )
+    lo = ranked.select(F.col("rn").alias("lo_rn"), F.col("v").alias("lo_v"))
+    hi = ranked.select(F.col("rn").alias("hi_rn"), F.col("v").alias("hi_v"))
+    return (
+        F.broadcast(targets)
+        .join(lo, "lo_rn")
+        .join(hi, "hi_rn")
+        .select(
+            "p",
+            F.col("n").cast("long"),
+            (
+                F.col("lo_v").cast("double")
+                + (F.col("hi_v").cast("double") - F.col("lo_v").cast("double"))
+                * F.col("frac")
+            ).alias("pcont_cents"),
+        )
+    )
