@@ -737,3 +737,239 @@ def percentile_cont_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pcont_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov distance between ingestion cohorts
+# --------------------------------------------------------------------------
+_KS_BUCKET = 64  # n_chars DIV 64: fixed arithmetic buckets for the cumsum
+
+_KS_ORACLE = """
+WITH pts AS (
+  SELECT CAST(substr(source, 4) AS BIGINT) % 2 AS grp, n_chars AS v
+  FROM documents
+),
+cells AS (
+  SELECT v,
+         SUM(CASE WHEN grp = 0 THEN 1 ELSE 0 END) AS m0,
+         SUM(CASE WHEN grp = 1 THEN 1 ELSE 0 END) AS m1
+  FROM pts GROUP BY v
+),
+n AS (SELECT SUM(m0) AS n0, SUM(m1) AS n1 FROM cells),
+cum AS (
+  SELECT v,
+         SUM(m0) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c0,
+         SUM(m1) OVER (ORDER BY v
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c1
+  FROM cells
+),
+dev AS (
+  SELECT v, ABS(c0 * n.n1 - c1 * n.n0) AS d_scaled FROM cum CROSS JOIN n
+),
+best AS (SELECT MAX(d_scaled) AS mx FROM dev)
+SELECT CAST(n.n0 AS BIGINT) AS n0, CAST(n.n1 AS BIGINT) AS n1,
+       CAST(best.mx AS BIGINT) AS d_scaled,
+       CAST(best.mx AS DOUBLE)
+       / (CAST(n.n0 AS DOUBLE) * CAST(n.n1 AS DOUBLE)) AS ks_d,
+       CAST((SELECT MIN(v) FROM dev WHERE d_scaled = best.mx) AS BIGINT)
+         AS first_v_at_max
+FROM n CROSS JOIN best
+"""
+
+
+@workload("stats_ks_doclen_cohorts", oracle=_KS_ORACLE)
+def stats_ks_doclen_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV distance between the document-length
+    distributions of two ingestion cohorts (even- vs odd-numbered
+    sources) — the nonparametric "did pipeline B's shards drift from
+    pipeline A's" detector, EXACT: D = max_v |F0(v) - F1(v)| maximized as
+    the all-integer |c0*n1 - c1*n0| cross-product with one final
+    division. The cumulative counts use the PARTITIONED CUMSUM pattern
+    (the C4 rank machinery applied to sums): fixed-arithmetic value
+    buckets, per-bucket totals collected once (domain/64-bounded), then
+    within-bucket running sums over BUCKET-PARTITIONED windows offset by
+    the lower buckets — no single-partition window anywhere on the Spark
+    side (the oracle may use the plain global window; DuckDB is
+    single-node). Argmax v is the earliest, a MIN under the max join."""
+    d = load_table(spark, sf_dir, "documents")
+    pts = d.select(
+        (F.substring("source", 4, 10).cast("long") % 2).alias("grp"),
+        F.col("n_chars").alias("v"),
+    )
+    cells = pts.groupBy("v").agg(
+        F.sum(F.when(F.col("grp") == 0, 1).otherwise(0)).alias("m0"),
+        F.sum(F.when(F.col("grp") == 1, 1).otherwise(0)).alias("m1"),
+    )
+    cells = cells.withColumn("bkt", (F.col("v") / _KS_BUCKET).cast("long"))
+    # per-bucket totals -> exclusive prefix offsets (bounded collect:
+    # one row per occupied bucket, domain/_KS_BUCKET rows total)
+    btotals = sorted(
+        cells.groupBy("bkt")
+        .agg(F.sum("m0").alias("t0"), F.sum("m1").alias("t1"))
+        .collect(),
+        key=lambda r: r["bkt"],
+    )
+    offs, acc0, acc1 = [], 0, 0
+    for r in btotals:
+        offs.append((r["bkt"], acc0, acc1))
+        acc0 += r["t0"]
+        acc1 += r["t1"]
+    n0, n1 = acc0, acc1
+    off_df = F.broadcast(
+        cells.sparkSession.createDataFrame(
+            offs or [(0, 0, 0)], "bkt long, off0 long, off1 long"
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w = (
+        W.partitionBy("bkt")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = (
+        cells.join(off_df, "bkt")
+        .select(
+            "v",
+            (F.sum("m0").over(w) + F.col("off0")).alias("c0"),
+            (F.sum("m1").over(w) + F.col("off1")).alias("c1"),
+        )
+    )
+    dev = cum.select(
+        "v",
+        F.abs(F.col("c0") * F.lit(n1) - F.col("c1") * F.lit(n0)).alias(
+            "d_scaled"
+        ),
+    )
+    best = dev.agg(F.max("d_scaled").alias("mx"))
+    first_v = (
+        dev.join(F.broadcast(best), dev["d_scaled"] == best["mx"])
+        .agg(F.min("v").alias("first_v_at_max"))
+    )
+    return (
+        best.crossJoin(F.broadcast(first_v))
+        .select(
+            F.lit(n0).cast("long").alias("n0"),
+            F.lit(n1).cast("long").alias("n1"),
+            F.col("mx").cast("long").alias("d_scaled"),
+            (
+                F.col("mx").cast("double")
+                / (F.lit(n0).cast("double") * F.lit(n1).cast("double"))
+            ).alias("ks_d"),
+            F.col("first_v_at_max").cast("long"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Winsorized mean per segment (robust mean with exact per-group quantiles)
+# --------------------------------------------------------------------------
+_WINS_LO_PCT = 5  # clamp below the 5th percentile
+_WINS_HI_PCT = 95
+
+_WINS_ORACLE = f"""
+WITH pts AS (
+  SELECT c.c_mktsegment AS segment, {_GINI_DOLLARS} AS v
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+),
+cells AS (SELECT segment, v, COUNT(*) AS m FROM pts GROUP BY segment, v),
+cum AS (
+  SELECT segment, v, m,
+         SUM(m) OVER (PARTITION BY segment ORDER BY v
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS c
+  FROM cells
+),
+n AS (SELECT segment, SUM(m) AS n FROM cells GROUP BY segment),
+bounds AS (
+  SELECT cum.segment,
+         MIN(CASE WHEN cum.c * 100 >= n.n * {_WINS_LO_PCT}
+                  THEN cum.v END) AS lo,
+         MIN(CASE WHEN cum.c * 100 >= n.n * {_WINS_HI_PCT}
+                  THEN cum.v END) AS hi
+  FROM cum JOIN n ON cum.segment = n.segment
+  GROUP BY cum.segment
+)
+SELECT b.segment, CAST(n.n AS BIGINT) AS n_orders,
+       CAST(b.lo AS BIGINT) AS lo_dollars, CAST(b.hi AS BIGINT) AS hi_dollars,
+       CAST(SUM(cl.m * LEAST(GREATEST(cl.v, b.lo), b.hi)) AS DOUBLE)
+       / CAST(n.n AS DOUBLE) AS winsorized_mean
+FROM cells cl
+JOIN bounds b ON cl.segment = b.segment
+JOIN n ON cl.segment = n.segment
+GROUP BY b.segment, n.n, b.lo, b.hi
+"""
+
+
+@workload("stats_winsorized_mean_by_segment", oracle=_WINS_ORACLE)
+def stats_winsorized_mean_by_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """WINSORIZED MEAN per segment — the robust average (clamp order
+    values into [P5, P95] before averaging) that whale orders can't
+    drag. Per-group EXACT percentile bounds come from cumulative counts
+    over per-segment DISTINCT dollar values (group-partitioned windows,
+    value-domain-bounded rows — never raw orders); the bound predicate
+    cum*100 >= n*pct is all-integer, the clamp is LEAST/GREATEST over
+    exact ints, and the single division lands last. One shuffle keyed
+    (segment, v), then segment-keyed joins on 5-row tables."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    pts = o.join(F.broadcast(c), "o_custkey").select(
+        "segment",
+        ((F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long") / 100)
+        .cast("long")
+        .alias("v"),
+    )
+    cells = pts.groupBy("segment", "v").agg(F.count(F.lit(1)).alias("m"))
+    w = (
+        W.partitionBy("segment")
+        .orderBy("v")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    cum = cells.select("segment", "v", "m", F.sum("m").over(w).alias("c"))
+    n = cells.groupBy("segment").agg(F.sum("m").alias("n"))
+    bounds = (
+        cum.join(F.broadcast(n), "segment")
+        .groupBy("segment")
+        .agg(
+            F.min(
+                F.when(
+                    F.col("c") * 100 >= F.col("n") * _WINS_LO_PCT, F.col("v")
+                )
+            ).alias("lo"),
+            F.min(
+                F.when(
+                    F.col("c") * 100 >= F.col("n") * _WINS_HI_PCT, F.col("v")
+                )
+            ).alias("hi"),
+        )
+    )
+    clamped = (
+        cells.join(F.broadcast(bounds), "segment")
+        .join(F.broadcast(n), "segment")
+        .groupBy("segment", "n", "lo", "hi")
+        .agg(
+            F.sum(
+                F.col("m")
+                * F.least(F.greatest(F.col("v"), F.col("lo")), F.col("hi"))
+            ).alias("wsum")
+        )
+    )
+    return clamped.select(
+        "segment",
+        F.col("n").cast("long").alias("n_orders"),
+        F.col("lo").cast("long").alias("lo_dollars"),
+        F.col("hi").cast("long").alias("hi_dollars"),
+        (F.col("wsum").cast("double") / F.col("n").cast("double")).alias(
+            "winsorized_mean"
+        ),
+    )
