@@ -973,3 +973,183 @@ def stats_winsorized_mean_by_segment(
             "winsorized_mean"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# RFM customer segmentation (per-nation quartiles, deterministic NTILE)
+# --------------------------------------------------------------------------
+_RFM_ANCHOR = "2001-09-01"  # fixed as-of date (after the data's max date)
+
+_RFM_ORACLE = f"""
+WITH base AS (
+  SELECT o_custkey AS custkey,
+         date_diff('day', CAST(MAX(o_orderdate) AS DATE),
+                   DATE '{_RFM_ANCHOR}') AS recency_days,
+         COUNT(*) AS frequency,
+         SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS monetary_cents
+  FROM orders GROUP BY o_custkey
+),
+dim AS (SELECT c_custkey AS custkey, c_nationkey AS nk FROM customer),
+j AS (SELECT b.*, d.nk FROM base b JOIN dim d ON b.custkey = d.custkey),
+q AS (
+  SELECT custkey, nk, recency_days, frequency, monetary_cents,
+         NTILE(4) OVER (PARTITION BY nk
+                        ORDER BY recency_days ASC, custkey ASC) AS r_q,
+         NTILE(4) OVER (PARTITION BY nk
+                        ORDER BY frequency DESC, custkey ASC) AS f_q,
+         NTILE(4) OVER (PARTITION BY nk
+                        ORDER BY monetary_cents DESC, custkey ASC) AS m_q
+  FROM j
+)
+SELECT custkey, CAST(recency_days AS BIGINT) AS recency_days,
+       CAST(frequency AS BIGINT) AS frequency,
+       CAST(monetary_cents AS BIGINT) AS monetary_cents,
+       CAST(r_q AS INTEGER) AS r_q, CAST(f_q AS INTEGER) AS f_q,
+       CAST(m_q AS INTEGER) AS m_q,
+       CAST(r_q * 100 + f_q * 10 + m_q AS INTEGER) AS rfm_code
+FROM q
+"""
+
+
+@workload("rfm_customer_segmentation", oracle=_RFM_ORACLE)
+def rfm_customer_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM SEGMENTATION — recency / frequency / monetary quartile codes
+    per customer, normalized WITHIN nation (per-market quartiles, which
+    also keeps every NTILE window nation-partitioned over customer-
+    -bounded rows — never a global sort). Quartile 1 is best on each
+    axis (most recent, most frequent, highest spend). NTILE is made
+    deterministic by the unique custkey tiebreak (the C63 rule); recency
+    anchors to a FIXED as-of date so the metric is reproducible. One
+    orders aggregate, a broadcast dim join, three windows over the same
+    partitioning — single shuffle."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.datediff(
+            F.lit(_RFM_ANCHOR).cast("date"),
+            F.max(F.col("o_orderdate").cast("date")),
+        )
+        .cast("long")
+        .alias("recency_days"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+        ).alias("monetary_cents"),
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey"), F.col("c_nationkey").alias("nk")
+    )
+    j = base.join(F.broadcast(dim), "custkey")
+    r_q = F.ntile(4).over(
+        W.partitionBy("nk").orderBy(F.col("recency_days").asc(), F.col("custkey").asc())
+    )
+    f_q = F.ntile(4).over(
+        W.partitionBy("nk").orderBy(F.col("frequency").desc(), F.col("custkey").asc())
+    )
+    m_q = F.ntile(4).over(
+        W.partitionBy("nk").orderBy(
+            F.col("monetary_cents").desc(), F.col("custkey").asc()
+        )
+    )
+    q = j.select(
+        "custkey",
+        F.col("recency_days").cast("long"),
+        F.col("frequency").cast("long"),
+        F.col("monetary_cents").cast("long"),
+        r_q.cast("int").alias("r_q"),
+        f_q.cast("int").alias("f_q"),
+        m_q.cast("int").alias("m_q"),
+    )
+    return q.withColumn(
+        "rfm_code",
+        (F.col("r_q") * 100 + F.col("f_q") * 10 + F.col("m_q")).cast("int"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Cohort LTV curve: cumulative revenue by signup cohort x age
+# --------------------------------------------------------------------------
+_LTV_ORACLE = """
+WITH firsts AS (
+  SELECT o_custkey, CAST(date_trunc('month', MIN(o_orderdate)) AS DATE) AS cohort_month
+  FROM orders GROUP BY o_custkey
+),
+rev AS (
+  SELECT f.cohort_month,
+         CAST(date_diff('month', f.cohort_month,
+              date_trunc('month', o.o_orderdate)) AS BIGINT) AS age_months,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS rev_cents
+  FROM orders o JOIN firsts f ON o.o_custkey = f.o_custkey
+  GROUP BY 1, 2
+),
+sizes AS (
+  SELECT cohort_month, COUNT(*) AS cohort_users
+  FROM firsts GROUP BY cohort_month
+)
+SELECT r.cohort_month, r.age_months,
+       CAST(s.cohort_users AS BIGINT) AS cohort_users,
+       CAST(SUM(r.rev_cents) OVER (PARTITION BY r.cohort_month
+            ORDER BY r.age_months
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cum_rev_cents
+FROM rev r JOIN sizes s ON r.cohort_month = s.cohort_month
+"""
+
+
+@workload("cohort_ltv_curve", oracle=_LTV_ORACLE)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT LTV CURVE — cumulative revenue per signup cohort by account
+    age in months (the monetary twin of the C-retention matrix): how
+    much has each cohort spent by month k of its life. First-order
+    cohorting is one keyed MIN; the cumulative window rides
+    (cohort-month)-partitioned, calendar-bounded (cohort x age) rows,
+    never raw orders; revenue stays exact integer cents end-to-end."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    firsts = o.groupBy("o_custkey").agg(
+        F.to_date(F.date_trunc("month", F.min("o_orderdate"))).alias(
+            "cohort_month"
+        )
+    )
+    rev = (
+        o.join(firsts, "o_custkey")
+        .select(
+            "cohort_month",
+            (
+                (F.year(F.date_trunc("month", "o_orderdate")) - F.year("cohort_month"))
+                * 12
+                + (
+                    F.month(F.date_trunc("month", "o_orderdate"))
+                    - F.month("cohort_month")
+                )
+            )
+            .cast("long")
+            .alias("age_months"),
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+        .groupBy("cohort_month", "age_months")
+        .agg(F.sum("cents").alias("rev_cents"))
+    )
+    sizes = firsts.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    w = (
+        W.partitionBy("cohort_month")
+        .orderBy("age_months")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        rev.join(F.broadcast(sizes), "cohort_month")
+        .select(
+            "cohort_month",
+            "age_months",
+            F.col("cohort_users").cast("long"),
+            F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
+        )
+    )
