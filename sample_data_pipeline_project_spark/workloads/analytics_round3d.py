@@ -1153,3 +1153,107 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("rev_cents").over(w).cast("long").alias("cum_rev_cents"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Largest-remainder (Hamilton) proportional allocation
+# --------------------------------------------------------------------------
+_ALLOC_TOTAL = 1_000_000  # units to allocate per nation
+
+
+_ALLOC_ORACLE = f"""
+WITH rev AS (
+  SELECT c.c_nationkey AS nk, c.c_mktsegment AS segment,
+         SUM(CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+           AS seg_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+tot AS (SELECT nk, SUM(seg_cents) AS nation_cents FROM rev GROUP BY nk),
+q AS (
+  SELECT r.nk, r.segment, r.seg_cents, t.nation_cents,
+         (r.seg_cents * {_ALLOC_TOTAL}) // t.nation_cents AS floor_units,
+         (r.seg_cents * {_ALLOC_TOTAL}) % t.nation_cents AS remainder
+  FROM rev r JOIN tot t ON r.nk = t.nk
+),
+short AS (
+  SELECT nk, {_ALLOC_TOTAL} - SUM(floor_units) AS missing FROM q GROUP BY nk
+),
+ranked AS (
+  SELECT q.*, s.missing,
+         ROW_NUMBER() OVER (PARTITION BY q.nk
+                            ORDER BY q.remainder DESC, q.segment ASC) AS rr
+  FROM q JOIN short s ON q.nk = s.nk
+)
+SELECT CAST(nk AS BIGINT) AS nk, segment,
+       CAST(seg_cents AS BIGINT) AS seg_cents,
+       CAST(floor_units + CASE WHEN rr <= missing THEN 1 ELSE 0 END
+            AS BIGINT) AS allocated_units
+FROM ranked
+"""
+
+
+@workload("alloc_largest_remainder", oracle=_ALLOC_ORACLE)
+def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LARGEST-REMAINDER (Hamilton) ALLOCATION: distribute a fixed unit
+    budget across each nation's segments proportionally to revenue such
+    that the integer allocations sum EXACTLY to the budget — the
+    apportionment algorithm every financial allocation / quota system
+    needs (naive rounding over- or under-shoots). All arithmetic is
+    exact integers: floor quota = (seg*T) DIV total, remainder =
+    (seg*T) MOD total, and the missing units go to the largest
+    remainders (segment-name tiebreak) via a nation-partitioned rank
+    over <= |segments| rows per nation. seg_cents*T peaks ~1e13 * 1e6 =
+    overflow? No: seg_cents <= ~5e10 at sf0.1 per (nation, segment), x
+    1e6 = 5e16 — int64-safe through sf10."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nk"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    rev = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("nk", "segment")
+        .agg(
+            F.sum(
+                (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+            ).alias("seg_cents")
+        )
+    )
+    tot = rev.groupBy("nk").agg(F.sum("seg_cents").alias("nation_cents"))
+    q = rev.join(F.broadcast(tot), "nk").select(
+        "nk",
+        "segment",
+        "seg_cents",
+        # integer DIV, not float-divide-then-cast: seg_cents*T exceeds
+        # 2^53 at scale, where double division could misplace the floor
+        F.expr(f"seg_cents * {_ALLOC_TOTAL} DIV nation_cents")
+        .cast("long")
+        .alias("floor_units"),
+        ((F.col("seg_cents") * _ALLOC_TOTAL) % F.col("nation_cents")).alias(
+            "remainder"
+        ),
+    )
+    short = q.groupBy("nk").agg(
+        (F.lit(_ALLOC_TOTAL) - F.sum("floor_units")).alias("missing")
+    )
+    w = W.partitionBy("nk").orderBy(
+        F.col("remainder").desc(), F.col("segment").asc()
+    )
+    ranked = q.join(F.broadcast(short), "nk").withColumn(
+        "rr", F.row_number().over(w)
+    )
+    return ranked.select(
+        F.col("nk").cast("long"),
+        "segment",
+        F.col("seg_cents").cast("long"),
+        (
+            F.col("floor_units")
+            + F.when(F.col("rr") <= F.col("missing"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("allocated_units"),
+    )
