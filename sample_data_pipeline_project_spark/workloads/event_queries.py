@@ -1091,3 +1091,143 @@ def events_recent_history_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_list("event_id")).alias("recent_event_ids"),
         F.count(F.lit(1)).cast("long").alias("n_recent"),
     )
+
+
+# --------------------------------------------------------------------------
+# Feature-store matrix: per user-day activity features with 7-day lookback
+# --------------------------------------------------------------------------
+_FEAT_ORACLE = """
+WITH ud AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS n_today,
+         SUM(CAST(value AS DECIMAL(18,6))) AS v_today
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id, CAST(d AS BIGINT) AS d,
+       CAST(n_today AS BIGINT) AS n_today,
+       CAST(SUM(n_today) OVER w AS BIGINT) AS n_7d,
+       CAST(SUM(v_today) OVER w AS DOUBLE) AS value_7d
+FROM ud
+WINDOW w AS (PARTITION BY user_id ORDER BY d
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW)
+"""
+
+
+@workload("features_user_daily", oracle=_FEAT_ORACLE)
+def features_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE-STORE MATRIX: per (user, day) activity features with a
+    7-day lookback — today's event count, trailing-7-day count and
+    trailing-7-day value sum (the offline feature-engineering shape that
+    feeds ranking/propensity models). Events first collapse to user-day
+    aggregates (map-side combinable), so the RANGE windows ride
+    user-partitioned, calendar-bounded rows — never raw events; the
+    value sum stays an exact DECIMAL until the final double cast."""
+    from pyspark.sql.window import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    ud = (
+        ev.select(
+            "user_id",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("user_id", "d")
+        .agg(
+            F.count(F.lit(1)).alias("n_today"),
+            F.sum("v").alias("v_today"),
+        )
+    )
+    w = W.partitionBy("user_id").orderBy("d").rangeBetween(-6, 0)
+    return ud.select(
+        "user_id",
+        F.col("d").cast("long"),
+        F.col("n_today").cast("long"),
+        F.sum("n_today").over(w).cast("long").alias("n_7d"),
+        F.sum("v_today").over(w).cast("double").alias("value_7d"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Deterministic negative sampling (contrastive training pairs)
+# --------------------------------------------------------------------------
+_NEG_K = 2
+
+_NEG_ORACLE = f"""
+WITH brands AS (SELECT DISTINCT p_brand FROM part),
+custs AS (SELECT DISTINCT o_custkey AS custkey FROM orders),
+interacted AS (
+  SELECT DISTINCT o.o_custkey AS custkey, p.p_brand
+  FROM orders o
+  JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  JOIN part p ON l.l_partkey = p.p_partkey
+),
+candidates AS (
+  SELECT c.custkey, b.p_brand
+  FROM custs c CROSS JOIN brands b
+  WHERE NOT EXISTS (SELECT 1 FROM interacted i
+                    WHERE i.custkey = c.custkey
+                      AND i.p_brand = b.p_brand)
+),
+ranked AS (
+  SELECT custkey, p_brand,
+         ROW_NUMBER() OVER (
+           PARTITION BY custkey
+           ORDER BY md5('neg|' || CAST(custkey AS VARCHAR) || '|'
+                        || p_brand), p_brand) AS rn
+  FROM candidates
+)
+SELECT custkey, p_brand AS negative_brand, CAST(rn AS INTEGER) AS rn
+FROM ranked WHERE rn <= {_NEG_K}
+"""
+
+
+@workload("train_negative_samples", oracle=_NEG_ORACLE)
+def train_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC NEGATIVE SAMPLING for contrastive training: for each
+    customer, up to {k} part brands they have NEVER purchased, chosen by
+    md5 rank (never rand() — same negatives on every engine, run, and
+    partitioning, the C8/C16 sampling rule). Candidates are an anti-join
+    of the customer x brand-domain grid against observed purchases
+    (domain-bounded fan-out, not lineitem-bounded); the rank window
+    rides customer-partitioned <=|brands| rows."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey"), "o_orderkey"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    brands = p.select("p_brand").distinct()
+    custs = o.select("custkey").distinct()
+    interacted = (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .select("custkey", "p_brand")
+        .distinct()
+    )
+    candidates = custs.crossJoin(F.broadcast(brands)).join(
+        interacted, ["custkey", "p_brand"], "left_anti"
+    )
+    key = F.md5(
+        F.concat(
+            F.lit("neg|"),
+            F.col("custkey").cast("string"),
+            F.lit("|"),
+            F.col("p_brand"),
+        )
+    )
+    w = W.partitionBy("custkey").orderBy(key, F.col("p_brand"))
+    return (
+        candidates.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NEG_K)
+        .select(
+            "custkey",
+            F.col("p_brand").alias("negative_brand"),
+            F.col("rn").cast("int"),
+        )
+    )
