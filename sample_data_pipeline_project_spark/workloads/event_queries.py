@@ -1231,3 +1231,121 @@ def train_negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rn").cast("int"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# User-journey path analysis: top full conversion paths
+# --------------------------------------------------------------------------
+_PATH_TOP = 20
+
+_PATH_ORACLE = f"""
+WITH paths AS (
+  SELECT user_id,
+         string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+  FROM events GROUP BY user_id
+)
+SELECT path, CAST(COUNT(*) AS BIGINT) AS n_users
+FROM paths GROUP BY path
+ORDER BY n_users DESC, path
+LIMIT {_PATH_TOP}
+"""
+
+
+@workload("events_top_conversion_paths", oracle=_PATH_ORACLE)
+def events_top_conversion_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-JOURNEY PATH ANALYSIS: each user's full ordered event-type
+    path rendered as one string, then the top-{k} most common journeys —
+    the whole-path extension of the trigram miner (C103). The per-user
+    path is an ORDER-PINNED aggregation: collect_list of (ts, event_id,
+    type) structs sorted lexicographically (unique (ts, event_id) key ->
+    deterministic under any partitioning; DuckDB states the identical
+    ORDER BY inside string_agg), rendered map-side per user. Top-k is
+    TakeOrderedAndProject with the path itself as tiebreak."""
+    ev = load_table(spark, sf_dir, "events")
+    path = F.concat_ws(
+        ">",
+        F.expr(
+            "transform(array_sort(collect_list(struct(ts, event_id,"
+            " event_type))), x -> x.event_type)"
+        ),
+    )
+    paths = ev.groupBy("user_id").agg(path.alias("path"))
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy(F.col("n_users").desc(), "path")
+        .limit(_PATH_TOP)
+    )
+
+
+# --------------------------------------------------------------------------
+# DAU / WAU / stickiness (trailing-window distinct actives)
+# --------------------------------------------------------------------------
+_DAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         user_id
+  FROM events
+),
+dau AS (SELECT d, COUNT(*) AS dau FROM du GROUP BY d),
+offsets AS (SELECT unnest(range(0, 7)) AS o),
+wau AS (
+  SELECT t.d, COUNT(DISTINCT u.user_id) AS wau
+  FROM dau t
+  JOIN offsets o ON TRUE
+  JOIN du u ON u.d = t.d - o.o
+  GROUP BY t.d
+)
+SELECT CAST(dau.d AS BIGINT) AS d,
+       CAST(dau.dau AS BIGINT) AS dau,
+       CAST(wau.wau AS BIGINT) AS wau,
+       CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+"""
+
+
+@workload("events_dau_wau_stickiness", oracle=_DAU_ORACLE)
+def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU / WAU / STICKINESS — the product-analytics headline: daily
+    distinct actives, trailing-7-day distinct actives, and their ratio.
+    Trailing DISTINCT is not window-expressible (state isn't mergeable),
+    so WAU materializes the user-day table once (map-side distinct) and
+    fans each day out to its 7 covering days via a tiny offsets join —
+    an equi-join + distinct-count, both shuffle-keyed on day. Exact
+    integer counts; one final division."""
+    ev = load_table(spark, sf_dir, "events")
+    du = (
+        ev.select(
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+            "user_id",
+        )
+        .distinct()
+    )
+    dau = du.groupBy("d").agg(F.count(F.lit(1)).alias("dau"))
+    offsets = ev.sparkSession.range(0, 7).select(F.col("id").alias("o"))
+    wau = (
+        dau.select("d")
+        .crossJoin(F.broadcast(offsets))
+        .join(
+            du.withColumnRenamed("d", "ud"),
+            F.col("ud") == F.col("d") - F.col("o"),
+        )
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("wau"))
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.col("d").cast("long"),
+            F.col("dau").cast("long"),
+            F.col("wau").cast("long"),
+            (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+                "stickiness"
+            ),
+        )
+    )
