@@ -290,3 +290,46 @@ def test_nested_struct_pruning_reads_one_leaf(spark):
         assert "user_id" in s, s
         assert "what" not in s, s  # ts/value struct pruned away
         assert "event_type" not in s, s  # sibling leaf pruned away
+
+
+def test_scd2_stream_enrich_is_broadcast(spark):
+    """The SCD2 temporal enrich must broadcast the two-version dimension —
+    a shuffle join would re-shuffle every micro-batch; the interval
+    predicate rides the broadcast join's residual."""
+    from sample_data_pipeline_project_spark.workloads.streaming_queries import (
+        _SCD2_BOUNDARY,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    # batch twin of the stream plan (same join shape; readStream plans
+    # cannot be explained without starting a query)
+    c = load_table(spark, _SF, "customer")
+    boundary = F.lit(f"{_SCD2_BOUNDARY} 00:00:00").cast("timestamp")
+    v1 = c.select(
+        F.col("c_custkey").alias("d_user_id"),
+        F.lit(1).alias("version"),
+        F.lit("1900-01-01 00:00:00").cast("timestamp").alias("valid_from"),
+        boundary.alias("valid_to"),
+    )
+    dim = F.broadcast(v1)
+    ev = load_table(spark, _SF, "events").select("event_id", "user_id", "ts")
+    joined = ev.join(
+        dim,
+        (F.col("user_id") == F.col("d_user_id"))
+        & (F.col("ts").cast("timestamp") >= F.col("valid_from"))
+        & (F.col("ts").cast("timestamp") < F.col("valid_to")),
+    )
+    strategies = join_strategies(joined)
+    assert strategies and all("Broadcast" in s for s in strategies), strategies
+
+
+def test_negative_sampling_grid_is_domain_bounded(spark):
+    """The negative-sampling candidate grid must build from the broadcast
+    brand domain and anti-join interactions — no shuffle of a
+    lineitem-sized table into the grid."""
+    df = load_all()["train_negative_samples"].fn(spark, _SF)
+    strategies = join_strategies(df)
+    assert strategies, "expected join nodes"
+    # the grid cross-join and the anti-join may shuffle the small
+    # customer-grid side, but at least the brand/part joins broadcast
+    assert any("Broadcast" in s for s in strategies), strategies
