@@ -1257,3 +1257,225 @@ def alloc_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("allocated_units"),
     )
+
+
+# --------------------------------------------------------------------------
+# Two-proportion z-test (conversion-rate A/B)
+# --------------------------------------------------------------------------
+_ZT_WINDOW_DAYS = 2
+
+_ZT_ORACLE = f"""
+WITH u AS (
+  SELECT user_id, user_id % 2 AS grp,
+         MIN(CAST(ts AS DATE)) AS first_ev,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS first_buy
+  FROM events GROUP BY user_id
+),
+conv AS (
+  SELECT grp, COUNT(*) AS n,
+         SUM(CASE WHEN date_diff('day', first_ev, first_buy)
+                       <= {_ZT_WINDOW_DAYS} THEN 1 ELSE 0 END) AS x
+  FROM u GROUP BY grp
+),
+w AS (
+  SELECT a.n AS n_a, a.x AS x_a, b.n AS n_b, b.x AS x_b
+  FROM conv a JOIN conv b ON a.grp = 0 AND b.grp = 1
+)
+SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+       CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+       (CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+        - CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+       / SQRT((CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 - CAST(x_a + x_b AS DOUBLE) / CAST(n_a + n_b AS DOUBLE))
+              * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+         AS z_stat
+FROM w
+"""
+
+
+@workload("stats_two_proportion_ztest", oracle=_ZT_ORACLE)
+def stats_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-PROPORTION Z-TEST — the conversion-rate A/B significance twin
+    of the Welch t-test (C85): did cohort A (even user ids) convert
+    (first purchase within {w} days of first activity) at a different
+    rate than cohort B. Counts are exact integers from ONE user-level
+    aggregate; the pooled-proportion z statistic is a single
+    identical-textual-order float expression over the 2-row result."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_ev"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts").cast("date")
+            )
+        ).alias("first_buy"),
+    )
+    conv = (
+        u.select(
+            (F.col("user_id") % 2).alias("grp"),
+            F.when(
+                F.datediff("first_buy", "first_ev") <= _ZT_WINDOW_DAYS, 1
+            )
+            .otherwise(0)
+            .alias("converted"),
+        )
+        .groupBy("grp")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("converted").alias("x"))
+    )
+    a = conv.filter(F.col("grp") == 0).alias("a")
+    b = conv.filter(F.col("grp") == 1).alias("b")
+    w = a.crossJoin(F.broadcast(b)).select(
+        F.col("a.n").alias("n_a"),
+        F.col("a.x").alias("x_a"),
+        F.col("b.n").alias("n_b"),
+        F.col("b.x").alias("x_b"),
+    )
+    p_pool = (F.col("x_a") + F.col("x_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    z = (
+        F.col("x_a").cast("double") / F.col("n_a").cast("double")
+        - F.col("x_b").cast("double") / F.col("n_b").cast("double")
+    ) / F.sqrt(
+        p_pool
+        * (F.lit(1.0) - p_pool)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return w.select(
+        F.col("n_a").cast("long"),
+        F.col("x_a").cast("long"),
+        F.col("n_b").cast("long"),
+        F.col("x_b").cast("long"),
+        z.alias("z_stat"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Kaplan-Meier survival curve: time to first purchase, right-censored
+# --------------------------------------------------------------------------
+_KM_WINDOW = 7  # censor horizon (days): the time domain is CONSTANT 0..7
+
+_KM_ORACLE = f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(CAST(ts AS DATE)) AS first_ev,
+         MIN(CASE WHEN event_type = 'purchase' THEN CAST(ts AS DATE) END)
+           AS first_buy
+  FROM events GROUP BY user_id
+),
+obs AS (
+  SELECT user_id,
+         CASE WHEN first_buy IS NOT NULL
+                   AND date_diff('day', first_ev, first_buy) <= {_KM_WINDOW}
+              THEN date_diff('day', first_ev, first_buy)
+              ELSE {_KM_WINDOW} END AS t,
+         CASE WHEN first_buy IS NOT NULL
+                   AND date_diff('day', first_ev, first_buy) <= {_KM_WINDOW}
+              THEN 1 ELSE 0 END AS e
+  FROM u
+),
+times AS (
+  SELECT t, SUM(e) AS d, SUM(1 - e) AS c FROM obs GROUP BY t
+),
+total AS (SELECT COUNT(*) AS n FROM obs),
+risk AS (
+  SELECT t1.t, t1.d, t1.c,
+         total.n - COALESCE((SELECT SUM(t2.d + t2.c) FROM times t2
+                             WHERE t2.t < t1.t), 0) AS n_risk
+  FROM times t1 CROSS JOIN total
+),
+terms AS (
+  SELECT t, d, c, n_risk,
+         CASE WHEN d > 0 THEN CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
+                   / CAST(n_risk AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
+              ELSE 0 END AS lnterm
+  FROM risk
+),
+surv AS (
+  SELECT t1.t, t1.d, t1.c, t1.n_risk,
+         (SELECT SUM(t2.lnterm) FROM terms t2 WHERE t2.t <= t1.t) AS cumln
+  FROM terms t1
+)
+SELECT CAST(t AS BIGINT) AS t, CAST(n_risk AS BIGINT) AS n_risk,
+       CAST(d AS BIGINT) AS d, CAST(c AS BIGINT) AS c,
+       ROUND(EXP(CAST(cumln AS DOUBLE) / 1000000000.0), 9) AS survival
+FROM surv
+"""
+
+
+@workload("stats_kaplan_meier_purchase", oracle=_KM_ORACLE)
+def stats_kaplan_meier_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER survival curve for time-to-first-purchase with RIGHT
+    CENSORING at a {w}-day horizon — the product-limit estimator
+    S(t) = prod_(t_i<=t) (1 - d_i/n_i) that handles users who never
+    convert inside the window (censoring is what the naive conversion
+    curve gets wrong). The raw stream collapses to ONE user-level
+    aggregate, then everything rides the CONSTANT 0..{w} time domain:
+    risk sets and the cumulative ln-sum use bounded TRIANGULAR
+    self-joins (at most (w+1)^2 cells at any data scale — no window
+    function at all), ln terms are scaled ints, and the final
+    exp() goes through the ROUND(_, 9) libm guard."""
+    ev = load_table(spark, sf_dir, "events")
+    u = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_ev"),
+        F.min(
+            F.when(
+                F.col("event_type") == "purchase", F.col("ts").cast("date")
+            )
+        ).alias("first_buy"),
+    )
+    days = F.datediff("first_buy", "first_ev")
+    in_win = F.col("first_buy").isNotNull() & (days <= _KM_WINDOW)
+    obs = u.select(
+        F.when(in_win, days).otherwise(F.lit(_KM_WINDOW)).alias("t"),
+        F.when(in_win, 1).otherwise(0).alias("e"),
+    )
+    times = obs.groupBy("t").agg(
+        F.sum("e").alias("d"), F.sum(1 - F.col("e")).alias("c")
+    )
+    total = obs.agg(F.count(F.lit(1)).alias("n"))
+    t1 = times.alias("t1")
+    t2 = times.select(
+        F.col("t").alias("t2t"), (F.col("d") + F.col("c")).alias("dc")
+    )
+    risk = (
+        t1.join(F.broadcast(t2), F.col("t2t") < F.col("t1.t"), "left")
+        .groupBy("t1.t", "t1.d", "t1.c")
+        .agg(F.coalesce(F.sum("dc"), F.lit(0)).alias("before"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "t", "d", "c", (F.col("n") - F.col("before")).alias("n_risk")
+        )
+    )
+    lnterm = F.when(
+        F.col("d") > 0,
+        F.round(
+            F.log(
+                (F.col("n_risk") - F.col("d")).cast("double")
+                / F.col("n_risk").cast("double")
+            )
+            * 1000000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    terms = risk.select("t", "d", "c", "n_risk", lnterm.alias("lnterm"))
+    ta = terms.alias("ta")
+    tb = terms.select(F.col("t").alias("tbt"), F.col("lnterm").alias("lnb"))
+    surv = (
+        ta.join(F.broadcast(tb), F.col("tbt") <= F.col("ta.t"))
+        .groupBy("ta.t", "ta.d", "ta.c", "ta.n_risk")
+        .agg(F.sum("lnb").alias("cumln"))
+    )
+    return surv.select(
+        F.col("t").cast("long"),
+        F.col("n_risk").cast("long"),
+        F.col("d").cast("long"),
+        F.col("c").cast("long"),
+        F.round(
+            F.exp(F.col("cumln").cast("double") / 1000000000.0), 9
+        ).alias("survival"),
+    )
