@@ -1349,3 +1349,86 @@ def events_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Linear multi-touch attribution (fractional credit to preceding views)
+# --------------------------------------------------------------------------
+_ATTR_ORACLE = """
+WITH buys AS (
+  SELECT event_id AS buy_id, user_id, ts AS buy_ts
+  FROM events WHERE event_type = 'purchase'
+),
+views AS (
+  SELECT event_id AS view_id, user_id, ts AS view_ts
+  FROM events WHERE event_type = 'view'
+),
+touch AS (
+  SELECT b.buy_id, v.view_id,
+         date_diff('day', DATE '1970-01-01', CAST(v.view_ts AS DATE)) AS d
+  FROM buys b JOIN views v
+    ON v.user_id = b.user_id
+   AND v.view_ts <= b.buy_ts
+   AND v.view_ts >= b.buy_ts - INTERVAL 1 HOUR
+),
+k AS (SELECT buy_id, COUNT(*) AS n_touch FROM touch GROUP BY buy_id),
+credit AS (
+  SELECT t.d,
+         CAST(ROUND(1000000000.0 / k.n_touch, 0) AS BIGINT) AS credit_scaled
+  FROM touch t JOIN k ON t.buy_id = k.buy_id
+)
+SELECT CAST(d AS BIGINT) AS d,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       CAST(SUM(credit_scaled) AS DOUBLE) / 1000000000.0
+         AS attributed_purchases
+FROM credit GROUP BY d
+"""
+
+
+@workload("events_linear_attribution", oracle=_ATTR_ORACLE)
+def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINEAR MULTI-TOUCH ATTRIBUTION: each purchase splits one unit of
+    credit equally across ALL of the user's views in the preceding hour
+    (the fractional-credit generalization of the as-of last-touch join,
+    C10), rolled up to credit per view-day. The touch set is the same
+    watermark-bounded join shape as the stream-stream join; per-purchase
+    credit 1/k uses the scaled-integer term sum so the day rollup is an
+    exact int64 SUM (a float SUM of 1/k terms would be summation-order
+    dependent)."""
+    ev = load_table(spark, sf_dir, "events")
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("buy_id"),
+        "user_id",
+        F.col("ts").alias("buy_ts"),
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("view_id"),
+        F.col("user_id").alias("v_user_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    touch = buys.join(
+        views,
+        (F.col("v_user_id") == F.col("user_id"))
+        & (F.col("view_ts") <= F.col("buy_ts"))
+        & (F.col("view_ts") >= F.col("buy_ts") - F.expr("INTERVAL 1 HOUR")),
+    ).select(
+        "buy_id",
+        F.datediff(
+            F.col("view_ts").cast("date"), F.lit("1970-01-01").cast("date")
+        )
+        .cast("long")
+        .alias("d"),
+    )
+    k = touch.groupBy("buy_id").agg(F.count(F.lit(1)).alias("n_touch"))
+    credit = touch.join(F.broadcast(k), "buy_id").select(
+        "d",
+        F.round(F.lit(1000000000.0) / F.col("n_touch"), 0)
+        .cast("long")
+        .alias("credit_scaled"),
+    )
+    return credit.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_touches"),
+        (F.sum("credit_scaled").cast("double") / 1000000000.0).alias(
+            "attributed_purchases"
+        ),
+    )

@@ -835,3 +835,92 @@ def stream_click_view_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("m")
     )
+
+
+# --------------------------------------------------------------------------
+# Streaming CDC upsert: foreachBatch MERGE into the copy-on-write table
+# --------------------------------------------------------------------------
+_SMERGE_ORACLE = """
+WITH latest AS (
+  SELECT user_id, event_type, ts, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id, event_type AS last_type,
+       CAST(COUNT(*) OVER () AS BIGINT) AS n_users
+FROM latest WHERE rn = 1
+"""
+
+
+@workload("stream_cdc_merge_upsert", oracle=_SMERGE_ORACLE)
+def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING CDC UPSERT — the online MERGE: each micro-batch reduces
+    to one row per key (latest by event time, the C68 CDC shape) and
+    foreachBatch applies it to a copy-on-write table via cow_merge, so
+    the table always holds each user's LATEST state ("current state"
+    materialization from a changelog). Batch-internal dedup keeps the
+    merge idempotent per key; replaying the stream converges to the same
+    table. The final table must equal the batch "latest row per user"
+    oracle exactly. (The n_users window is over the 150-row final state,
+    not the stream.)"""
+    import os
+    import shutil
+
+    from pyspark.sql.window import Window as W
+
+    from sample_data_pipeline_project_spark.sources.cow import cow_merge
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        stream_events,
+    )
+
+    repo_root = os.path.dirname(
+        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    )
+    path = os.path.join(repo_root, "spark-warehouse", "stream_cdc_state")
+    shutil.rmtree(path, ignore_errors=True)
+    ckpt = os.path.join(repo_root, "spark-warehouse", "stream_cdc_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    # seed an empty target with the state schema
+    empty = spark.createDataFrame(
+        [], "user_id long, event_type string, ts timestamp_ntz, value double"
+    )
+    empty.write.mode("overwrite").parquet(path)
+
+    ev = stream_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "value", "event_id"
+    )
+
+    def apply_batch(batch_df, batch_id):
+        w = W.partitionBy("user_id").orderBy(
+            F.col("ts").desc(), F.col("event_id").desc()
+        )
+        latest = (
+            batch_df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(
+                "user_id",
+                "event_type",
+                F.col("ts").cast("timestamp_ntz").alias("ts"),
+                "value",
+            )
+        )
+        cow_merge(batch_df.sparkSession, path, latest, key_cols=["user_id"])
+
+    q = (
+        ev.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    q.stop()
+
+    state = spark.read.parquet(path)
+    n = state.count()
+    return state.select(
+        "user_id",
+        F.col("event_type").alias("last_type"),
+        F.lit(n).cast("long").alias("n_users"),
+    )
