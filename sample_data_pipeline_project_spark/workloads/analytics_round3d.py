@@ -1479,3 +1479,95 @@ def stats_kaplan_meier_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.exp(F.col("cumln").cast("double") / 1000000000.0), 9
         ).alias("survival"),
     )
+
+
+# --------------------------------------------------------------------------
+# Class-centroid distance matrix over quantized embeddings
+# --------------------------------------------------------------------------
+_CENT_Q = 262144  # 2^18 quantization grid (the C79 Gram convention)
+_CENT_SCALE = 10_000  # scaled-int sum grid for per-dim distance terms
+
+_CENT_ORACLE = f"""
+WITH q AS (
+  SELECT label, d - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * {_CENT_Q}) AS BIGINT)
+           AS qv
+  FROM embeddings
+  CROSS JOIN unnest(range(1, len(embedding) + 1)) AS r(d)
+),
+s AS (
+  SELECT label, dim, SUM(qv) AS sq, COUNT(*) AS n
+  FROM q GROUP BY label, dim
+),
+terms AS (
+  SELECT a.label AS label_a, b.label AS label_b,
+         CAST(ROUND(
+           (CAST(a.sq * b.n - b.sq * a.n AS DOUBLE)
+            / CAST(a.n * b.n AS DOUBLE))
+           * (CAST(a.sq * b.n - b.sq * a.n AS DOUBLE)
+              / CAST(a.n * b.n AS DOUBLE))
+           / {_CENT_Q}.0 / {_CENT_Q}.0 * {_CENT_SCALE}.0, 0) AS BIGINT)
+           AS term_scaled
+  FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+)
+SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+       CAST(SUM(term_scaled) AS DOUBLE) / {_CENT_SCALE}.0 AS dist2
+FROM terms GROUP BY label_a, label_b
+"""
+
+
+@workload("embedding_centroid_distances", oracle=_CENT_ORACLE)
+def embedding_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CLASS-SEPARATION audit: pairwise squared distances between label
+    centroids of the embedding table — the embedding-quality screen
+    ("are classes separable at all") run before spending on ANN indexes.
+    Embeddings quantize to the C79 2^18 integer grid map-side (explicit
+    FLOOR on both engines — never a bare float->int cast), so per-label
+    per-dim sums are EXACT ints and the centroid difference
+    (sa*nb - sb*na)/(na*nb) is one controlled float division; per-dim
+    terms use the scaled-integer sum. Shuffles carry (label x dim) cells
+    only — |labels|*dims rows, never raw vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label", F.posexplode("embedding").alias("dim", "x")
+    ).select(
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * _CENT_Q).cast("long").alias("qv"),
+    )
+    s = q.groupBy("label", "dim").agg(
+        F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    a = s.alias("a")
+    b = s.alias("b")
+    diff = (
+        F.col("a.sq") * F.col("b.n") - F.col("b.sq") * F.col("a.n")
+    ).cast("double") / (F.col("a.n") * F.col("b.n")).cast("double")
+    term = (
+        F.round(
+            diff * diff / _CENT_Q / _CENT_Q * _CENT_SCALE,
+            0,
+        )
+        .cast("long")
+        .alias("term_scaled")
+    )
+    terms = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim"))
+        & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        term,
+    )
+    return (
+        terms.groupBy("label_a", "label_b")
+        .agg(
+            (F.sum("term_scaled").cast("double") / _CENT_SCALE).alias("dist2")
+        )
+        .select(
+            F.col("label_a").cast("long"),
+            F.col("label_b").cast("long"),
+            "dist2",
+        )
+    )

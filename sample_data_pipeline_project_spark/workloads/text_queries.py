@@ -1575,3 +1575,75 @@ def stats_cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("agree").cast("long").alias("n_agree"),
         kappa.alias("kappa"),
     )
+
+
+# --------------------------------------------------------------------------
+# Flesch reading-ease readability score
+# --------------------------------------------------------------------------
+# DuckDB parses bare decimal literals as DECIMAL (1-ulp double hazard, the
+# C94 lesson) -> constants ride as CAST('<repr>' AS DOUBLE) in the oracle.
+_FLESCH_ORACLE = """
+WITH m AS (
+  SELECT doc_id,
+         GREATEST(len(list_filter(string_split_regex(lower(trim(text)),
+                  '\\s+'), t -> t != '')), 1) AS words,
+         GREATEST(len(list_filter(string_split_regex(text, '[.!?]+'),
+                  s -> trim(s) != '')), 1) AS sentences,
+         GREATEST(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1)
+           AS syllables
+  FROM documents
+)
+SELECT doc_id, CAST(words AS BIGINT) AS words,
+       CAST(sentences AS BIGINT) AS sentences,
+       CAST(syllables AS BIGINT) AS syllables,
+       CAST('206.835' AS DOUBLE)
+       - CAST('1.015' AS DOUBLE)
+         * (CAST(words AS DOUBLE) / CAST(sentences AS DOUBLE))
+       - CAST('84.6' AS DOUBLE)
+         * (CAST(syllables AS DOUBLE) / CAST(words AS DOUBLE))
+         AS flesch
+FROM m
+"""
+
+
+@workload("text_readability_flesch", oracle=_FLESCH_ORACLE)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLESCH READING-EASE per document — the classic readability quality
+    signal (very low scores flag legalese/boilerplate; implausibly high
+    ones flag word-salad). Words from the shared whitespace tokenizer,
+    sentences from a [.!?]+ split (empty fragments dropped), syllables
+    approximated as vowel-group runs — all pure counting in JVM-side
+    regex (the char classes behave identically under Java regex and
+    RE2), clamped to >= 1 so the two divisions are total; the formula's
+    constants are shortest-round-trip literals bound identically on both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    words = F.greatest(
+        F.expr(
+            "size(filter(split(lower(trim(text)), '\\\\s+'), t -> t != ''))"
+        ),
+        F.lit(1),
+    )
+    sentences = F.greatest(
+        F.expr("size(filter(split(text, '[.!?]+'), s -> trim(s) != ''))"),
+        F.lit(1),
+    )
+    syllables = F.greatest(
+        F.expr("regexp_count(lower(text), '[aeiouy]+')"), F.lit(1)
+    )
+    m = d.select(
+        "doc_id",
+        words.cast("long").alias("words"),
+        sentences.cast("long").alias("sentences"),
+        syllables.cast("long").alias("syllables"),
+    )
+    flesch = (
+        F.lit(206.835)
+        - F.lit(1.015)
+        * (F.col("words").cast("double") / F.col("sentences").cast("double"))
+        - F.lit(84.6)
+        * (F.col("syllables").cast("double") / F.col("words").cast("double"))
+    )
+    return m.select(
+        "doc_id", "words", "sentences", "syllables", flesch.alias("flesch")
+    )
