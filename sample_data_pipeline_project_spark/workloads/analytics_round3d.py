@@ -1571,3 +1571,67 @@ def embedding_centroid_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
             "dist2",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Fano-factor burstiness of daily event volume per type
+# --------------------------------------------------------------------------
+_FANO_ORACLE = """
+WITH daily AS (
+  SELECT event_type,
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         COUNT(*) AS y
+  FROM events GROUP BY 1, 2
+),
+s AS (
+  SELECT event_type, COUNT(*) AS n, SUM(y) AS sy, SUM(y * y) AS syy
+  FROM daily GROUP BY event_type
+)
+SELECT event_type, CAST(n AS BIGINT) AS n_days,
+       CAST(sy AS BIGINT) AS n_events,
+       ((CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))
+        / (CAST(n AS DOUBLE) * CAST(n - 1 AS DOUBLE)))
+       / (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS fano
+FROM s
+"""
+
+
+@workload("timeseries_fano_burstiness", oracle=_FANO_ORACLE)
+def timeseries_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FANO-FACTOR BURSTINESS per event type: variance-to-mean ratio of
+    the daily count series — the dispersion screen that separates
+    Poisson-like steady traffic (F ~ 1) from bursty/batchy arrivals
+    (F >> 1) before alerting thresholds are set. One keyed daily
+    aggregate, then exact int sufficient statistics (n, Sy, Syy) per
+    type; sample variance and mean combine as identical-textual-order
+    float expressions (the C85 pattern applied to counts)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.select(
+            "event_type",
+            F.datediff(
+                F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+            )
+            .cast("long")
+            .alias("d"),
+        )
+        .groupBy("event_type", "d")
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    s = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    var = (
+        F.col("n").cast("double") * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    ) / (F.col("n").cast("double") * (F.col("n") - 1).cast("double"))
+    mean = F.col("sy").cast("double") / F.col("n").cast("double")
+    return s.select(
+        "event_type",
+        F.col("n").cast("long").alias("n_days"),
+        F.col("sy").cast("long").alias("n_events"),
+        (var / mean).alias("fano"),
+    )

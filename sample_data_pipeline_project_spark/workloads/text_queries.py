@@ -1647,3 +1647,60 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "doc_id", "words", "sentences", "syllables", flesch.alias("flesch")
     )
+
+
+# --------------------------------------------------------------------------
+# Feature-hashing trick: fixed-dim sparse token features per document
+# --------------------------------------------------------------------------
+_FH_BUCKETS = 64
+
+_FH_BUCKET_EXPR = md5_prefix_uint32_sql("'fh|' || tok") + f" % {_FH_BUCKETS}"
+
+_FH_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+),
+bt AS (
+  SELECT doc_id, {_FH_BUCKET_EXPR} AS bucket, COUNT(*) AS cnt
+  FROM toks WHERE tok != ''
+  GROUP BY doc_id, {_FH_BUCKET_EXPR}
+)
+SELECT doc_id,
+       list_sort(list(bucket)) AS buckets,
+       list(cnt ORDER BY bucket) AS counts,
+       CAST(COUNT(*) AS BIGINT) AS nnz
+FROM bt GROUP BY doc_id
+"""
+
+
+@workload("features_hashing_trick", oracle=_FH_ORACLE)
+def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FEATURE HASHING (the hashing trick): each document's token counts
+    folded into a FIXED {b}-bucket sparse vector via the portable
+    md5-u32 bucket hash — the vocabulary-free featurization that needs no
+    dictionary broadcast or vocabulary shuffle at any corpus size.
+    Output is the sparse encoding as two PARALLEL SORTED ARRAYS
+    (buckets asc, aligned counts) — arrays of primitives hash portably
+    across both engines (struct arrays would not: DuckDB renders structs
+    as dicts). Shuffle is keyed (doc, bucket), bounded by docs x {b}."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(tokens("text")).alias("tok")
+    ).filter(F.col("tok") != "")
+    bt = (
+        toks.select("doc_id", F.expr(_FH_BUCKET_EXPR).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    pairs = bt.groupBy("doc_id").agg(
+        F.expr(
+            "transform(array_sort(collect_list(struct(bucket, cnt))),"
+            " x -> x.bucket)"
+        ).alias("buckets"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(bucket, cnt))),"
+            " x -> x.cnt)"
+        ).alias("counts"),
+        F.count(F.lit(1)).cast("long").alias("nnz"),
+    )
+    return pairs.select("doc_id", "buckets", "counts", "nnz")
