@@ -1432,3 +1432,95 @@ def events_linear_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             "attributed_purchases"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# Trailing-week distinct actives via mergeable HLL day-sketches
+# --------------------------------------------------------------------------
+_HWAU_TOL = 0.05
+
+_HWAU_ORACLE = """
+WITH du AS (
+  SELECT DISTINCT
+         date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d,
+         user_id
+  FROM events
+),
+days AS (SELECT DISTINCT d FROM du),
+offsets AS (SELECT unnest(range(0, 7)) AS o),
+wau AS (
+  SELECT t.d, COUNT(DISTINCT u.user_id) AS exact_wau
+  FROM days t
+  JOIN offsets o ON TRUE
+  JOIN du u ON u.d = t.d - o.o
+  GROUP BY t.d
+)
+SELECT CAST(d AS BIGINT) AS d, CAST(exact_wau AS BIGINT) AS exact_wau,
+       TRUE AS approx_ok
+FROM wau
+"""
+
+
+@workload("sketch_hll_trailing_wau", oracle=_HWAU_ORACLE)
+def sketch_hll_trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE SCALABLE WAU: trailing-7-day distinct actives from MERGEABLE
+    per-day HLL sketches — one day-keyed sketch build over the raw
+    stream, then the 7-day window is a union of SEVEN DAY-SKETCH ROWS
+    (hll_union_agg over the offsets fan-out of the tiny day-sketch
+    table), instead of re-fanning the raw user-day data 7x the way the
+    exact form (C121) must. This is the shape that survives 100 TB and
+    arbitrary window lengths: window cost is O(days x sketch), data
+    cost is one pass. Estimates are implementation-defined, so the
+    hashed projection carries the exact WAU plus a 5%-relative-error
+    certification boolean (the C4/HLL pattern); the estimate itself is
+    checked, not hashed."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.datediff(
+        F.col("ts").cast("date"), F.lit("1970-01-01").cast("date")
+    ).cast("long")
+    sketches = (
+        ev.select(day.alias("d"), "user_id")
+        .groupBy("d")
+        .agg(F.expr("hll_sketch_agg(user_id, 14)").alias("sketch"))
+    )
+    offsets = ev.sparkSession.range(0, 7).select(F.col("id").alias("o"))
+    merged = (
+        sketches.select("d")
+        .crossJoin(F.broadcast(offsets))
+        .join(
+            F.broadcast(
+                sketches.select(
+                    F.col("d").alias("sd"), F.col("sketch").alias("sk")
+                )
+            ),
+            F.col("sd") == F.col("d") - F.col("o"),
+        )
+        .groupBy("d")
+        .agg(
+            F.expr("hll_sketch_estimate(hll_union_agg(sk, true))").alias(
+                "approx_wau"
+            )
+        )
+    )
+    # exact WAU (the C121 fan-out) for certification only
+    du = (
+        ev.select(day.alias("ud"), "user_id").distinct()
+    )
+    exact = (
+        sketches.select("d")
+        .crossJoin(F.broadcast(offsets))
+        .join(du, F.col("ud") == F.col("d") - F.col("o"))
+        .groupBy("d")
+        .agg(F.count_distinct("user_id").alias("exact_wau"))
+    )
+    return (
+        exact.join(merged, "d")
+        .select(
+            F.col("d").cast("long"),
+            F.col("exact_wau").cast("long"),
+            (
+                F.abs(F.col("approx_wau") - F.col("exact_wau"))
+                <= _HWAU_TOL * F.col("exact_wau")
+            ).alias("approx_ok"),
+        )
+    )
