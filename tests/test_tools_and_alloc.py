@@ -1,0 +1,89 @@
+"""Guards for tools/scale_probe.py and the largest-remainder allocation."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_scale_probe_names_are_registered():
+    """Every workload the scale probe times must exist in the registry —
+    a renamed workload would otherwise break the probe at runtime."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "scale_probe", "/root/repo/tools/scale_probe.py"
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    from sample_data_pipeline_project_spark.workloads import load_all
+
+    registry = load_all()
+    missing = [n for n in mod.PROBE if n not in registry]
+    assert missing == [], missing
+
+
+def _hamilton(shares: list[int], total: int) -> list[int]:
+    """Reference largest-remainder allocation (deterministic tiebreak by
+    index ascending on equal remainders)."""
+    s = sum(shares)
+    floors = [(v * total) // s for v in shares]
+    rems = [(v * total) % s for v in shares]
+    missing = total - sum(floors)
+    order = sorted(range(len(shares)), key=lambda i: (-rems[i], i))
+    out = list(floors)
+    for i in order[:missing]:
+        out[i] += 1
+    return out
+
+
+def test_hamilton_reference_properties():
+    import random
+
+    rnd = random.Random(3)
+    for _ in range(50):
+        n = rnd.randrange(2, 8)
+        shares = [rnd.randrange(1, 10_000) for _ in range(n)]
+        total = rnd.randrange(10, 1_000_000)
+        alloc = _hamilton(shares, total)
+        s = sum(shares)
+        # exact-total and quota properties (each within 1 unit of the
+        # exact proportional entitlement)
+        assert sum(alloc) == total
+        for v, a in zip(shares, alloc):
+            exact = v * total / s
+            assert exact - 1 < a < exact + 1, (v, a, exact)
+
+
+def test_spark_allocation_matches_reference(spark):
+    """The workload's DIV/MOD + remainder-rank formulation must equal the
+    sequential reference on a controlled input."""
+    from pyspark.sql.window import Window as W
+
+    shares = [7, 13, 29, 51, 100]
+    total = 1_000
+    rows = [(0, f"s{i}", v) for i, v in enumerate(shares)]
+    rev = spark.createDataFrame(rows, "nk long, segment string, seg_cents long")
+    tot = rev.groupBy("nk").agg(F.sum("seg_cents").alias("nation_cents"))
+    q = rev.join(tot, "nk").select(
+        "nk",
+        "segment",
+        F.expr(f"seg_cents * {total} DIV nation_cents").alias("floor_units"),
+        ((F.col("seg_cents") * total) % F.col("nation_cents")).alias("rem"),
+    )
+    short = q.groupBy("nk").agg(
+        (F.lit(total) - F.sum("floor_units")).alias("missing")
+    )
+    w = W.partitionBy("nk").orderBy(F.col("rem").desc(), F.col("segment").asc())
+    ranked = q.join(short, "nk").withColumn("rr", F.row_number().over(w))
+    got = {
+        r["segment"]: r["alloc"]
+        for r in ranked.select(
+            "segment",
+            (
+                F.col("floor_units")
+                + F.when(F.col("rr") <= F.col("missing"), 1).otherwise(0)
+            ).alias("alloc"),
+        ).collect()
+    }
+    want = dict(zip([f"s{i}" for i in range(len(shares))], _hamilton(shares, total)))
+    assert got == want
