@@ -1635,3 +1635,66 @@ def timeseries_fano_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").cast("long").alias("n_events"),
         (var / mean).alias("fano"),
     )
+
+
+# --------------------------------------------------------------------------
+# Z-set (signed-multiplicity) incremental maintenance with retractions
+# --------------------------------------------------------------------------
+_ZSET_CUTOFF = "2024-01-15"
+_ZSET_DEL_MOD = 10
+_ZSET_DEL_RESIDUE = 3
+
+_ZSET_ORACLE = f"""
+WITH net AS (
+  SELECT * FROM events
+  WHERE NOT (CAST(ts AS DATE) < DATE '{_ZSET_CUTOFF}'
+             AND event_id % {_ZSET_DEL_MOD} = {_ZSET_DEL_RESIDUE})
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM net GROUP BY event_type
+"""
+
+
+@workload("incremental_zset_maintenance", oracle=_ZSET_ORACLE)
+def incremental_zset_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-SET INCREMENTAL MAINTENANCE — the RETRACTION algebra (DBSP /
+    differential-dataflow style) that C6's append-only merge can't
+    express: the changelog carries SIGNED multiplicities (+1 insert,
+    -1 delete), and any linear aggregate is maintained by summing
+    weighted contributions — deletes are just negative rows, no
+    rewriting, no reprocessing of the base. Here the standing state (all
+    events), a delete batch (every {m}th early event retracted), and the
+    maintained view combine as ONE weighted aggregate: COUNT becomes
+    SUM(w), SUM(value) becomes SUM(w * value_dec), both exact (DECIMAL
+    partials). The oracle recomputes from the NET row set — equality
+    proves the retraction algebra is lossless. Scale shape: changelogs
+    are delta-sized; each maintenance tick is a map-side-combinable
+    aggregate over the delta merged with aggregate-sized state."""
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = F.lit(_ZSET_CUTOFF).cast("date")
+    inserts = ev.select(
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        F.lit(1).alias("w"),
+    )
+    deletes = (
+        ev.filter(
+            (F.col("ts").cast("date") < cutoff)
+            & (F.col("event_id") % _ZSET_DEL_MOD == _ZSET_DEL_RESIDUE)
+        )
+        .select(
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+            F.lit(-1).alias("w"),
+        )
+    )
+    changelog = inserts.unionByName(deletes)
+    return (
+        changelog.groupBy("event_type")
+        .agg(
+            F.sum("w").cast("long").alias("n_events"),
+            F.sum(F.col("w") * F.col("v")).cast("double").alias("sum_value"),
+        )
+    )
