@@ -1698,3 +1698,101 @@ def incremental_zset_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("w") * F.col("v")).cast("double").alias("sum_value"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-set JOIN maintenance: the bilinear delta rule with retractions
+# --------------------------------------------------------------------------
+# Deterministic change scenario:
+#   orders: keys %7==3 arrive LATE (excluded from base, +1 in dO);
+#           keys %7==2 are RETRACTED (-1 in dO)
+#   customer: keys %5==0 MOVE to nation (nk+1)%25 (-1 old row, +1 new row)
+_ZJ_ORACLE = """
+WITH net_o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price_dec
+  FROM orders WHERE o_orderkey % 7 != 2
+),
+net_c AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 5 = 0 THEN (c_nationkey + 1) % 25
+              ELSE c_nationkey END AS nk
+  FROM customer
+)
+SELECT CAST(c.nk AS BIGINT) AS nk,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(o.price_dec) AS DOUBLE) AS revenue
+FROM net_o o JOIN net_c c ON o.o_custkey = c.c_custkey
+GROUP BY c.nk
+"""
+
+
+@workload("incremental_zset_join_maintenance", oracle=_ZJ_ORACLE)
+def incremental_zset_join_maintenance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Z-SET JOIN MAINTENANCE — the BILINEAR delta rule
+    d(A |><| B) = dA |><| B + A |><| dB + dA |><| dB with signed
+    multiplicities on BOTH sides (C96 covered the static-dimension
+    special case; C131 the linear-aggregate case). The scenario retracts
+    some orders, adds late-arriving ones, AND moves some customers to a
+    new nation (a -1/+1 pair in dC); the maintained revenue-per-nation
+    view is the standing view PLUS three delta-term aggregates, each
+    join carrying weight w_o * w_c, merged by re-aggregating partials.
+    Every term's join is delta-sized on at least one side except the
+    standing view (computed once); weights make COUNT = SUM(w) and
+    SUM = SUM(w * price_dec), both exact. The oracle recomputes from the
+    net tables — equality proves the bilinear expansion lossless."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("o_totalprice").cast("decimal(18,2)").alias("price_dec"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.col("c_nationkey").alias("nk"),
+        "c_custkey",
+    )
+    base_o = o.filter(F.col("o_orderkey") % 7 != 3).withColumn("wo", F.lit(1))
+    d_o = (
+        o.filter(F.col("o_orderkey") % 7 == 3).withColumn("wo", F.lit(1))
+    ).unionByName(
+        o.filter(F.col("o_orderkey") % 7 == 2).withColumn("wo", F.lit(-1))
+    )
+    base_c = c.select("o_custkey", "nk").withColumn("wc", F.lit(1))
+    movers = c.filter(F.col("c_custkey") % 5 == 0)
+    d_c = (
+        movers.select("o_custkey", "nk").withColumn("wc", F.lit(-1))
+    ).unionByName(
+        movers.select(
+            "o_custkey", ((F.col("nk") + 1) % 25).alias("nk")
+        ).withColumn("wc", F.lit(1))
+    )
+
+    def term(ods: DataFrame, cds: DataFrame) -> DataFrame:
+        j = ods.join(cds, "o_custkey")
+        w = F.col("wo") * F.col("wc")
+        return j.groupBy("nk").agg(
+            F.sum(w).alias("n_orders"),
+            F.sum(w.cast("decimal(18,2)") * F.col("price_dec")).alias(
+                "rev_dec"
+            ),
+        )
+
+    merged = (
+        term(base_o, base_c)
+        .unionByName(term(d_o, base_c))
+        .unionByName(term(base_o, d_c))
+        .unionByName(term(d_o, d_c))
+        .groupBy("nk")
+        .agg(
+            F.sum("n_orders").alias("n_orders"),
+            F.sum("rev_dec").alias("rev_dec"),
+        )
+        .filter(F.col("n_orders") != 0)
+    )
+    return merged.select(
+        F.col("nk").cast("long"),
+        F.col("n_orders").cast("long"),
+        F.col("rev_dec").cast("double").alias("revenue"),
+    )
