@@ -16,6 +16,7 @@ from sample_data_pipeline_project_spark.operators.dedup import (
     simhash_pairs,
 )
 from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.sources.scratch import scratch_dir
 from sample_data_pipeline_project_spark.workloads import workload
 
 _DUCK_TOKS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
@@ -404,10 +405,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     base = d.filter(F.col("doc_id") % _INC_DELTA_MOD != 0)
     delta = d.filter(F.col("doc_id") % _INC_DELTA_MOD == 0)
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    store = os.path.join(repo_root, "spark-warehouse", "minhash_sig_store")
+    store = scratch_dir("minhash_sig_store")
     minhash_signatures(base, _NUM_HASHES).write.mode("overwrite").parquet(store)
     base_sigs = spark.read.parquet(store)
     return minhash_lsh_candidates_incremental(

@@ -32,6 +32,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.sources.scratch import scratch_dir
 from sample_data_pipeline_project_spark.workloads import workload
 
 _CENTS = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
@@ -447,11 +448,7 @@ def source_csv_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    root = os.path.join(repo_root, "spark-warehouse", "fmt_roundtrip")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("fmt_roundtrip")
 
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
@@ -508,11 +505,7 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         write_table,
     )
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    root = os.path.join(repo_root, "spark-warehouse", "fmt_orc_roundtrip")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("fmt_orc_roundtrip")
 
     src = load_table(spark, sf_dir, "orders").select(
         "o_orderstatus",
@@ -553,11 +546,7 @@ def nested_struct_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import shutil
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    path = os.path.join(repo_root, "spark-warehouse", "nested_events")
-    shutil.rmtree(path, ignore_errors=True)
+    path = scratch_dir("nested_events")
 
     ev = load_table(spark, sf_dir, "events")
     nested = ev.select(

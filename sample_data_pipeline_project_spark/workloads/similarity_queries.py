@@ -17,6 +17,7 @@ from sample_data_pipeline_project_spark.operators.similarity import (
     topk_cosine,
 )
 from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.sources.scratch import scratch_dir
 from sample_data_pipeline_project_spark.workloads import workload
 
 _K = 10
@@ -197,10 +198,7 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # under the repo's gitignored warehouse dir (absolute — the driver's
     # cwd is not guaranteed); rebuilt per invocation (the build IS part
     # of what this workload measures)
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    path = os.path.join(repo_root, "spark-warehouse", "ivf_index_workload")
+    path = scratch_dir("ivf_index_workload")
     build_ivf_index(corpus, path, k_clusters=8, max_iters=3)
     probed = ivf_index_topk(spark, path, q, _K, nprobe=2)
     inmem = kmeans_ivf_topk(

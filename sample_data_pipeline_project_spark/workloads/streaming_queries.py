@@ -13,6 +13,7 @@ from sample_data_pipeline_project_spark.streaming.eventtime import (
     run_stream_to_table,
     stream_events,
 )
+from sample_data_pipeline_project_spark.sources.scratch import scratch_dir
 from sample_data_pipeline_project_spark.workloads import workload
 
 # Batch oracle of the same aggregation (no n_users: exact COUNT(DISTINCT)
@@ -314,12 +315,8 @@ def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
             "int"
         ),
     )
-    # absolute, anchored at the repo (the driver's cwd is not guaranteed)
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    stage_root = os.path.join(repo_root, "spark-warehouse", "ooo_stage")
-    shutil.rmtree(stage_root, ignore_errors=True)
+    # absolute, anchored at the repo, per-process (sources/scratch.py)
+    stage_root = scratch_dir("ooo_stage")
     stage = f"{stage_root}/{uuid.uuid4().hex[:8]}"
     for b in range(nb):
         (
@@ -385,11 +382,7 @@ def stream_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from sample_data_pipeline_project_spark.sources.catalog import load_table
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    root = os.path.join(repo_root, "spark-warehouse", "stream_minhash")
-    shutil.rmtree(root, ignore_errors=True)
+    root = scratch_dir("stream_minhash")
     sig_store = f"{root}/sig_store"
     delta_src = f"{root}/delta_src"
     result = f"{root}/result"
@@ -874,13 +867,8 @@ def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         stream_events,
     )
 
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    path = os.path.join(repo_root, "spark-warehouse", "stream_cdc_state")
-    shutil.rmtree(path, ignore_errors=True)
-    ckpt = os.path.join(repo_root, "spark-warehouse", "stream_cdc_ckpt")
-    shutil.rmtree(ckpt, ignore_errors=True)
+    path = scratch_dir("stream_cdc_state")
+    ckpt = scratch_dir("stream_cdc_ckpt")
 
     # seed an empty target with the state schema
     empty = spark.createDataFrame(

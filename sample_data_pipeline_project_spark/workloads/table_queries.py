@@ -26,16 +26,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.sources.scratch import scratch_dir
 from sample_data_pipeline_project_spark.workloads import workload
 
 
 def _scratch(name: str) -> str:
-    repo_root = os.path.dirname(
-        os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    )
-    root = os.path.join(repo_root, "spark-warehouse", name)
-    shutil.rmtree(root, ignore_errors=True)
-    return root
+    return scratch_dir(name)
 
 
 # --------------------------------------------------------------------------
