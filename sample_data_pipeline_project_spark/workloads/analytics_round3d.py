@@ -1796,3 +1796,73 @@ def incremental_zset_join_maintenance(
         F.col("n_orders").cast("long"),
         F.col("rev_dec").cast("double").alias("revenue"),
     )
+
+
+# --------------------------------------------------------------------------
+# Diversity-constrained top-k (fair ranking with a per-group quota)
+# --------------------------------------------------------------------------
+_FAIR_TOP = 10
+_FAIR_QUOTA = 2
+
+_FAIR_ORACLE = f"""
+WITH ranked AS (
+  SELECT n.n_name AS nation, o.o_orderkey,
+         CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+           AS cents,
+         ROW_NUMBER() OVER (
+           PARTITION BY n.n_name
+           ORDER BY CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100
+                         AS BIGINT) DESC, o.o_orderkey ASC) AS rn
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+)
+SELECT nation, o_orderkey, cents
+FROM ranked WHERE rn <= {_FAIR_QUOTA}
+ORDER BY cents DESC, o_orderkey ASC
+LIMIT {_FAIR_TOP}
+"""
+
+
+@workload("window_fair_topk_quota", oracle=_FAIR_ORACLE)
+def window_fair_topk_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DIVERSITY-CONSTRAINED TOP-K: the global top-{k} highest-value
+    orders subject to AT MOST {q} per nation — the fair-ranking /
+    result-diversification shape (leaderboards, search result dedup by
+    domain, one-per-supplier quotas). Two-stage plan that scales: the
+    quota filter is a nation-PARTITIONED rank (never a global window)
+    that discards all but {q} rows per group map-side of the final
+    ordering, and the global cut is TakeOrderedAndProject over the
+    surviving |nations| x {q} rows; both stages fully tiebroken
+    (cents DESC, orderkey ASC)."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    n = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"),
+        F.col("n_name").alias("nation"),
+    )
+    j = (
+        o.join(F.broadcast(c), "o_custkey")
+        .join(F.broadcast(n), "c_nationkey")
+        .select(
+            "nation",
+            "o_orderkey",
+            (F.col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long")
+            .alias("cents"),
+        )
+    )
+    w = W.partitionBy("nation").orderBy(
+        F.col("cents").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        j.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _FAIR_QUOTA)
+        .select("nation", "o_orderkey", "cents")
+        .orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
+        .limit(_FAIR_TOP)
+    )
