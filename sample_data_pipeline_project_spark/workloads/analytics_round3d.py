@@ -1866,3 +1866,56 @@ def window_fair_topk_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cents").desc(), F.col("o_orderkey").asc())
         .limit(_FAIR_TOP)
     )
+
+
+# --------------------------------------------------------------------------
+# Deterministic epoch-shuffle plan (training-corpus shard + position map)
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.functions.text import (  # noqa: E402
+    md5_prefix_uint32_sql as _u32_sql,
+)
+
+_EPOCH_SHARDS = 8
+_EPOCH_KEY = _u32_sql("CAST(doc_id AS STRING)")
+
+_EPOCH_ORACLE = f"""
+WITH keyed AS (
+  SELECT doc_id,
+         {_EPOCH_KEY} AS shuffle_key
+  FROM documents
+)
+SELECT CAST(shuffle_key % {_EPOCH_SHARDS} AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (
+         PARTITION BY shuffle_key % {_EPOCH_SHARDS}
+         ORDER BY shuffle_key ASC, doc_id ASC) AS BIGINT) AS pos,
+       doc_id
+FROM keyed
+ORDER BY shard, pos
+"""
+
+
+@workload("train_epoch_shuffle_plan", oracle=_EPOCH_ORACLE)
+def train_epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DETERMINISTIC EPOCH SHUFFLE: assign every training document a
+    pseudorandom-but-reproducible (shard, position) — the "shuffle the
+    corpus between epochs" step of a training-data pipeline, seedable by
+    swapping the key expression. The shuffle key is the portable md5-u32
+    word (uniform over doc ids, identical in Spark SQL and DuckDB), shard
+    is key % 8, and position is a shard-PARTITIONED rank ordered by
+    (key, doc_id) — exactly the repartition-by-shard +
+    sortWithinPartitions layout a 100 TB corpus export would use: ONE
+    hash shuffle on shard, per-shard local sort, never a global window.
+    Epoch 2 is the same plan keyed on md5(doc_id || ':2')."""
+    docs = load_table(spark, sf_dir, "documents")
+    keyed = docs.select(
+        "doc_id", F.expr(_EPOCH_KEY).alias("shuffle_key")
+    )
+    shard = (F.col("shuffle_key") % _EPOCH_SHARDS).cast("long")
+    w = Window.partitionBy(shard).orderBy(
+        F.col("shuffle_key").asc(), F.col("doc_id").asc()
+    )
+    return keyed.select(
+        shard.alias("shard"),
+        F.row_number().over(w).cast("long").alias("pos"),
+        "doc_id",
+    ).orderBy("shard", "pos")
