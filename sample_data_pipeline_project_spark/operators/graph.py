@@ -295,3 +295,64 @@ def hits_bipartite(
         )
         hubs = _normalize(hubs, "hub")
     return hubs.select("hub", F.col("s").alias("hub_score"))
+
+
+def lpa_labels(
+    edges: DataFrame,
+    rounds: int,
+    a_col: str = "a",
+    b_col: str = "b",
+) -> DataFrame:
+    """Fixed-round synchronous label propagation (community detection).
+
+    Every vertex starts labeled with its own id; each round, every vertex
+    simultaneously adopts the MODE of its neighbors' labels with a
+    deterministic tiebreak (highest count, then smallest label). Unlike
+    the asynchronous LPA of Raghavan et al. 2007 — whose output depends
+    on visit order — the synchronous update with a total-order tiebreak
+    is a pure function of (edges, rounds), so a SQL oracle can unroll the
+    identical rounds and value-hash the labels (the pagerank_fixed /
+    kcore_peel contract).
+
+    Scale shape: each round is one edge-sized equi-join (neighbor-label
+    expansion), one (vertex, label) keyed count, and one
+    vertex-PARTITIONED rank window (never global); lineage is truncated
+    per round with an eager localCheckpoint. Vertices are derived from
+    the edge list, so every vertex has >= 1 neighbor and the mode is
+    total.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    from pyspark.sql.window import Window
+
+    e = (
+        edges.select(
+            F.least(F.col(a_col), F.col(b_col)).alias("a"),
+            F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    sym = (
+        e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+        .localCheckpoint(eager=True)
+    )
+    labels = sym.select(F.col("src").alias("vertex")).distinct().select(
+        "vertex", F.col("vertex").alias("label")
+    ).localCheckpoint(eager=True)
+    w = Window.partitionBy("vertex").orderBy(
+        F.col("n").desc(), F.col("label").asc()
+    )
+    for _ in range(rounds):
+        nb = sym.join(
+            labels.withColumnRenamed("vertex", "dst"), "dst"
+        ).select(F.col("src").alias("vertex"), "label")
+        cnt = nb.groupBy("vertex", "label").agg(F.count(F.lit(1)).alias("n"))
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vertex", "label")
+            .localCheckpoint(eager=True)
+        )
+    return labels

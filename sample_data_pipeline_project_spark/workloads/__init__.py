@@ -63,6 +63,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round3,
         analytics_round3c,
         analytics_round3d,
+        analytics_round4,
         asof_queries,
         curation_queries,
         dedup_queries,

@@ -1,0 +1,624 @@
+"""Round-4 workloads: robust statistics, mergeable exact sketches,
+collocation mining, and the correlated-subquery (decorrelation) surface.
+
+Scale notes (per the repo-wide plan contract):
+  - Theil-Sen runs its quadratic pair machinery over a CALENDAR-BOUNDED
+    daily aggregate (one month of days — at most 31 rows at any scale
+    factor), never over raw rows: the O(m^2) rank comparisons are bounded
+    by construction, the same tactic as C84's ACF and C123's triangular
+    joins. The only unbounded-input stage is the daily SUM, a keyed
+    aggregate.
+  - The bitmap-distinct blocks are mergeable exact sketches: 62 users per
+    BIGINT block, bit_or as the (commutative, map-side-combinable) merge.
+    Shuffle rows are |types| x |user_id_domain|/62 — a 62x reduction over
+    shuffling raw ids, and the roaring-bitmap shape for exact COUNT
+    DISTINCT at 100 TB.
+  - PMI top-k follows the C15 pattern exactly: TakeOrderedAndProject for
+    the global top-k (no global window), rank via a bounded k x k
+    self-join, with the ln() score pre-scaled to an exact BIGINT
+    (ROUND(.*1e9)) so library ulps cannot flip the sort order.
+  - The correlated-subquery workload feeds Catalyst's decorrelation
+    rewrites (RewriteCorrelatedScalarSubquery / RewritePredicateSubquery):
+    both scalar subqueries and the EXISTS become aggregate+join plans —
+    the optimizer surface itself is what the row certifies, with the
+    comparison kept in exact integer cross-products (cents*count vs sum)
+    so no AVG-typing divergence between engines can move the boundary.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.functions.text import tokens
+from sample_data_pipeline_project_spark.sources.catalog import (
+    load_table,
+    register_views,
+)
+from sample_data_pipeline_project_spark.workloads import workload
+
+_CENTS_O = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+# --------------------------------------------------------------------------
+# Theil-Sen robust slope (median of pairwise slopes, exact rational rank)
+# --------------------------------------------------------------------------
+_TS_START = "1995-01-01"
+_TS_END = "1995-02-01"
+
+_TS_ORACLE = f"""
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM({_CENTS_O}) AS BIGINT) AS v
+  FROM orders
+  WHERE CAST(o_orderdate AS DATE) >= DATE '{_TS_START}'
+    AND CAST(o_orderdate AS DATE) <  DATE '{_TS_END}'
+  GROUP BY 1
+),
+p AS (
+  SELECT a.d AS d1, b.d AS d2, b.v - a.v AS num, b.d - a.d AS den
+  FROM daily a JOIN daily b ON a.d < b.d
+),
+m AS (SELECT COUNT(*) AS n_pairs FROM p),
+nd AS (SELECT COUNT(*) AS n_days FROM daily),
+r AS (
+  SELECT p.d1, p.d2, p.num, p.den,
+         (SELECT COUNT(*) FROM p q
+           WHERE q.num * p.den < p.num * q.den
+              OR (q.num * p.den = p.num * q.den
+                  AND (q.d1 < p.d1 OR (q.d1 = p.d1 AND q.d2 < p.d2)))
+         ) AS cnt_less
+  FROM p
+)
+SELECT CAST(nd.n_days AS BIGINT) AS n_days,
+       CAST(m.n_pairs AS BIGINT) AS n_pairs,
+       CAST(r.d1 AS BIGINT) AS med_d1,
+       CAST(r.d2 AS BIGINT) AS med_d2,
+       CAST(r.num AS BIGINT) AS med_num,
+       CAST(r.den AS BIGINT) AS med_den,
+       CAST(r.num AS DOUBLE) / CAST(r.den AS DOUBLE) AS slope_cents_per_day
+FROM r CROSS JOIN m CROSS JOIN nd
+WHERE r.cnt_less = (m.n_pairs + 1) // 2 - 1
+"""
+
+
+@workload("stats_theil_sen_slope", oracle=_TS_ORACLE)
+def stats_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust slope of daily revenue over January 1995: the
+    median of all pairwise slopes (v2-v1)/(d2-d1) — the estimator with a
+    29% breakdown point that one outlier day cannot move (unlike the OLS
+    slope of C38). The median is selected EXACTLY, with no floats: slopes
+    compare as rationals by integer cross-multiplication (dens are
+    positive day gaps), ties broken by (d1, d2), and the lower median is
+    the pair whose strictly-less count equals (m+1)//2 - 1. The pair set
+    is calendar-bounded (<= 31 daily rows -> <= 465 pairs at ANY scale
+    factor), so the quadratic rank comparison is O(1) at 100 TB; only the
+    daily SUM touches raw rows."""
+    o = load_table(spark, sf_dir, "orders")
+    day = F.to_date("o_orderdate")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        o.filter((day >= F.lit(_TS_START)) & (day < F.lit(_TS_END)))
+        .groupBy(F.datediff(day, F.lit("1970-01-01")).alias("d"))
+        .agg(F.sum(cents).cast("long").alias("v"))
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    p = a.join(b, F.col("a.d") < F.col("b.d")).select(
+        F.col("a.d").alias("d1"),
+        F.col("b.d").alias("d2"),
+        (F.col("b.v") - F.col("a.v")).alias("num"),
+        (F.col("b.d") - F.col("a.d")).alias("den"),
+    )
+    m = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+    nd = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    lhs, rhs = p.alias("l"), p.alias("q")
+    less = (F.col("q.num") * F.col("l.den") < F.col("l.num") * F.col("q.den")) | (
+        (F.col("q.num") * F.col("l.den") == F.col("l.num") * F.col("q.den"))
+        & (
+            (F.col("q.d1") < F.col("l.d1"))
+            | ((F.col("q.d1") == F.col("l.d1")) & (F.col("q.d2") < F.col("l.d2")))
+        )
+    )
+    ranked = (
+        lhs.join(rhs, less, "left")
+        .groupBy(
+            F.col("l.d1").alias("d1"),
+            F.col("l.d2").alias("d2"),
+            F.col("l.num").alias("num"),
+            F.col("l.den").alias("den"),
+        )
+        .agg(F.count(F.col("q.d1")).alias("cnt_less"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(m))
+        .crossJoin(F.broadcast(nd))
+        .filter(F.col("cnt_less") == F.expr("(n_pairs + 1) div 2") - 1)
+        .select(
+            F.col("n_days").cast("long"),
+            F.col("n_pairs").cast("long"),
+            F.col("d1").cast("long").alias("med_d1"),
+            F.col("d2").cast("long").alias("med_d2"),
+            F.col("num").cast("long").alias("med_num"),
+            F.col("den").cast("long").alias("med_den"),
+            (F.col("num").cast("double") / F.col("den").cast("double")).alias(
+                "slope_cents_per_day"
+            ),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Bitmap-block exact distinct (roaring-bitmap shape, mergeable)
+# --------------------------------------------------------------------------
+_BM_ORACLE = """
+WITH blocks AS (
+  SELECT event_type,
+         user_id // 62 AS blk,
+         bit_or(CAST(1 AS BIGINT) << CAST(user_id % 62 AS INTEGER)) AS bits
+  FROM events
+  GROUP BY event_type, user_id // 62
+),
+agg AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS BIGINT) AS n_blocks,
+         CAST(SUM(bit_count(bits)) AS BIGINT) AS distinct_bitmap
+  FROM blocks GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct
+  FROM events GROUP BY event_type
+)
+SELECT a.event_type, a.n_blocks, a.distinct_bitmap,
+       a.distinct_bitmap = e.exact_distinct AS matches_exact
+FROM agg a JOIN exact e ON a.event_type = e.event_type
+"""
+
+
+@workload("sketch_bitmap_distinct", oracle=_BM_ORACLE)
+def sketch_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct users per event type via mergeable BITMAP BLOCKS
+    (the roaring-bitmap layout): each BIGINT block holds membership bits
+    for 62 consecutive user ids (positions 0-61 — the sign bit and bit 62
+    stay clear so shifted values never go negative on either engine), and
+    bit_or is the commutative map-side-combinable merge. The shuffle
+    carries |types| x ceil(|users|/62) block rows instead of raw
+    (type, user) pairs — the exact-COUNT-DISTINCT shape that scales where
+    HLL (C77/C130) trades exactness for even less state. The workload
+    certifies the sketch against the engine's COUNT(DISTINCT) in the same
+    row (matches_exact stated TRUE by both engines)."""
+    e = load_table(spark, sf_dir, "events")
+    blocks = e.groupBy(
+        "event_type", F.expr("user_id div 62").alias("blk")
+    ).agg(
+        F.expr(
+            "bit_or(shiftleft(CAST(1 AS BIGINT), CAST(user_id % 62 AS INT)))"
+        ).alias("bits")
+    )
+    agg = blocks.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.sum(F.bit_count("bits")).cast("long").alias("distinct_bitmap"),
+    )
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_distinct")
+    )
+    return agg.join(exact, "event_type").select(
+        "event_type",
+        "n_blocks",
+        "distinct_bitmap",
+        (F.col("distinct_bitmap") == F.col("exact_distinct")).alias("matches_exact"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PMI collocations (pointwise mutual information over adjacent bigrams)
+# --------------------------------------------------------------------------
+_PMI_TOP_K = 25
+_PMI_MIN_PAIR = 5
+
+_PMI_SCORE = (
+    "ln((CAST(n_pair AS DOUBLE) * CAST(n_uni AS DOUBLE) * CAST(n_uni AS DOUBLE))"
+    " / (CAST(n_big AS DOUBLE) * CAST(c1 AS DOUBLE) * CAST(c2 AS DOUBLE)))"
+)
+
+_PMI_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS t
+  FROM documents
+),
+uni AS (
+  SELECT unnest(t) AS w FROM toks
+),
+c_uni AS (SELECT w, COUNT(*) AS c FROM uni WHERE w != '' GROUP BY w),
+n_uni AS (SELECT CAST(SUM(c) AS BIGINT) AS n_uni FROM c_uni),
+bigrams AS (
+  SELECT unnest(t[1:len(t) - 1]) AS w1, unnest(t[2:len(t)]) AS w2
+  FROM toks
+),
+pair_counts AS (
+  SELECT w1, w2, COUNT(*) AS n_pair FROM bigrams
+  WHERE w1 != '' AND w2 != ''
+  GROUP BY w1, w2
+),
+n_big AS (SELECT CAST(SUM(n_pair) AS BIGINT) AS n_big FROM pair_counts),
+scored AS (
+  SELECT w1, w2, n_pair,
+         CAST(ROUND({_PMI_SCORE} * 1000000000.0, 0) AS BIGINT) AS pmi_scaled
+  FROM (
+    SELECT p.w1, p.w2, p.n_pair, u1.c AS c1, u2.c AS c2,
+           n_uni.n_uni, n_big.n_big
+    FROM pair_counts p
+    JOIN c_uni u1 ON p.w1 = u1.w
+    JOIN c_uni u2 ON p.w2 = u2.w
+    CROSS JOIN n_uni CROSS JOIN n_big
+    WHERE p.n_pair >= {_PMI_MIN_PAIR}
+  )
+),
+ranked AS (
+  SELECT w1, w2, n_pair, pmi_scaled,
+         ROW_NUMBER() OVER (ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC) AS rnk
+  FROM scored
+)
+SELECT w1, w2, CAST(n_pair AS BIGINT) AS n_pair, pmi_scaled,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_PMI_TOP_K}
+"""
+
+
+@workload("text_pmi_collocations", oracle=_PMI_ORACLE)
+def text_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COLLOCATION mining by pointwise mutual information: PMI(w1,w2) =
+    ln(p(w1,w2) / (p(w1)p(w2))) over adjacent in-order bigrams — the
+    classic phrase detector (Church & Hanks 1990; the word2vec phrase
+    pass uses the same statistic). Counts are exact integers; the ln()
+    score is pre-scaled to BIGINT (ROUND(.*1e9)) so the top-k ORDER is an
+    exact integer sort no libm ulp can flip. Top-{k} via
+    TakeOrderedAndProject + bounded k x k rank join (the C15 pattern —
+    no global window over the vocabulary^2 pair table); unigram marginals
+    join on the word key (vocabulary-sized, broadcast)."""
+    from sample_data_pipeline_project_spark.functions.text import word_bigrams
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(tokens("text").alias("__t"))
+    uni = (
+        toks.select(F.explode("__t").alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n_uni = uni.agg(F.sum("c").cast("long").alias("n_uni"))
+    pair_counts = (
+        toks.select(F.explode(word_bigrams("__t")).alias("b"))
+        .select("b.w1", "b.w2")
+        .filter((F.col("w1") != "") & (F.col("w2") != ""))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_pair"))
+    )
+    n_big = pair_counts.agg(F.sum("n_pair").cast("long").alias("n_big"))
+    scored = (
+        pair_counts.filter(F.col("n_pair") >= _PMI_MIN_PAIR)
+        .join(F.broadcast(uni.withColumnRenamed("w", "w1").withColumnRenamed("c", "c1")), "w1")
+        .join(F.broadcast(uni.withColumnRenamed("w", "w2").withColumnRenamed("c", "c2")), "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_big))
+        .select(
+            "w1",
+            "w2",
+            "n_pair",
+            F.round(F.expr(_PMI_SCORE) * 1000000000.0, 0)
+            .cast("long")
+            .alias("pmi_scaled"),
+        )
+    )
+    top = scored.orderBy(
+        F.col("pmi_scaled").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(_PMI_TOP_K)
+    lhs, rhs = top.alias("l"), top.alias("r")
+    ahead = (
+        (F.col("r.pmi_scaled") > F.col("l.pmi_scaled"))
+        | (
+            (F.col("r.pmi_scaled") == F.col("l.pmi_scaled"))
+            & (F.col("r.w1") < F.col("l.w1"))
+        )
+        | (
+            (F.col("r.pmi_scaled") == F.col("l.pmi_scaled"))
+            & (F.col("r.w1") == F.col("l.w1"))
+            & (F.col("r.w2") < F.col("l.w2"))
+        )
+    )
+    return (
+        lhs.join(rhs, ahead, "left")
+        .groupBy(
+            F.col("l.w1").alias("w1"),
+            F.col("l.w2").alias("w2"),
+            F.col("l.n_pair").alias("n_pair"),
+            F.col("l.pmi_scaled").alias("pmi_scaled"),
+        )
+        .agg((F.count(F.col("r.w1")) + 1).cast("long").alias("rnk"))
+        .select(
+            "w1", "w2", F.col("n_pair").cast("long"), "pmi_scaled", "rnk"
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Correlated subqueries (decorrelation surface): EXISTS + 2 scalar subqueries
+# --------------------------------------------------------------------------
+_CORR_SQL = f"""
+SELECT o.o_custkey AS custkey, COUNT(*) AS n_above_own_avg
+FROM orders o
+WHERE CAST(CAST(o.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+      * (SELECT COUNT(*) FROM orders o2 WHERE o2.o_custkey = o.o_custkey)
+      > (SELECT CAST(SUM(CAST(CAST(o3.o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT)
+         FROM orders o3 WHERE o3.o_custkey = o.o_custkey)
+  AND EXISTS (SELECT 1 FROM customer c
+              WHERE c.c_custkey = o.o_custkey AND c.c_mktsegment = 'BUILDING')
+GROUP BY o.o_custkey
+"""
+
+
+@workload("subquery_correlated_exists", oracle=_CORR_SQL)
+def subquery_correlated_exists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED-SUBQUERY surface: per BUILDING-segment customer, how
+    many of their orders exceed their OWN average order value — written
+    with two correlated scalar subqueries plus a correlated EXISTS, the
+    exact SQL text DuckDB runs as the oracle. Catalyst DECORRELATES both:
+    the scalar subqueries become a per-custkey aggregate joined back, the
+    EXISTS becomes a left-semi join — no per-row re-execution anywhere in
+    the physical plan (the optimizer rewrite is what this row certifies).
+    "Above own average" is compared in exact integer cross-products
+    (cents * count > sum_cents), so no AVG-typing difference between the
+    engines can move a boundary row."""
+    register_views(spark, sf_dir)
+    return spark.sql(_CORR_SQL)
+
+
+# --------------------------------------------------------------------------
+# Logistic regression, 3 fixed gradient-descent iterations (scaled-int sums)
+# --------------------------------------------------------------------------
+_LR_ITERS = 3
+
+_LR_FEAT = f"""
+feat AS (
+  SELECT CAST({_CENTS_O} AS DOUBLE) / 10000000.0 AS x1,
+         (CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE))
+               AS DOUBLE) - 9237.0) / 1200.0 AS x2,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1.0 ELSE 0.0 END AS y
+  FROM orders
+)"""
+
+
+def _lr_oracle() -> str:
+    parts = [_LR_FEAT + ",", "n AS (SELECT COUNT(*) AS n FROM feat),",
+             "w0cte AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2)"]
+    prev = "w0cte"
+    for i in range(1, _LR_ITERS + 1):
+        err = f"(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2))) - f.y)"
+        parts.append(f""",
+it{i} AS (
+  SELECT CAST(SUM(CAST(ROUND({err} * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s0,
+         CAST(SUM(CAST(ROUND({err} * f.x1 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s1,
+         CAST(SUM(CAST(ROUND({err} * f.x2 * 1000000000.0, 0) AS BIGINT)) AS BIGINT) AS s2
+  FROM feat f CROSS JOIN {prev} w
+),
+w{i}cte AS (
+  SELECT w.w0 - CAST(it{i}.s0 AS DOUBLE) / 1000000000.0 / CAST(n.n AS DOUBLE) AS w0,
+         w.w1 - CAST(it{i}.s1 AS DOUBLE) / 1000000000.0 / CAST(n.n AS DOUBLE) AS w1,
+         w.w2 - CAST(it{i}.s2 AS DOUBLE) / 1000000000.0 / CAST(n.n AS DOUBLE) AS w2
+  FROM {prev} w CROSS JOIN it{i} CROSS JOIN n
+)""")
+        prev = f"w{i}cte"
+    parts.append(f"""
+SELECT CAST(n.n AS BIGINT) AS n, w.w0, w.w1, w.w2,
+       (SELECT CAST(SUM(CASE WHEN ((w.w0 + w.w1 * f.x1 + w.w2 * f.x2) >= 0.0)
+                              = (f.y = 1.0)
+                        THEN 1 ELSE 0 END) AS BIGINT) FROM feat f) AS n_correct
+FROM {prev} w CROSS JOIN n""")
+    return "WITH " + "".join(parts)
+
+
+@workload("ml_logistic_regression_gd", oracle=_lr_oracle())
+def ml_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED ML TRAINING STEP: logistic regression (urgent-order
+    propensity from price + order date) trained by {k} fixed full-batch
+    gradient-descent iterations. Each iteration is ONE map-side-combinable
+    keyed aggregate: the per-row gradient terms (sigmoid(w.x) - y) * x_j
+    are pre-scaled to exact BIGINTs (ROUND(.*1e9) — the scaled-integer
+    term-sum tactic, absorbing exp() libm ulps), so the reduction is
+    order-independent int64 arithmetic and the updated weights are
+    bit-identical doubles on both engines. The driver carries only the
+    3-float weight vector between iterations (the MLlib shape: O(dims)
+    driver state, O(n) work distributed); the oracle unrolls the same
+    {k} iterations as chained CTEs. Final row: n, weights, and the
+    training-set accuracy count under the sign rule w.x >= 0."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    feat = o.select(
+        (cents.cast("double") / 10000000.0).alias("x1"),
+        ((day.cast("double") - 9237.0) / 1200.0).alias("x2"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("y"),
+    )
+    feat = feat.persist()
+    n = feat.count()
+    w = [0.0, 0.0, 0.0]
+    for _ in range(_LR_ITERS):
+        z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+        err = 1.0 / (1.0 + F.exp(-z)) - F.col("y")
+        row = feat.agg(
+            F.sum(F.round(err * 1000000000.0, 0).cast("long")).alias("s0"),
+            F.sum(F.round(err * F.col("x1") * 1000000000.0, 0).cast("long")).alias("s1"),
+            F.sum(F.round(err * F.col("x2") * 1000000000.0, 0).cast("long")).alias("s2"),
+        ).collect()[0]
+        # identical textual order to the oracle: (s / 1e9) / n, all doubles
+        w = [
+            w[j] - float(row[f"s{j}"]) / 1000000000.0 / float(n)
+            for j in range(3)
+        ]
+    z = F.lit(w[0]) + F.lit(w[1]) * F.col("x1") + F.lit(w[2]) * F.col("x2")
+    correct = F.when((z >= 0.0) == (F.col("y") == 1.0), 1).otherwise(0)
+    return feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.lit(w[0]).alias("w0"),
+        F.lit(w[1]).alias("w1"),
+        F.lit(w[2]).alias("w2"),
+        F.sum(correct).cast("long").alias("n_correct"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Multinomial naive Bayes language classifier (add-one smoothing)
+# --------------------------------------------------------------------------
+_NB_LN = (
+    "ln(CAST(c_wl + 1 AS DOUBLE) / CAST(n_l + v AS DOUBLE))"
+)
+
+_NB_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, lang, unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+  FROM documents
+),
+tk AS (SELECT doc_id, lang, tok FROM toks WHERE tok != ''),
+doc_toks AS (
+  SELECT doc_id, ANY_VALUE(lang) AS lang_true, tok, COUNT(*) AS c_dt
+  FROM tk GROUP BY doc_id, tok
+),
+stats AS (
+  SELECT lang, tok, COUNT(*) AS c_wl FROM tk GROUP BY lang, tok
+),
+lang_tot AS (SELECT lang, COUNT(*) AS n_l FROM tk GROUP BY lang),
+vocab AS (SELECT COUNT(DISTINCT tok) AS v FROM tk),
+doc_langs AS (SELECT DISTINCT lang FROM documents),
+prior AS (
+  SELECT lang, COUNT(*) AS nd_l FROM documents GROUP BY lang
+),
+nd AS (SELECT COUNT(*) AS nd FROM documents),
+prior_scaled AS (
+  SELECT lang,
+         CAST(ROUND(ln(CAST(nd_l AS DOUBLE) / CAST(nd AS DOUBLE))
+                    * 1000000000.0, 0) AS BIGINT) AS p_scaled
+  FROM prior CROSS JOIN nd
+),
+cells AS (
+  SELECT doc_id, lang_true, lang_cand,
+         c_dt * CAST(ROUND({_NB_LN} * 1000000000.0, 0) AS BIGINT) AS term
+  FROM (
+    SELECT d.doc_id, d.lang_true, l.lang AS lang_cand, d.c_dt,
+           COALESCE(s.c_wl, 0) AS c_wl, t.n_l, vocab.v
+    FROM doc_toks d
+    CROSS JOIN doc_langs l
+    LEFT JOIN stats s ON s.lang = l.lang AND s.tok = d.tok
+    JOIN lang_tot t ON t.lang = l.lang
+    CROSS JOIN vocab
+  )
+),
+scores AS (
+  SELECT c.doc_id, c.lang_true, c.lang_cand,
+         CAST(SUM(c.term) AS BIGINT) + p.p_scaled AS score
+  FROM cells c JOIN prior_scaled p ON p.lang = c.lang_cand
+  GROUP BY c.doc_id, c.lang_true, c.lang_cand, p.p_scaled
+),
+pred AS (
+  SELECT doc_id, lang_true, lang_cand AS lang_pred FROM (
+    SELECT doc_id, lang_true, lang_cand,
+           ROW_NUMBER() OVER (PARTITION BY doc_id
+                              ORDER BY score DESC, lang_cand ASC) AS rn
+    FROM scores
+  ) WHERE rn = 1
+)
+SELECT lang_true, lang_pred, CAST(COUNT(*) AS BIGINT) AS n_docs
+FROM pred GROUP BY lang_true, lang_pred
+"""
+
+
+@workload("ml_naive_bayes_langid", oracle=_NB_ORACLE)
+def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTINOMIAL NAIVE BAYES text classifier trained and evaluated on
+    the labeled corpus (the learned counterpart of the heuristic lang-ID
+    filter, C45): per-language token likelihoods with add-one smoothing,
+    per-doc log-posterior argmax, confusion matrix out. Every ln() term
+    is pre-scaled to an exact BIGINT (ROUND(.*1e9)) and multiplied by the
+    integer in-doc count AFTER scaling, so per-(doc, lang) scores are
+    exact int64 sums — argmax is an integer compare with a deterministic
+    (score DESC, lang ASC) tiebreak. Scale shape: training stats are
+    (lang, token)-keyed aggregates; scoring joins the doc-token table to
+    the |langs|-bounded candidate grid (constant fan-out) on the token
+    key; the per-doc argmax window is doc-partitioned over |langs| rows.
+    Train-on-test resubstitution is intentional (certifies the pipeline,
+    not generalization)."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tk = (
+        d.select("doc_id", "lang", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+    )
+    doc_toks = tk.groupBy("doc_id", "tok").agg(
+        F.first("lang").alias("lang_true"), F.count(F.lit(1)).alias("c_dt")
+    )
+    stats = tk.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c_wl"))
+    lang_tot = tk.groupBy("lang").agg(F.count(F.lit(1)).alias("n_l"))
+    vocab = tk.agg(F.countDistinct("tok").alias("v"))
+    doc_langs = d.select("lang").distinct().withColumnRenamed("lang", "lang_cand")
+    nd = d.agg(F.count(F.lit(1)).alias("nd"))
+    prior_scaled = (
+        d.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("nd_l"))
+        .crossJoin(F.broadcast(nd))
+        .select(
+            F.col("lang").alias("lang_cand"),
+            F.round(
+                F.log(F.col("nd_l").cast("double") / F.col("nd").cast("double"))
+                * 1000000000.0,
+                0,
+            )
+            .cast("long")
+            .alias("p_scaled"),
+        )
+    )
+    cells = (
+        doc_toks.crossJoin(F.broadcast(doc_langs))
+        .join(
+            stats.withColumnRenamed("lang", "lang_cand"),
+            ["lang_cand", "tok"],
+            "left",
+        )
+        .join(F.broadcast(lang_tot.withColumnRenamed("lang", "lang_cand")), "lang_cand")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_cand",
+            (
+                F.col("c_dt")
+                * F.round(
+                    F.log(
+                        (F.coalesce(F.col("c_wl"), F.lit(0)) + 1).cast("double")
+                        / (F.col("n_l") + F.col("v")).cast("double")
+                    )
+                    * 1000000000.0,
+                    0,
+                ).cast("long")
+            ).alias("term"),
+        )
+    )
+    scores = (
+        cells.groupBy("doc_id", "lang_true", "lang_cand")
+        .agg(F.sum("term").cast("long").alias("s"))
+        .join(F.broadcast(prior_scaled), "lang_cand")
+        .select(
+            "doc_id",
+            "lang_true",
+            "lang_cand",
+            (F.col("s") + F.col("p_scaled")).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("lang_cand").asc()
+    )
+    pred = (
+        scores.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("lang_true", F.col("lang_cand").alias("lang_pred"))
+    )
+    return pred.groupBy("lang_true", "lang_pred").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )

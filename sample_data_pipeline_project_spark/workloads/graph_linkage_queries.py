@@ -219,3 +219,200 @@ def graph_hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         auth_col="event_type",
         iters=2,
     ).select(F.col("hub").alias("user_id"), "hub_score")
+
+
+# --------------------------------------------------------------------------
+# Round 4: label-propagation communities over the cosine near-dup graph
+# --------------------------------------------------------------------------
+_LPA_THRESHOLD = 0.3
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    rounds_sql = []
+    prev = "l0"
+    for r in range(1, _LPA_ROUNDS + 1):
+        rounds_sql.append(f"""
+nb{r} AS (
+  SELECT s.src AS vertex, l.label
+  FROM sym s JOIN {prev} l ON s.dst = l.vertex
+),
+cnt{r} AS (
+  SELECT vertex, label, COUNT(*) AS n FROM nb{r} GROUP BY vertex, label
+),
+l{r} AS (
+  SELECT vertex, label FROM (
+    SELECT vertex, label,
+           ROW_NUMBER() OVER (PARTITION BY vertex
+                              ORDER BY n DESC, label ASC) AS rn
+    FROM cnt{r}
+  ) WHERE rn = 1
+)""")
+        prev = f"l{r}"
+    return f"""
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_LPA_THRESHOLD}
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM p
+  UNION ALL
+  SELECT b AS src, a AS dst FROM p
+),
+l0 AS (
+  SELECT DISTINCT src AS vertex, src AS label FROM sym
+),{",".join(rounds_sql)}
+SELECT CAST(vertex AS BIGINT) AS vertex, CAST(label AS BIGINT) AS label
+FROM {prev}
+"""
+
+
+@workload("graph_label_propagation", oracle=_lpa_oracle())
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMMUNITY DETECTION by synchronous label propagation
+    (operators/graph.py:lpa_labels), 3 fixed rounds over the cosine
+    near-dup graph: each vertex simultaneously adopts its neighbors'
+    mode label with the deterministic (count DESC, label ASC) tiebreak —
+    the community-structure complement to connected components (B2),
+    which merges everything touching, where LPA keeps weakly-bridged
+    clusters apart. Synchronous + total-order tiebreak makes the result
+    a pure function of (edges, rounds): the oracle unrolls the identical
+    3 rounds in SQL and value-hashes every label. Per round: one
+    edge-sized equi-join, one keyed count, one vertex-PARTITIONED rank
+    window (never global)."""
+    from sample_data_pipeline_project_spark.operators.graph import lpa_labels
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = neardup_cosine_pairs_blocked(emb, _LPA_THRESHOLD).select("a", "b")
+    return lpa_labels(edges, _LPA_ROUNDS).select(
+        F.col("vertex").cast("long"), F.col("label").cast("long")
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4: Adamic-Adar link prediction over the cosine near-dup graph
+# --------------------------------------------------------------------------
+_AA_THRESHOLD = 0.3
+_AA_TOP_K = 20
+
+_AA_ORACLE = f"""
+WITH p AS (
+  SELECT a.vec_id AS a, b.vec_id AS b
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id < b.vec_id
+  WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_AA_THRESHOLD}
+),
+sym AS (
+  SELECT a AS src, b AS dst FROM p
+  UNION ALL
+  SELECT b AS src, a AS dst FROM p
+),
+deg AS (SELECT src AS w, COUNT(*) AS d FROM sym GROUP BY src),
+wedges AS (
+  SELECT s1.dst AS u, s2.dst AS v, s1.src AS w
+  FROM sym s1 JOIN sym s2 ON s1.src = s2.src AND s1.dst < s2.dst
+),
+cand AS (
+  SELECT wg.u, wg.v,
+         CAST(COUNT(*) AS BIGINT) AS n_common,
+         CAST(SUM(CAST(ROUND(1000000000.0 / ln(CAST(deg.d AS DOUBLE)), 0)
+                       AS BIGINT)) AS BIGINT) AS aa_scaled
+  FROM wedges wg JOIN deg ON wg.w = deg.w
+  GROUP BY wg.u, wg.v
+),
+nonedge AS (
+  SELECT c.u, c.v, c.n_common, c.aa_scaled
+  FROM cand c LEFT JOIN p ON c.u = p.a AND c.v = p.b
+  WHERE p.a IS NULL
+),
+ranked AS (
+  SELECT u, v, n_common, aa_scaled,
+         ROW_NUMBER() OVER (ORDER BY aa_scaled DESC, u ASC, v ASC) AS rnk
+  FROM nonedge
+)
+SELECT CAST(u AS BIGINT) AS u, CAST(v AS BIGINT) AS v, n_common, aa_scaled,
+       CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_AA_TOP_K}
+"""
+
+
+@workload("graph_adamic_adar", oracle=_AA_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LINK PREDICTION by Adamic-Adar affinity: for non-adjacent vertex
+    pairs of the near-dup graph, AA(u,v) = sum over common neighbors w of
+    1/ln(deg(w)) — rare shared neighbors say more than hub neighbors (the
+    missed-duplicate screen: high-AA non-edges are pairs the threshold
+    probably cut too early). Each wedge term is pre-scaled to an exact
+    BIGINT (ROUND(1e9/ln(deg))) so the per-pair SUM is order-independent
+    int64 arithmetic; wedge centers have deg >= 2 by construction, so
+    ln() never hits zero. Existing edges leave via an anti-join; top-{k}
+    rides TakeOrderedAndProject + the bounded k x k rank join (C15
+    pattern — no global window over the candidate-pair table)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = (
+        neardup_cosine_pairs_blocked(emb, _AA_THRESHOLD)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    sym = p.select(F.col("a").alias("src"), F.col("b").alias("dst")).unionByName(
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    deg = sym.groupBy(F.col("src").alias("w")).agg(F.count(F.lit(1)).alias("d"))
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedges = s1.join(
+        s2,
+        (F.col("s1.src") == F.col("s2.src")) & (F.col("s1.dst") < F.col("s2.dst")),
+    ).select(
+        F.col("s1.dst").alias("u"),
+        F.col("s2.dst").alias("v"),
+        F.col("s1.src").alias("w"),
+    )
+    term = F.round(1000000000.0 / F.log(F.col("d").cast("double")), 0).cast("long")
+    cand = (
+        wedges.join(deg, "w")
+        .groupBy("u", "v")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_common"),
+            F.sum(term).cast("long").alias("aa_scaled"),
+        )
+    )
+    nonedge = cand.join(
+        p,
+        (cand["u"] == p["a"]) & (cand["v"] == p["b"]),
+        "left_anti",
+    )
+    top = nonedge.orderBy(
+        F.col("aa_scaled").desc(), F.col("u").asc(), F.col("v").asc()
+    ).limit(_AA_TOP_K)
+    lhs, rhs = top.alias("l"), top.alias("r")
+    ahead = (
+        (F.col("r.aa_scaled") > F.col("l.aa_scaled"))
+        | (
+            (F.col("r.aa_scaled") == F.col("l.aa_scaled"))
+            & (F.col("r.u") < F.col("l.u"))
+        )
+        | (
+            (F.col("r.aa_scaled") == F.col("l.aa_scaled"))
+            & (F.col("r.u") == F.col("l.u"))
+            & (F.col("r.v") < F.col("l.v"))
+        )
+    )
+    return (
+        lhs.join(rhs, ahead, "left")
+        .groupBy(
+            F.col("l.u").alias("u"),
+            F.col("l.v").alias("v"),
+            F.col("l.n_common").alias("n_common"),
+            F.col("l.aa_scaled").alias("aa_scaled"),
+        )
+        .agg((F.count(F.col("r.u")) + 1).cast("long").alias("rnk"))
+        .select(
+            F.col("u").cast("long"),
+            F.col("v").cast("long"),
+            "n_common",
+            "aa_scaled",
+            "rnk",
+        )
+    )
