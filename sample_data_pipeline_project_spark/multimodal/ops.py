@@ -410,3 +410,53 @@ def patch_token_stats(
         "byte_mean",
         F.col("byte_sum").cast("double") / F.col("n_bytes").cast("double"),
     )
+
+
+def audio_waveform_stats(df: DataFrame) -> DataFrame:
+    """Exact-integer waveform statistics over an undecoded PCM16 payload:
+    the payload's bytes are parsed as little-endian int16 samples (the
+    WAV/PCM wire format — byte 2i is the low byte, 2i+1 the high byte; a
+    trailing odd byte is ignored), and per blob we emit n_samples,
+    peak_abs = max |s|, sum_sq = sum s^2 (int64-exact: <= n * 2^30), and
+    zero_crossings = #{i : sign(s_i) != sign(s_{i-1})} with
+    sign(s) := (s >= 0). All-integer outputs, so a SQL oracle can
+    re-derive every sample from hex(payload) and value-hash the full row
+    — the audio twin of content_dhash/patch_token_stats' byte-exact
+    certification (audio_window_energy covers the windowed-energy shape
+    with an invariant oracle). One vectorized numpy pass per blob inside
+    an Arrow-batched mapInPandas; per-blob work, media_id-partitionable
+    at any scale."""
+
+    def compute(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            ids, ns, peaks, sumsqs, zcs = [], [], [], [], []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                usable = len(payload) - (len(payload) % 2)
+                s = np.frombuffer(payload[:usable], dtype="<i2").astype(np.int64)
+                ids.append(media_id)
+                ns.append(s.size)
+                peaks.append(int(np.abs(s).max()) if s.size else 0)
+                sumsqs.append(int((s * s).sum()) if s.size else 0)
+                if s.size >= 2:
+                    nonneg = s >= 0
+                    zcs.append(int((nonneg[1:] != nonneg[:-1]).sum()))
+                else:
+                    zcs.append(0)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "n_samples": ns,
+                    "peak_abs": peaks,
+                    "sum_sq": sumsqs,
+                    "zero_crossings": zcs,
+                }
+            )
+
+    return df.select("media_id", "payload").mapInPandas(
+        compute,
+        "media_id long, n_samples long, peak_abs long, sum_sq long,"
+        " zero_crossings long",
+    )

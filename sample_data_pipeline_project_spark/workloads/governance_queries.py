@@ -623,3 +623,71 @@ def dq_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("bit_xor(w2)").cast("long").alias("fp_w2"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: parquet schema-evolution certification (mergeSchema union)
+# --------------------------------------------------------------------------
+_EVO_ORACLE = """
+WITH unioned AS (
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         CAST(NULL AS VARCHAR) AS o_orderpriority
+  FROM orders WHERE CAST(o_orderdate AS DATE) < DATE '1995-01-01'
+  UNION ALL
+  SELECT o_orderstatus,
+         CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         o_orderpriority
+  FROM orders WHERE CAST(o_orderdate AS DATE) >= DATE '1995-01-01'
+)
+SELECT o_orderstatus,
+       COALESCE(o_orderpriority, '<pre-evolution>') AS priority,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(cents) AS BIGINT) AS sum_cents
+FROM unioned
+GROUP BY o_orderstatus, COALESCE(o_orderpriority, '<pre-evolution>')
+"""
+
+
+@workload("source_schema_evolution", oracle=_EVO_ORACLE)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA-EVOLUTION certification for the parquet source: a v1 batch
+    lands with (status, cents), a later v2 batch adds the
+    o_orderpriority column — the additive-column evolution every
+    long-lived ingestion table goes through. The read side reconstructs
+    ONE logical table across both physical schemas via mergeSchema
+    (Spark's parquet schema-merge; rows from pre-evolution files surface
+    the new column as NULL), and the aggregate is value-hashed against an
+    oracle that restates the evolution as UNION ALL + NULL — a hash match
+    proves the merge is lossless and NULL-backfill semantics exact. At
+    scale the schema merge is planning-time footer work per file; data
+    pages are untouched."""
+    from sample_data_pipeline_project_spark.sources.scratch import scratch_dir
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    day = F.to_date("o_orderdate")
+    root = scratch_dir("schema_evolution")
+    v1 = o.filter(day < F.lit("1995-01-01")).select(
+        "o_orderstatus", cents.alias("cents")
+    )
+    v2 = o.filter(day >= F.lit("1995-01-01")).select(
+        "o_orderstatus", cents.alias("cents"), "o_orderpriority"
+    )
+    v1.write.parquet(f"{root}/batch=1")
+    v2.write.parquet(f"{root}/batch=2")
+    merged = spark.read.option("mergeSchema", True).parquet(
+        f"{root}/batch=1", f"{root}/batch=2"
+    )
+    return (
+        merged.groupBy(
+            "o_orderstatus",
+            F.coalesce(F.col("o_orderpriority"), F.lit("<pre-evolution>")).alias(
+                "priority"
+            ),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+    )

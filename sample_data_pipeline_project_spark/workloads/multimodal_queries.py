@@ -389,3 +389,74 @@ def multimodal_frame_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hamming",
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: PCM16 waveform statistics — FOURTH full value-hash multimodal
+# oracle (every int16 sample re-derived from hex(payload) byte pairs).
+# --------------------------------------------------------------------------
+_AUDIO_ORACLE = """
+WITH h AS (
+  SELECT doc_id, hex(encode(text)) AS hx,
+         octet_length(encode(text)) AS nb
+  FROM documents
+  WHERE octet_length(encode(text)) >= 2
+),
+s AS (
+  SELECT doc_id, nb // 2 AS n_samples,
+         unnest(generate_series(0, nb // 2 - 1)) AS i, hx
+  FROM h
+),
+v AS (
+  SELECT doc_id, n_samples, i,
+         (instr('0123456789ABCDEF', substr(hx, 4 * i + 1, 1)) - 1) * 16
+         + (instr('0123456789ABCDEF', substr(hx, 4 * i + 2, 1)) - 1) AS lo,
+         (instr('0123456789ABCDEF', substr(hx, 4 * i + 3, 1)) - 1) * 16
+         + (instr('0123456789ABCDEF', substr(hx, 4 * i + 4, 1)) - 1) AS hi
+  FROM s
+),
+smp AS (
+  SELECT doc_id, n_samples, i,
+         lo + 256 * hi - CASE WHEN hi >= 128 THEN 65536 ELSE 0 END AS samp
+  FROM v
+),
+lagged AS (
+  SELECT doc_id, n_samples, samp,
+         LAG(samp >= 0) OVER (PARTITION BY doc_id ORDER BY i) AS prev_nonneg
+  FROM smp
+)
+SELECT doc_id AS media_id,
+       CAST(ANY_VALUE(n_samples) AS BIGINT) AS n_samples,
+       CAST(MAX(ABS(samp)) AS BIGINT) AS peak_abs,
+       CAST(SUM(samp * samp) AS BIGINT) AS sum_sq,
+       CAST(SUM(CASE WHEN prev_nonneg IS NOT NULL
+                      AND (samp >= 0) != prev_nonneg
+                THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings
+FROM lagged
+GROUP BY doc_id
+"""
+
+
+@workload("multimodal_audio_waveform", oracle=_AUDIO_ORACLE)
+def multimodal_audio_waveform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUDIO waveform statistics over undecoded PCM16 payloads
+    (multimodal/ops.py:audio_waveform_stats): each blob's bytes parse as
+    little-endian int16 samples, yielding exact-integer n_samples,
+    peak_abs, sum-of-squares energy, and zero-crossing count — the
+    feature-extraction hot path for audio curation (silence/clipping
+    screens, speech-band voicing heuristics) with the decode stubbed to
+    raw-PCM identity, exactly like the image tier stubs its codec. FULL
+    value-hash oracle: DuckDB re-derives every sample from hex(payload)
+    byte pairs (low + 256*high - 65536 sign fold) and replays the same
+    integer arithmetic — the audio member of the byte-exact multimodal
+    family (dHash C28, patch tokens C53, frame dHash C71). Spark side is
+    one vectorized numpy pass per blob in an Arrow-batched mapInPandas;
+    sum_sq <= n * 2^30 keeps int64 exact at any payload length."""
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        audio_waveform_stats,
+    )
+
+    media = _docs_as_media(spark, sf_dir, "audio").filter(
+        F.length(F.col("payload")) >= 2
+    )
+    return audio_waveform_stats(media)
