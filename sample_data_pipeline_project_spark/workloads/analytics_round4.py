@@ -622,3 +622,156 @@ def ml_naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("lang_true", "lang_pred").agg(
         F.count(F.lit(1)).cast("long").alias("n_docs")
     )
+
+
+# --------------------------------------------------------------------------
+# Holt linear trend (double exponential smoothing) via portable left folds
+# --------------------------------------------------------------------------
+_HOLT_A = "CAST('0.5' AS DOUBLE)"   # level smoothing alpha
+_HOLT_B = "CAST('0.3' AS DOUBLE)"   # trend smoothing beta
+_HOLT_B1 = "CAST('0.7' AS DOUBLE)"  # 1 - beta
+
+# NOTE: the oracle unrolls the fold as a RECURSIVE CTE rather than
+# DuckDB's list_reduce: with a struct accumulator, DuckDB 1.0 evaluates
+# struct_pack fields SEQUENTIALLY against the accumulator (the second
+# field sees the first field's NEW value), which silently changes the
+# recurrence — pinned by hand-fold comparison during development. The
+# recursive form keeps both old (l, b) addressable, textually identical
+# to the Spark lambda.
+_HOLT_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) // 7 AS d,
+         CAST(SUM({_CENTS_O}) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+),
+ord AS (
+  SELECT priority, v,
+         ROW_NUMBER() OVER (PARTITION BY priority ORDER BY d) AS t
+  FROM daily
+),
+n AS (SELECT priority, COUNT(*) AS n_days FROM ord GROUP BY priority),
+rec AS (
+  SELECT priority, t, CAST(v AS DOUBLE) AS l, CAST('0.0' AS DOUBLE) AS b
+  FROM ord WHERE t = 1
+  UNION ALL
+  SELECT o.priority, o.t,
+         {_HOLT_A} * CAST(o.v AS DOUBLE) + {_HOLT_A} * (r.l + r.b),
+         {_HOLT_B} * (({_HOLT_A} * CAST(o.v AS DOUBLE)
+                       + {_HOLT_A} * (r.l + r.b)) - r.l) + {_HOLT_B1} * r.b
+  FROM rec r JOIN ord o ON o.priority = r.priority AND o.t = r.t + 1
+)
+SELECT r.priority, CAST(n.n_days AS BIGINT) AS n_weeks,
+       r.l AS level, r.b AS trend, r.l + r.b AS forecast_next
+FROM rec r JOIN n ON n.priority = r.priority AND r.t = n.n_days
+"""
+
+_HOLT_STEP_SPARK = (
+    f"(acc, e) -> named_struct("
+    f"'a', {_HOLT_A} * e.a + {_HOLT_A} * (acc.a + acc.b), "
+    f"'b', {_HOLT_B} * (({_HOLT_A} * e.a + {_HOLT_A} * (acc.a + acc.b)) - acc.a)"
+    f" + {_HOLT_B1} * acc.b)"
+)
+
+
+@workload("timeseries_holt_linear", oracle=_HOLT_ORACLE)
+def timeseries_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOLT LINEAR TREND (double exponential smoothing) of weekly revenue
+    per order priority: level and trend carried through the recurrence
+    l_t = a*y_t + (1-a)*(l+b), b_t = beta*(l_t - l) + (1-beta)*b with
+    l_1 = y_1, b_1 = 0 — the one-step-ahead forecaster whose recursion
+    LOOKS inherently sequential. It runs as a per-group LEFT FOLD over
+    the calendar-bounded weekly aggregate (array fold via the `aggregate`
+    higher-order function; DuckDB's list_reduce folds the identical
+    step), with every float constant riding as CAST('repr' AS DOUBLE)
+    and the step expression textually identical on both engines — so
+    level/trend/forecast are bit-identical doubles, hashed raw with no
+    rounding guard. Scale shape: raw rows collapse to (priority, epoch-week)
+    keyed sums first; only the bounded weekly series is collected into an
+    array, per group, map-side."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    day = F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.expr("datediff(to_date(o_orderdate), DATE'1970-01-01') div 7").alias("d"),
+        )
+        .agg(F.sum(cents).cast("long").alias("v"))
+    )
+    ser = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, CAST(v AS DOUBLE) AS y))),"
+            " x -> named_struct('a', x.y, 'b', CAST('0.0' AS DOUBLE)))"
+        ).alias("ys"),
+    )
+    return ser.select(
+        "priority",
+        "n_weeks",
+        F.expr(
+            "aggregate("
+            " slice(ys, 2, greatest(size(ys) - 1, 0)),"
+            " named_struct('a', element_at(ys, 1).a, 'b', CAST('0.0' AS DOUBLE)),"
+            f" {_HOLT_STEP_SPARK})"
+        ).alias("st"),
+    ).select(
+        "priority",
+        "n_weeks",
+        F.col("st.a").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.a") + F.col("st.b")).alias("forecast_next"),
+    )
+
+
+# --------------------------------------------------------------------------
+# NULL-semantics aggregate surface (COUNT/SUM/MIN over NULL-bearing groups)
+# --------------------------------------------------------------------------
+_NULLS_ORACLE = f"""
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         CASE WHEN l_quantity < 10 THEN 'low' ELSE 'high' END AS band,
+         CASE WHEN l_quantity < 10 THEN NULL
+              ELSE CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)
+         END AS maybe_cents
+  FROM lineitem
+)
+SELECT flag, band,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(maybe_cents) AS BIGINT) AS n_nonnull,
+       CAST(COUNT(DISTINCT maybe_cents) AS BIGINT) AS n_distinct,
+       CAST(COALESCE(SUM(maybe_cents), -1) AS BIGINT) AS sum_or_sentinel,
+       SUM(maybe_cents) IS NULL AS sum_is_null,
+       CAST(COALESCE(MIN(maybe_cents), -1) AS BIGINT) AS min_or_sentinel
+FROM t GROUP BY flag, band
+"""
+
+
+@workload("agg_null_semantics", oracle=_NULLS_ORACLE)
+def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-SEMANTICS certification for the aggregate surface: groups are
+    engineered so some are entirely NULL on the measure ('low' quantity
+    band), pinning the ANSI contracts cross-engine — COUNT(*) counts
+    rows, COUNT(col) skips NULLs, COUNT(DISTINCT) ignores NULLs entirely,
+    and SUM/MIN over an all-NULL group return NULL (surfaced both as an
+    explicit boolean and through a COALESCE sentinel). These are the
+    boundary rules every downstream aggregate in the engine silently
+    relies on; one conditional projection + one keyed aggregate, nothing
+    non-scalable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.when(F.col("l_quantity") < 10, "low").otherwise("high").alias("band"),
+        F.when(F.col("l_quantity") < 10, F.lit(None).cast("long"))
+        .otherwise(cents)
+        .alias("maybe_cents"),
+    )
+    return t.groupBy("flag", "band").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.count("maybe_cents").cast("long").alias("n_nonnull"),
+        F.countDistinct("maybe_cents").cast("long").alias("n_distinct"),
+        F.coalesce(F.sum("maybe_cents"), F.lit(-1)).cast("long").alias("sum_or_sentinel"),
+        F.sum("maybe_cents").isNull().alias("sum_is_null"),
+        F.coalesce(F.min("maybe_cents"), F.lit(-1)).cast("long").alias("min_or_sentinel"),
+    )

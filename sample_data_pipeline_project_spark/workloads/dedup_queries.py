@@ -471,3 +471,132 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "a", "b", "shared", "n_a", "n_b", "containment"
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: MinHash Jaccard-ESTIMATE certification (estimator vs exact truth)
+# --------------------------------------------------------------------------
+def _duck_minhash_estimate_oracle() -> str:
+    mins = ",\n         ".join(
+        f"MIN(md5('{i}|' || tok)) AS mh_{i}" for i in range(_NUM_HASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        "  SELECT doc_id, {bi} AS band_idx, md5({h}) AS band_hash FROM sig".format(
+            bi=bi,
+            h=" || ',' || ".join(f"mh_{bi * _R + j}" for j in range(_R)),
+        )
+        for bi in range(_BANDS)
+    )
+    n_match = " + ".join(
+        f"CASE WHEN sa.mh_{i} = sb.mh_{i} THEN 1 ELSE 0 END"
+        for i in range(_NUM_HASHES)
+    )
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM toks GROUP BY doc_id
+),
+banded AS (
+{band_selects}
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+  FROM banded a
+  JOIN banded b
+    ON a.band_idx = b.band_idx
+   AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+),
+m AS (
+  SELECT c.a, c.b, {n_match} AS n_match
+  FROM cand c
+  JOIN sig sa ON sa.doc_id = c.a
+  JOIN sig sb ON sb.doc_id = c.b
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n FROM toks GROUP BY doc_id),
+inter AS (
+  SELECT c.a, c.b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN toks ta ON ta.doc_id = c.a
+  JOIN toks tb ON tb.doc_id = c.b AND tb.tok = ta.tok
+  GROUP BY c.a, c.b
+)
+SELECT m.a, m.b,
+       CAST(m.n_match AS BIGINT) AS n_match,
+       CAST({_NUM_HASHES} AS BIGINT) AS n_hashes,
+       CAST(i.n_inter AS BIGINT) AS n_inter,
+       CAST(sa.n + sb.n - i.n_inter AS BIGINT) AS n_union
+FROM m
+JOIN inter i ON i.a = m.a AND i.b = m.b
+JOIN sizes sa ON sa.doc_id = m.a
+JOIN sizes sb ON sb.doc_id = m.b
+"""
+
+
+@workload("dedup_minhash_jaccard_estimate", oracle=_duck_minhash_estimate_oracle())
+def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ESTIMATOR CERTIFICATION for MinHash: on every LSH candidate pair,
+    the signature-agreement count (the numerator of the classic Jaccard
+    estimate n_match/n_hashes) side by side with the EXACT intersection
+    and union sizes from the token sets — all four exact integers, so the
+    full row value-hashes cross-engine and any consumer can audit the
+    estimator's per-pair error without re-deriving truth. The md5-hex
+    min is a valid minwise hash AND byte-identical in any engine, which
+    is what makes a sketch ESTIMATE oracle-stateable at all (contrast
+    the certified-invariant style of C9/C89). Scale shape: candidate
+    generation is the banded equi-join (never all-pairs); truth joins run
+    on the candidate-pair list only, keyed by doc id."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+        token_sets,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cand = (
+        minhash_lsh_candidates(d, _NUM_HASHES, _BANDS)
+        .select("a", "b")
+        .localCheckpoint(eager=True)
+    )
+    sig = minhash_signatures(d, _NUM_HASHES)
+    n_match = sum(
+        F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
+        for i in range(_NUM_HASHES)
+    )
+    m = (
+        cand.join(sig.alias("sa"), F.col("a") == F.col("sa.doc_id"))
+        .join(sig.alias("sb"), F.col("b") == F.col("sb.doc_id"))
+        .select("a", "b", n_match.alias("n_match"))
+    )
+    ts = token_sets(d)
+    sizes = ts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = ts.alias("ta"), ts.alias("tb")
+    inter = (
+        cand.join(ta, F.col("a") == F.col("ta.doc_id"))
+        .join(
+            tb,
+            (F.col("b") == F.col("tb.doc_id"))
+            & (F.col("tb.tok") == F.col("ta.tok")),
+        )
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        m.join(inter, ["a", "b"])
+        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "n_a"), "a")
+        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "n_b"), "b")
+        .select(
+            "a",
+            "b",
+            F.col("n_match").cast("long"),
+            F.lit(_NUM_HASHES).cast("long").alias("n_hashes"),
+            F.col("n_inter").cast("long"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+            .cast("long")
+            .alias("n_union"),
+        )
+    )
