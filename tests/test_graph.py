@@ -288,3 +288,56 @@ def test_bfs_negative_rounds_raises(spark):
         raise AssertionError("expected ValueError")
     except ValueError:
         pass
+
+
+# ---------------------------------------------------------------------------
+# lpa_labels (synchronous label propagation)
+# ---------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.operators.graph import lpa_labels
+
+
+def _run_lpa(spark, edges, rounds):
+    e = spark.createDataFrame(edges, "a long, b long")
+    return {r["vertex"]: r["label"] for r in lpa_labels(e, rounds).collect()}
+
+
+def test_lpa_triangle_converges_to_min_label(spark):
+    # triangle 1-2-3 plus isolated pair 4-5
+    edges = [(1, 2), (2, 3), (1, 3), (4, 5)]
+    # round 1: 1->2 (tie {2,3}, min), 2->1, 3->1, 4->5, 5->4
+    # round 2: 1->1 (both nbrs labeled 1), 2->1 (tie {2,1}), 3->1, 4<->5 swap back
+    # round 3: triangle stays at 1; the 4-5 pair oscillates (period 2)
+    got = _run_lpa(spark, edges, 3)
+    assert got[1] == 1 and got[2] == 1 and got[3] == 1
+    assert got[4] == 5 and got[5] == 4
+
+
+def test_lpa_zero_rounds_identity(spark):
+    got = _run_lpa(spark, [(1, 2), (2, 3)], 0)
+    assert got == {1: 1, 2: 2, 3: 3}
+
+
+def test_lpa_two_cliques_bridge_deterministic(spark):
+    # cliques {1,2,3} and {10,11,12} joined by one bridge 3-10. The
+    # min-label tiebreak leaks label 3 across the bridge (r1: 10 adopts
+    # min nbr 3; r2: 11,12 tie-break to 3; r3: stable) — communities stay
+    # DISTINCT (1 vs 3) but the exact labels come from the deterministic
+    # synchronous trace, pinned here by hand.
+    k1 = [(1, 2), (1, 3), (2, 3)]
+    k2 = [(10, 11), (10, 12), (11, 12)]
+    got = _run_lpa(spark, k1 + k2 + [(3, 10)], 3)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 3
+
+
+def test_lpa_disconnected_cliques_stay_separate(spark):
+    k1 = [(1, 2), (1, 3), (2, 3)]
+    k2 = [(10, 11), (10, 12), (11, 12)]
+    got = _run_lpa(spark, k1 + k2, 3)
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == got[12] == 10
+
+
+def test_lpa_deduplicates_and_ignores_self_loops(spark):
+    got = _run_lpa(spark, [(1, 2), (2, 1), (1, 1), (2, 3)], 2)
+    assert set(got) == {1, 2, 3}

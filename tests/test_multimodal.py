@@ -241,3 +241,50 @@ def test_patch_token_stats_empty_payload_skipped(spark):
     rows = [(7, "image", bytearray(b""), (4, 0, 1, None, None))]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     assert patch_token_stats(df).count() == 0
+
+
+# ---------------------------------------------------------------------------
+# audio_waveform_stats (PCM16 parse, exact-int features)
+# ---------------------------------------------------------------------------
+def _audio_row(spark, payload: bytes):
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        MEDIA_SCHEMA,
+        audio_waveform_stats,
+    )
+
+    rows = [(1, "audio", bytearray(payload), (0, 0, 1, 16000, None))]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    return audio_waveform_stats(df).collect()[0]
+
+
+def test_audio_waveform_known_samples(spark):
+    import struct
+
+    # samples [-3, 7, 0, -1]: signs n,p,p,n -> 2 zero crossings
+    payload = struct.pack("<4h", -3, 7, 0, -1)
+    r = _audio_row(spark, payload)
+    assert r["n_samples"] == 4
+    assert r["peak_abs"] == 7
+    assert r["sum_sq"] == 9 + 49 + 0 + 1
+    assert r["zero_crossings"] == 2
+
+
+def test_audio_waveform_odd_trailing_byte_ignored(spark):
+    import struct
+
+    payload = struct.pack("<2h", 100, -100) + b"\x7f"
+    r = _audio_row(spark, payload)
+    assert r["n_samples"] == 2
+    assert r["peak_abs"] == 100
+    assert r["sum_sq"] == 20000
+    assert r["zero_crossings"] == 1
+
+
+def test_audio_waveform_int16_extremes_exact(spark):
+    import struct
+
+    payload = struct.pack("<2h", -32768, 32767)
+    r = _audio_row(spark, payload)
+    assert r["peak_abs"] == 32768
+    assert r["sum_sq"] == 32768**2 + 32767**2
+    assert r["zero_crossings"] == 1

@@ -32,6 +32,13 @@ PROBE = [
     "asof_latest_view_before_click",  # union-merge as-of join
     "window_rolling_median",       # partitioned window frame
     "ledger_overlap_pairs",        # theta self-join as equi+residual
+    # round-4 additions
+    "ml_logistic_regression_gd",   # iterative scaled-int gradient aggregate
+    "text_pmi_collocations",       # bigram counts + TakeOrdered top-k
+    "sketch_bitmap_distinct",      # mergeable bitmap-block distinct
+    "timeseries_holt_linear",      # keyed agg + per-group array fold
+    "embedding_silhouette_labels", # broadcast centroid stats, |labels| fan-out
+    "dedup_minhash_jaccard_estimate",  # banded candidates + truth joins
 ]
 
 
