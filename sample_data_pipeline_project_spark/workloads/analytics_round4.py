@@ -775,3 +775,404 @@ def agg_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("maybe_cents").isNull().alias("sum_is_null"),
         F.coalesce(F.min("maybe_cents"), F.lit(-1)).cast("long").alias("min_or_sentinel"),
     )
+
+
+# --------------------------------------------------------------------------
+# Simplified silhouette of the embedding labeling (centroid-based)
+# --------------------------------------------------------------------------
+_SIL_Q = 262144  # 2^18 quantization grid (C79/C127 convention)
+_SIL_SCALE = 10_000  # per-dim scaled-int grid for distance terms
+
+_SIL_TERM = (
+    f"(CAST(qv * n - sq AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" * (CAST(qv * n - sq AS DOUBLE) / CAST(n AS DOUBLE))"
+    f" / {_SIL_Q}.0 / {_SIL_Q}.0 * {_SIL_SCALE}.0"
+)
+
+_SIL_ORACLE = f"""
+WITH q AS (
+  SELECT vec_id, label, d - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * {_SIL_Q}) AS BIGINT) AS qv
+  FROM embeddings
+  CROSS JOIN unnest(range(1, len(embedding) + 1)) AS r(d)
+),
+s AS (
+  SELECT label AS label_cand, dim, SUM(qv) AS sq, COUNT(*) AS n
+  FROM q GROUP BY label, dim
+),
+dists AS (
+  SELECT q.vec_id, q.label, s.label_cand,
+         CAST(SUM(CAST(ROUND({_SIL_TERM}, 0) AS BIGINT)) AS BIGINT)
+           AS dist2_scaled
+  FROM q JOIN s ON q.dim = s.dim
+  GROUP BY q.vec_id, q.label, s.label_cand
+),
+ab AS (
+  SELECT vec_id, label,
+         CAST(SUM(CASE WHEN label_cand = label THEN dist2_scaled ELSE 0 END)
+              AS BIGINT) AS a,
+         CAST(MIN(CASE WHEN label_cand != label THEN dist2_scaled END)
+              AS BIGINT) AS b
+  FROM dists GROUP BY vec_id, label
+),
+sil AS (
+  SELECT vec_id, label,
+         CASE WHEN a > b OR b > a OR a > 0
+              THEN CAST(ROUND(CAST(b - a AS DOUBLE)
+                              / CAST(CASE WHEN a > b THEN a ELSE b END
+                                     AS DOUBLE) * 1000000000.0, 0) AS BIGINT)
+              ELSE CAST(0 AS BIGINT) END AS s_scaled
+  FROM ab
+)
+SELECT CAST(label AS BIGINT) AS label,
+       CAST(COUNT(*) AS BIGINT) AS n_points,
+       CAST(SUM(s_scaled) AS DOUBLE) / 1000000000.0
+         / CAST(COUNT(*) AS DOUBLE) AS mean_silhouette
+FROM sil GROUP BY label
+"""
+
+
+@workload("embedding_silhouette_labels", oracle=_SIL_ORACLE)
+def embedding_silhouette_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SIMPLIFIED SILHOUETTE of the embedding labeling: per point,
+    a = squared distance to its OWN label centroid, b = min squared
+    distance to any OTHER label centroid, s = (b - a)/max(a, b) — the
+    centroid-based silhouette (the O(n*k) form that replaces classic
+    silhouette's O(n^2) pairwise pass), reported as per-label means.
+    Labels whose points sit closer to a foreign centroid go negative —
+    the embedding-quality audit that flags mislabeled or collapsed
+    classes before training on them. Determinism: coordinates quantize
+    to the 2^18 grid (C127 convention), per-dim distance terms are
+    scaled-int ROUNDs summed exactly, a/b compare as exact integers, and
+    each point's silhouette is one guarded float division re-scaled to
+    an exact BIGINT before the per-label mean. Scale shape: centroid
+    stats are |labels| x dims cells (broadcast); the per-point fan-out is
+    a constant |labels| x dims; no window anywhere."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("dim", "x"),
+    ).select(
+        "vec_id",
+        "label",
+        "dim",
+        F.floor(F.col("x").cast("double") * _SIL_Q).cast("long").alias("qv"),
+    )
+    s = q.groupBy(F.col("label").alias("label_cand"), "dim").agg(
+        F.sum("qv").alias("sq"), F.count(F.lit(1)).alias("n")
+    )
+    term = (
+        (F.col("qv") * F.col("n") - F.col("sq")).cast("double")
+        / F.col("n").cast("double")
+    ) * (
+        (F.col("qv") * F.col("n") - F.col("sq")).cast("double")
+        / F.col("n").cast("double")
+    ) / float(_SIL_Q) / float(_SIL_Q) * float(_SIL_SCALE)
+    dists = (
+        q.join(F.broadcast(s), "dim")
+        .groupBy("vec_id", "label", "label_cand")
+        .agg(
+            F.sum(F.round(term, 0).cast("long")).cast("long").alias("dist2_scaled")
+        )
+    )
+    ab = dists.groupBy("vec_id", "label").agg(
+        F.sum(
+            F.when(F.col("label_cand") == F.col("label"), F.col("dist2_scaled"))
+            .otherwise(0)
+        )
+        .cast("long")
+        .alias("a"),
+        F.min(
+            F.when(F.col("label_cand") != F.col("label"), F.col("dist2_scaled"))
+        )
+        .cast("long")
+        .alias("b"),
+    )
+    s_scaled = F.when(
+        (F.col("a") > F.col("b")) | (F.col("b") > F.col("a")) | (F.col("a") > 0),
+        F.round(
+            (F.col("b") - F.col("a")).cast("double")
+            / F.greatest(F.col("a"), F.col("b")).cast("double")
+            * 1000000000.0,
+            0,
+        ).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    sil = ab.select("label", s_scaled.alias("s_scaled"))
+    return sil.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        (
+            F.sum("s_scaled").cast("double")
+            / 1000000000.0
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_silhouette"),
+    ).select(F.col("label").cast("long"), "n_points", "mean_silhouette")
+
+
+# --------------------------------------------------------------------------
+# Two-feature OLS via normal equations (exact-decimal sufficient statistics)
+# --------------------------------------------------------------------------
+_OLS_SOLVE = """
+  SELECT n,
+         (sy / n) - (((sx1y - sx1 * sy / n) * (sx2x2 - sx2 * sx2 / n)
+                      - (sx2y - sx2 * sy / n) * (sx1x2 - sx1 * sx2 / n))
+                     / ((sx1x1 - sx1 * sx1 / n) * (sx2x2 - sx2 * sx2 / n)
+                        - (sx1x2 - sx1 * sx2 / n) * (sx1x2 - sx1 * sx2 / n)))
+                    * (sx1 / n)
+                  - (((sx2y - sx2 * sy / n) * (sx1x1 - sx1 * sx1 / n)
+                      - (sx1y - sx1 * sy / n) * (sx1x2 - sx1 * sx2 / n))
+                     / ((sx1x1 - sx1 * sx1 / n) * (sx2x2 - sx2 * sx2 / n)
+                        - (sx1x2 - sx1 * sx2 / n) * (sx1x2 - sx1 * sx2 / n)))
+                    * (sx2 / n) AS b0,
+         ((sx1y - sx1 * sy / n) * (sx2x2 - sx2 * sx2 / n)
+          - (sx2y - sx2 * sy / n) * (sx1x2 - sx1 * sx2 / n))
+         / ((sx1x1 - sx1 * sx1 / n) * (sx2x2 - sx2 * sx2 / n)
+            - (sx1x2 - sx1 * sx2 / n) * (sx1x2 - sx1 * sx2 / n)) AS b1,
+         ((sx2y - sx2 * sy / n) * (sx1x1 - sx1 * sx1 / n)
+          - (sx1y - sx1 * sy / n) * (sx1x2 - sx1 * sx2 / n))
+         / ((sx1x1 - sx1 * sx1 / n) * (sx2x2 - sx2 * sx2 / n)
+            - (sx1x2 - sx1 * sx2 / n) * (sx1x2 - sx1 * sx2 / n)) AS b2,
+         sx1y - sx1 * sy / n AS sx1yc,
+         sx2y - sx2 * sy / n AS sx2yc,
+         syy - sy * sy / n AS sstc
+  FROM __ols_statsd
+"""
+
+_OLS_ORACLE = f"""
+WITH feat AS (
+  SELECT o.o_orderkey,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(o.o_orderdate AS DATE))
+              AS BIGINT) AS x1,
+         CAST(l.n_items AS BIGINT) AS x2,
+         {_CENTS_O} AS y
+  FROM orders o
+  JOIN (SELECT l_orderkey, COUNT(*) AS n_items
+        FROM lineitem GROUP BY l_orderkey) l
+    ON l.l_orderkey = o.o_orderkey
+),
+stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(x1) AS DECIMAL(38,0)) AS sx1,
+         CAST(SUM(x2) AS DECIMAL(38,0)) AS sx2,
+         CAST(SUM(y) AS DECIMAL(38,0)) AS sy,
+         CAST(SUM(x1 * x1) AS DECIMAL(38,0)) AS sx1x1,
+         CAST(SUM(x2 * x2) AS DECIMAL(38,0)) AS sx2x2,
+         CAST(SUM(x1 * x2) AS DECIMAL(38,0)) AS sx1x2,
+         CAST(SUM(x1 * y) AS DECIMAL(38,0)) AS sx1y,
+         CAST(SUM(x2 * y) AS DECIMAL(38,0)) AS sx2y,
+         CAST(SUM(y * y) AS DECIMAL(38,0)) AS syy
+  FROM feat
+),
+__ols_statsd AS (
+  SELECT CAST(n AS DOUBLE) AS n,
+         CAST(sx1 AS DOUBLE) AS sx1, CAST(sx2 AS DOUBLE) AS sx2,
+         CAST(sy AS DOUBLE) AS sy,
+         CAST(sx1x1 AS DOUBLE) AS sx1x1, CAST(sx2x2 AS DOUBLE) AS sx2x2,
+         CAST(sx1x2 AS DOUBLE) AS sx1x2,
+         CAST(sx1y AS DOUBLE) AS sx1y, CAST(sx2y AS DOUBLE) AS sx2y,
+         CAST(syy AS DOUBLE) AS syy
+  FROM stats
+),
+solved AS (
+{_OLS_SOLVE}
+)
+SELECT CAST(n AS BIGINT) AS n, b0, b1, b2,
+       ROUND(1.0 - (sstc - b1 * sx1yc - b2 * sx2yc) / sstc, 9) AS r2
+FROM solved
+"""
+
+
+@workload("ml_ols_two_features", oracle=_OLS_ORACLE)
+def ml_ols_two_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTIPLE LINEAR REGRESSION in closed form: order value (cents)
+    regressed on order date and line-item count, solved by the 2-feature
+    normal equations — ONE distributed pass collects ten exact sufficient
+    statistics (sums of products as DECIMAL(38,0), overflow-proof far
+    past sf10), then Cramer's rule on the centered 2x2 system runs as
+    identical-textual-order double expressions over the single stats row,
+    so coefficients are bit-identical cross-engine (R2 carries one
+    ROUND(9) guard since it stacks two extra divisions). The feature join
+    (per-order line-item counts) is the feature-engineering equi-join;
+    everything after the stats aggregate is O(1). The iterative twin is
+    C136's gradient descent — same model family, opposite compute
+    shape."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    n_items = li.groupBy("l_orderkey").agg(F.count(F.lit(1)).alias("n_items"))
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    feat = (
+        o.join(n_items, o["o_orderkey"] == n_items["l_orderkey"])
+        .select(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("x1"),
+            F.col("n_items").cast("long").alias("x2"),
+            cents.alias("y"),
+        )
+    )
+    d38 = "decimal(38,0)"
+    stats = feat.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.col("x1").cast(d38)).alias("sx1"),
+        F.sum(F.col("x2").cast(d38)).alias("sx2"),
+        F.sum(F.col("y").cast(d38)).alias("sy"),
+        F.sum((F.col("x1") * F.col("x1")).cast(d38)).alias("sx1x1"),
+        F.sum((F.col("x2") * F.col("x2")).cast(d38)).alias("sx2x2"),
+        F.sum((F.col("x1") * F.col("x2")).cast(d38)).alias("sx1x2"),
+        F.sum((F.col("x1") * F.col("y")).cast(d38)).alias("sx1y"),
+        F.sum((F.col("x2") * F.col("y")).cast(d38)).alias("sx2y"),
+        F.sum((F.col("y") * F.col("y")).cast(d38)).alias("syy"),
+    )
+    statsd = stats.select(
+        F.col("n").cast("double").alias("n"),
+        *[
+            F.col(c).cast("double").alias(c)
+            for c in (
+                "sx1", "sx2", "sy", "sx1x1", "sx2x2", "sx1x2",
+                "sx1y", "sx2y", "syy",
+            )
+        ],
+    )
+    statsd.createOrReplaceTempView("__ols_statsd")
+    solved = spark.sql(_OLS_SOLVE)
+    return solved.select(
+        F.col("n").cast("long").alias("n"),
+        "b0",
+        "b1",
+        "b2",
+        F.round(
+            1.0
+            - (F.col("sstc") - F.col("b1") * F.col("sx1yc") - F.col("b2") * F.col("sx2yc"))
+            / F.col("sstc"),
+            9,
+        ).alias("r2"),
+    )
+
+
+# --------------------------------------------------------------------------
+# PCA power iteration (dominant eigenvector of the second-moment matrix)
+# --------------------------------------------------------------------------
+_PCA_Q = 262144  # 2^18 (gram_moments QUANT_SCALE)
+_PCA_DIM = 64
+_PCA_ITERS = 3
+_PCA_VSCALE = 1_000_000
+
+_PCA_TERM = (
+    f"CAST(ROUND(CAST(g AS DOUBLE) / CAST(n AS DOUBLE)"
+    f" / {_PCA_Q}.0 / {_PCA_Q}.0 * CAST(v AS DOUBLE), 0) AS BIGINT)"
+)
+
+
+def _pca_oracle() -> str:
+    iters = []
+    prev = "v0"
+    for t in range(1, _PCA_ITERS + 1):
+        iters.append(f""",
+w{t} AS (
+  SELECT sym.j AS k, CAST(SUM({_PCA_TERM}) AS BIGINT) AS w
+  FROM sym JOIN {prev} ON sym.i = {prev}.k CROSS JOIN nn
+  GROUP BY sym.j
+),
+mx{t} AS (SELECT MAX(ABS(w)) AS mx FROM w{t}),
+v{t} AS (
+  SELECT k, CAST(ROUND(CAST(w AS DOUBLE) / CAST(mx AS DOUBLE)
+                       * {_PCA_VSCALE}.0, 0) AS BIGINT) AS v
+  FROM w{t} CROSS JOIN mx{t}
+)""")
+        prev = f"v{t}"
+    return f"""
+WITH q AS (
+  SELECT vec_id, d - 1 AS dim,
+         CAST(FLOOR(CAST(embedding[d] AS DOUBLE) * {_PCA_Q}) AS BIGINT) AS qv
+  FROM embeddings
+  CROSS JOIN unnest(range(1, len(embedding) + 1)) AS r(d)
+),
+cells AS (
+  SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.qv * b.qv) AS BIGINT) AS g
+  FROM q a JOIN q b ON a.vec_id = b.vec_id
+  WHERE a.dim <= b.dim
+  GROUP BY a.dim, b.dim
+),
+sym AS (
+  SELECT i, j, g FROM cells
+  UNION ALL
+  SELECT j AS i, i AS j, g FROM cells WHERE i < j
+),
+nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings),
+v0 AS (
+  SELECT unnest(range(0, {_PCA_DIM})) AS k, CAST({_PCA_VSCALE} AS BIGINT) AS v
+){"".join(iters)}
+SELECT CAST(k AS BIGINT) AS dim, CAST(v AS BIGINT) AS v_scaled
+FROM {prev}
+"""
+
+
+@workload("ml_pca_power_iteration", oracle=_pca_oracle())
+def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DISTRIBUTED PCA: the dominant eigenvector of the embeddings'
+    second-moment matrix by {t} fixed power iterations. The d x d moment
+    matrix comes from `operators/gram.py:gram_moments` — per-Arrow-batch
+    exact-int Gram partials on the 2^18 grid (one numpy matmul per
+    batch), merged by a (i, j)-keyed sum: the ONLY stage that touches
+    raw vectors, map-side combinable, O(d^2) shuffle rows per batch. The
+    iteration then runs on the d^2-cell table: matvec as an equi-join +
+    keyed sum with each term pre-scaled to an exact BIGINT, and a
+    ROUND-normalize by max|w| (symmetric half-away-from-zero on both
+    engines, so NEGATIVE components stay portable — integer DIV would
+    floor vs truncate differently). Every iterate is exact integers; the
+    oracle unrolls identical iterations. Fixed-iteration contract (no
+    convergence test) per the pagerank/k-core family."""
+    from sample_data_pipeline_project_spark.operators.gram import gram_moments
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = (
+        gram_moments(emb)
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("g"), F.sum("cnt").alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
+    n = cells.filter((F.col("i") == 0) & (F.col("j") == 0)).select(
+        F.col("cnt").cast("long").alias("n")
+    )
+    sym = cells.select("i", "j", "g").unionByName(
+        cells.filter(F.col("i") < F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "g"
+        )
+    )
+    spark_df = spark.createDataFrame(
+        [(k, _PCA_VSCALE) for k in range(_PCA_DIM)], "k int, v long"
+    )
+    v = spark_df
+    term = F.round(
+        F.col("g").cast("double")
+        / F.col("n").cast("double")
+        / float(_PCA_Q)
+        / float(_PCA_Q)
+        * F.col("v").cast("double"),
+        0,
+    ).cast("long")
+    for _ in range(_PCA_ITERS):
+        w = (
+            sym.join(v, sym["i"] == v["k"])
+            .crossJoin(F.broadcast(n))
+            .groupBy(sym["j"].alias("k2"))
+            .agg(F.sum(term).cast("long").alias("w"))
+        )
+        mx = w.agg(F.max(F.abs(F.col("w"))).alias("mx"))
+        v = (
+            w.crossJoin(F.broadcast(mx))
+            .select(
+                F.col("k2").alias("k"),
+                F.round(
+                    F.col("w").cast("double") / F.col("mx").cast("double")
+                    * float(_PCA_VSCALE),
+                    0,
+                )
+                .cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return v.select(
+        F.col("k").cast("long").alias("dim"), F.col("v").cast("long").alias("v_scaled")
+    )

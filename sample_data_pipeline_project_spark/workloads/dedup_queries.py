@@ -477,6 +477,11 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Round 4: MinHash Jaccard-ESTIMATE certification (estimator vs exact truth)
 # --------------------------------------------------------------------------
 def _duck_minhash_estimate_oracle() -> str:
+    from sample_data_pipeline_project_spark.functions.text import (
+        md5_prefix_uint32_sql,
+    )
+
+    u32 = md5_prefix_uint32_sql("CAST(a AS STRING) || '|' || CAST(b AS STRING)")
     mins = ",\n         ".join(
         f"MIN(md5('{i}|' || tok)) AS mh_{i}" for i in range(_NUM_HASHES)
     )
@@ -503,13 +508,17 @@ sig AS (
 banded AS (
 {band_selects}
 ),
-cand AS (
+cand0 AS (
   SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
   FROM banded a
   JOIN banded b
     ON a.band_idx = b.band_idx
    AND a.band_hash = b.band_hash
    AND a.doc_id < b.doc_id
+),
+cand AS (
+  SELECT a, b FROM cand0
+  WHERE {u32} % 256 = 0
 ),
 m AS (
   SELECT c.a, c.b, {n_match} AS n_match
@@ -548,21 +557,33 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
     min is a valid minwise hash AND byte-identical in any engine, which
     is what makes a sketch ESTIMATE oracle-stateable at all (contrast
     the certified-invariant style of C9/C89). Scale shape: candidate
-    generation is the banded equi-join (never all-pairs); truth joins run
-    on the candidate-pair list only, keyed by doc id."""
+    generation is the banded equi-join (never all-pairs); the truth
+    joins (|pairs| x tokens-per-doc) run on a DETERMINISTIC 1/256
+    md5-u32 sample of the pair list — the audit-sample form that holds
+    at 100 TB — with the identical predicate stated in the oracle."""
     from sample_data_pipeline_project_spark.operators.dedup import (
         minhash_lsh_candidates,
         minhash_signatures,
         token_sets,
     )
 
+    from sample_data_pipeline_project_spark.functions.text import (
+        md5_prefix_uint32_sql,
+    )
+
     d = load_table(spark, sf_dir, "documents")
+    # Deterministic 1/16 hash-sample of the candidate pairs: the truth
+    # joins (exact intersection/union) cost |pairs| x tokens-per-doc, so
+    # at scale the estimator audit runs on a reproducible pair sample —
+    # the portable md5-u32 predicate is stated identically in the oracle.
+    u32 = md5_prefix_uint32_sql("CAST(a AS STRING) || '|' || CAST(b AS STRING)")
     cand = (
         minhash_lsh_candidates(d, _NUM_HASHES, _BANDS)
         .select("a", "b")
+        .filter(F.expr(f"({u32}) % 256 = 0"))
         .localCheckpoint(eager=True)
     )
-    sig = minhash_signatures(d, _NUM_HASHES)
+    sig = minhash_signatures(d, _NUM_HASHES).localCheckpoint(eager=True)
     n_match = sum(
         F.when(F.col(f"sa.mh_{i}") == F.col(f"sb.mh_{i}"), 1).otherwise(0)
         for i in range(_NUM_HASHES)
@@ -572,7 +593,7 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         .join(sig.alias("sb"), F.col("b") == F.col("sb.doc_id"))
         .select("a", "b", n_match.alias("n_match"))
     )
-    ts = token_sets(d)
+    ts = token_sets(d).localCheckpoint(eager=True)
     sizes = ts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     ta, tb = ts.alias("ta"), ts.alias("tb")
     inter = (
