@@ -1176,3 +1176,168 @@ def ml_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.select(
         F.col("k").cast("long").alias("dim"), F.col("v").cast("long").alias("v_scaled")
     )
+
+
+# --------------------------------------------------------------------------
+# Markov stationary distribution (power iteration on the transition matrix)
+# --------------------------------------------------------------------------
+_MKV_ITERS = 3
+_MKV_SCALE = 1_000_000
+
+_MKV_TERM = (
+    "CAST(ROUND(CAST(p AS DOUBLE) * CAST(c AS DOUBLE) / CAST(r AS DOUBLE), 0)"
+    " AS BIGINT)"
+)
+
+
+def _mkv_oracle() -> str:
+    iters = []
+    prev = "p0"
+    for t in range(1, _MKV_ITERS + 1):
+        iters.append(f""",
+w{t} AS (
+  SELECT cells.nxt AS typ, CAST(SUM({_MKV_TERM}) AS BIGINT) AS w
+  FROM cells JOIN {prev} ON cells.prv = {prev}.typ
+  JOIN rows_ ON cells.prv = rows_.prv
+  GROUP BY cells.nxt
+),
+sw{t} AS (SELECT SUM(w) AS sw FROM w{t}),
+p{t} AS (
+  SELECT typ, CAST(ROUND(CAST(w AS DOUBLE) / CAST(sw AS DOUBLE)
+                         * {_MKV_SCALE}.0, 0) AS BIGINT) AS p
+  FROM w{t} CROSS JOIN sw{t}
+)""")
+        prev = f"p{t}"
+    return f"""
+WITH seq AS (
+  SELECT user_id, event_type,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS next_type
+  FROM events
+),
+cells AS (
+  SELECT event_type AS prv, next_type AS nxt, CAST(COUNT(*) AS BIGINT) AS c
+  FROM seq WHERE next_type IS NOT NULL
+  GROUP BY event_type, next_type
+),
+rows_ AS (SELECT prv, CAST(SUM(c) AS BIGINT) AS r FROM cells GROUP BY prv),
+p0 AS (
+  SELECT prv AS typ, CAST({_MKV_SCALE} AS BIGINT) AS p FROM rows_
+){"".join(iters)}
+SELECT typ AS event_type, CAST(p AS BIGINT) AS p_scaled
+FROM {prev}
+"""
+
+
+@workload("events_markov_stationary", oracle=_mkv_oracle())
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STATIONARY DISTRIBUTION of the event-type Markov chain (the
+    long-run visit share the C3 transition matrix implies): {k} fixed
+    power iterations p <- pP with every term pre-scaled to an exact
+    BIGINT (p_i * c_ij / r_i ROUNDed) and a ROUND sum-normalize back to
+    the 1e6 grid — integer state end to end, oracle unrolls identical
+    iterations (the PCA/HITS fixed-point family, applied to the
+    row-stochastic matrix). The only unbounded stage is the LEAD-window
+    transition count, user-partitioned; the iteration runs on the
+    |types|^2-cell table."""
+    from pyspark.sql.window import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("prv"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cells = seq.groupBy("prv", "nxt").agg(F.count(F.lit(1)).alias("c"))
+    cells = cells.localCheckpoint(eager=True)
+    rows_ = cells.groupBy("prv").agg(F.sum("c").alias("r"))
+    p = rows_.select(F.col("prv").alias("typ"), F.lit(_MKV_SCALE).cast("long").alias("p"))
+    term = F.round(
+        F.col("p").cast("double") * F.col("c").cast("double")
+        / F.col("r").cast("double"),
+        0,
+    ).cast("long")
+    for _ in range(_MKV_ITERS):
+        wdf = (
+            cells.join(p, cells["prv"] == p["typ"])
+            .join(rows_.withColumnRenamed("prv", "rprv"), cells["prv"] == F.col("rprv"))
+            .groupBy(cells["nxt"].alias("typ2"))
+            .agg(F.sum(term).cast("long").alias("w"))
+        )
+        sw = wdf.agg(F.sum("w").alias("sw"))
+        p = (
+            wdf.crossJoin(F.broadcast(sw))
+            .select(
+                F.col("typ2").alias("typ"),
+                F.round(
+                    F.col("w").cast("double") / F.col("sw").cast("double")
+                    * float(_MKV_SCALE),
+                    0,
+                )
+                .cast("long")
+                .alias("p"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return p.select(F.col("typ").alias("event_type"), F.col("p").cast("long").alias("p_scaled"))
+
+
+# --------------------------------------------------------------------------
+# Centered rolling mean (ROWS BETWEEN n PRECEDING AND n FOLLOWING)
+# --------------------------------------------------------------------------
+_CRM_HALF = 3
+
+_CRM_ORACLE = f"""
+WITH daily AS (
+  SELECT o_orderpriority AS priority,
+         date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM({_CENTS_O}) AS BIGINT) AS v
+  FROM orders GROUP BY 1, 2
+)
+SELECT priority, CAST(d AS BIGINT) AS d,
+       CAST(SUM(v) OVER w AS BIGINT) AS win_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS win_n,
+       CAST(SUM(v) OVER w AS DOUBLE) / CAST(COUNT(*) OVER w AS DOUBLE)
+         AS centered_mean
+FROM daily
+WINDOW w AS (PARTITION BY priority ORDER BY d
+             ROWS BETWEEN {_CRM_HALF} PRECEDING AND {_CRM_HALF} FOLLOWING)
+"""
+
+
+@workload("window_centered_rolling_mean", oracle=_CRM_ORACLE)
+def window_centered_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CENTERED rolling mean — the symmetric ROWS BETWEEN n PRECEDING AND
+    n FOLLOWING frame (the smoother that needs FUTURE rows, which the
+    trailing-frame workloads C118/C13 never exercise): +-{h}-row window
+    over per-priority daily revenue, edges naturally narrower (no
+    padding). Sum and count ride as exact integers with ONE final
+    division. The window is priority-partitioned over the
+    calendar-bounded daily aggregate — never raw rows, never a global
+    sort."""
+    from pyspark.sql.window import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        o.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d"),
+        )
+        .agg(F.sum(cents).cast("long").alias("v"))
+    )
+    w = (
+        Window.partitionBy("priority")
+        .orderBy("d")
+        .rowsBetween(-_CRM_HALF, _CRM_HALF)
+    )
+    return daily.select(
+        "priority",
+        F.col("d").cast("long"),
+        F.sum("v").over(w).cast("long").alias("win_sum"),
+        F.count(F.lit(1)).over(w).cast("long").alias("win_n"),
+        (
+            F.sum("v").over(w).cast("double")
+            / F.count(F.lit(1)).over(w).cast("double")
+        ).alias("centered_mean"),
+    )

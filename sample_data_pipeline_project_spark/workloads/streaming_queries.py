@@ -980,3 +980,63 @@ def stream_bitmap_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         "distinct_bitmap",
         (F.col("distinct_bitmap") == F.col("exact_distinct")).alias("matches_exact"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: Holt linear trend fed by a STREAMING weekly aggregate
+# --------------------------------------------------------------------------
+from sample_data_pipeline_project_spark.workloads.analytics_round4 import (  # noqa: E402
+    _HOLT_ORACLE,
+    _HOLT_STEP_SPARK,
+)
+
+
+@workload("stream_holt_forecast", oracle=_HOLT_ORACLE)
+def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt linear-trend forecaster (C146) fed ONLINE: orders arrive
+    as micro-batches, a complete-mode streaming aggregate maintains the
+    per-(priority, epoch-week) revenue sums — additive, so the streamed
+    weekly table equals the batch table for ANY micro-batch partition —
+    and the calendar-bounded fold then runs over the materialized series
+    with the IDENTICAL array-aggregate step as the batch workload. This
+    is the forecast-refresh deployment shape: heavy keyed aggregation
+    stays incremental, the O(weeks) recurrence re-runs per trigger.
+    Certified against the same recursive-CTE oracle, raw doubles, no
+    rounding — stream == batch bit-for-bit."""
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    o_schema = load_table(spark, sf_dir, "orders").schema
+    orders_stream = (
+        spark.readStream.schema(o_schema)
+        .format("parquet")
+        .load(f"{sf_dir.rstrip('/')}/orders.parque[t]")
+    )
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    weekly = orders_stream.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.expr("datediff(to_date(o_orderdate), DATE'1970-01-01') div 7").alias("d"),
+    ).agg(F.sum(cents).cast("long").alias("v"))
+    daily = run_stream_to_table(weekly).cache()
+    ser = daily.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("long").alias("n_weeks"),
+        F.expr(
+            "transform(array_sort(collect_list(struct(d, CAST(v AS DOUBLE) AS y))),"
+            " x -> named_struct('a', x.y, 'b', CAST('0.0' AS DOUBLE)))"
+        ).alias("ys"),
+    )
+    return ser.select(
+        "priority",
+        "n_weeks",
+        F.expr(
+            "aggregate("
+            " slice(ys, 2, greatest(size(ys) - 1, 0)),"
+            " named_struct('a', element_at(ys, 1).a, 'b', CAST('0.0' AS DOUBLE)),"
+            f" {_HOLT_STEP_SPARK})"
+        ).alias("st"),
+    ).select(
+        "priority",
+        "n_weeks",
+        F.col("st.a").alias("level"),
+        F.col("st.b").alias("trend"),
+        (F.col("st.a") + F.col("st.b")).alias("forecast_next"),
+    )
