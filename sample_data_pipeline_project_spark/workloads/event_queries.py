@@ -1524,3 +1524,69 @@ def sketch_hll_trailing_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("approx_ok"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: DYNAMIC-GAP sessionization (per-event-type inactivity gap)
+# --------------------------------------------------------------------------
+_DSES_GAP_SQL = (
+    "CASE WHEN event_type = 'view' THEN 1800000000 ELSE 600000000 END"
+)  # gap in MICROSECONDS: views 30 min, everything else 10 min
+
+_DSES_ORACLE = f"""
+WITH e AS (
+  SELECT user_id, ts, event_id,
+         epoch_us(ts) AS us,
+         epoch_us(ts) + {_DSES_GAP_SQL} AS end_us
+  FROM events
+),
+flagged AS (
+  SELECT user_id, ts, event_id, us, end_us,
+         CASE WHEN MAX(end_us) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   > us
+              THEN 0 ELSE 1 END AS is_new_session
+  FROM e
+),
+sessions AS (
+  SELECT user_id, us, end_us,
+         CAST(SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+              AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id,
+       make_timestamp(MIN(us)) AS session_start,
+       make_timestamp(MAX(end_us)) AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events
+FROM sessions
+GROUP BY user_id, session_seq
+"""
+
+
+@workload("events_sessionization_dynamic", oracle=_DSES_ORACLE)
+def events_sessionization_dynamic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DYNAMIC-GAP sessionization — Spark's `session_window` with a
+    PER-EVENT gap expression (views keep a session alive 30 minutes,
+    other events only 10): the engine merges each event's candidate
+    window [ts, ts+gap) transitively, so a session's end is the running
+    max of per-event ends, not last-event + constant — semantics a fixed
+    gap cannot express (C: the fixed-gap twin is events_sessionization).
+    The oracle replays the merge as gaps-and-islands with a cumulative
+    MAX(end) window: a new session starts exactly when the event's start
+    clears every previous end. All comparisons in exact epoch
+    MICROSECONDS; windows are user-partitioned."""
+    e = load_table(spark, sf_dir, "events")
+    gap = F.when(F.col("event_type") == "view", F.lit("30 minutes")).otherwise(
+        F.lit("10 minutes")
+    )
+    return (
+        e.groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.sources.catalog import load_table, register_views
 from sample_data_pipeline_project_spark.workloads import workload
 from sample_data_pipeline_project_spark.workloads.relational import _dsum
 
@@ -578,7 +578,7 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DESC NULLS FIRST and ASC NULLS LAST) through TakeOrdered top-5s
     with a unique tiebreak, value-hashed across engines. The kind of
     semantic edge a query engine has to get right, stated as a test."""
-    from sample_data_pipeline_project_spark.sources.catalog import load_table
+    from sample_data_pipeline_project_spark.sources.catalog import load_table, register_views
 
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
@@ -805,3 +805,101 @@ def scalar_calendar_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.year(d) * 100 + F.month(d)).cast("int").alias("yyyymm"),
         F.datediff(F.last_day(d), d).cast("int").alias("days_to_month_end"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: try_* error-safe arithmetic semantics
+# --------------------------------------------------------------------------
+_TRY_ORACLE = """
+WITH t AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_quantity AS BIGINT) AS a,
+         CAST(l_linenumber AS BIGINT) - 1 AS b,
+         CASE WHEN l_linenumber = 1 THEN '42'
+              WHEN l_linenumber = 2 THEN '7x'
+              ELSE l_linestatus END AS s
+  FROM lineitem
+),
+x AS (
+  SELECT flag,
+         CASE WHEN b = 0 THEN NULL
+              ELSE CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS d,
+         TRY_CAST(s AS INTEGER) AS c
+  FROM t
+)
+SELECT flag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(*) - COUNT(d) AS BIGINT) AS n_div_null,
+       CAST(SUM(CAST(ROUND(d * 1000000.0, 0) AS BIGINT)) AS BIGINT)
+         AS sum_div_scaled,
+       CAST(COUNT(c) AS BIGINT) AS n_cast_ok,
+       CAST(SUM(CASE WHEN c IS NOT NULL THEN c ELSE 0 END) AS BIGINT)
+         AS sum_cast
+FROM x GROUP BY flag
+"""
+
+
+@workload("scalar_try_arithmetic", oracle=_TRY_ORACLE)
+def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ERROR-SAFE arithmetic surface: `try_divide` (NULL on zero
+    denominator instead of an error/Inf) and `try_cast` (NULL on
+    malformed input) — the ANSI-mode escape hatches an ingest pipeline
+    leans on when raw data is dirty. The oracle states the identical
+    semantics declaratively (guarded CASE, TRY_CAST); per-row division
+    results are pre-scaled to exact BIGINTs before summing so the float
+    aggregation is order-independent. One projection + one keyed
+    aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    t = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.col("l_quantity").cast("long").alias("a"),
+        (F.col("l_linenumber").cast("long") - 1).alias("b"),
+        F.when(F.col("l_linenumber") == 1, "42")
+        .when(F.col("l_linenumber") == 2, "7x")
+        .otherwise(F.col("l_linestatus"))
+        .alias("s"),
+    )
+    x = t.select(
+        "flag",
+        F.try_divide(F.col("a").cast("double"), F.col("b").cast("double")).alias("d"),
+        F.expr("try_cast(s AS INT)").alias("c"),
+    )
+    return x.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("d")).cast("long").alias("n_div_null"),
+        F.sum(F.round(F.col("d") * 1000000.0, 0).cast("long"))
+        .cast("long")
+        .alias("sum_div_scaled"),
+        F.count("c").cast("long").alias("n_cast_ok"),
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("sum_cast"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4: the NOT IN + NULL trap vs NOT EXISTS
+# --------------------------------------------------------------------------
+_NOTIN_SQL = """
+SELECT 'not_in' AS variant, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                        UNION ALL SELECT CAST(NULL AS BIGINT))
+UNION ALL
+SELECT 'not_exists' AS variant, CAST(COUNT(*) AS BIGINT) AS n_customers
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+"""
+
+
+@workload("subquery_not_in_null_trap", oracle=_NOTIN_SQL)
+def subquery_not_in_null_trap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The NOT IN + NULL TRAP, pinned per ANSI on both engines with the
+    SAME SQL text: a NULL in the NOT IN subquery list makes every
+    membership test UNKNOWN, so the 'not_in' branch returns ZERO rows —
+    while the NOT EXISTS form (the null-safe anti-join every optimizer
+    compiles to) returns the real customers-without-orders count. An
+    engine that 'fixes' the NOT IN branch silently is wrong; the value
+    hash certifies both engines implement the standard's three-valued
+    logic. Physically: Catalyst plans NOT IN as a null-aware anti join
+    and NOT EXISTS as a plain left-anti join."""
+    register_views(spark, sf_dir)
+    return spark.sql(_NOTIN_SQL)
