@@ -455,3 +455,168 @@ def text_vocab_oov_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "n_tokens", "n_oov", "oov_rate",
         F.col("vocab_size").cast("long"),
     )
+
+
+# --------------------------------------------------------------------------
+# Round 4: Efraimidis-Spirakis weighted reservoir (exact-k, RNG-free)
+# --------------------------------------------------------------------------
+_WRES_K = 50
+_WRES_U32 = md5_prefix_uint32_sql("'wres|' || CAST(doc_id AS STRING)")
+
+_WRES_SCORE = (
+    f"CAST(ROUND(ln(CAST({_WRES_U32} + 1 AS DOUBLE) / 4294967296.0)"
+    f" / CAST(n_chars AS DOUBLE) * 1000000000.0, 0) AS BIGINT)"
+)
+
+_WRES_ORACLE = f"""
+WITH scored AS (
+  SELECT doc_id, CAST(n_chars AS BIGINT) AS weight,
+         {_WRES_SCORE} AS es_scaled
+  FROM documents WHERE n_chars > 0
+),
+ranked AS (
+  SELECT doc_id, weight, es_scaled,
+         ROW_NUMBER() OVER (ORDER BY es_scaled DESC, doc_id ASC) AS rnk
+  FROM scored
+)
+SELECT doc_id, weight, es_scaled, CAST(rnk AS BIGINT) AS rnk
+FROM ranked WHERE rnk <= {_WRES_K}
+"""
+
+
+@workload("sample_weighted_reservoir", oracle=_WRES_ORACLE)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-k WEIGHTED sampling without replacement (Efraimidis-Spirakis
+    A-ES): each doc gets key u^(1/w) with u a deterministic md5-u32
+    uniform and w = n_chars; the top-k keys ARE a weighted sample without
+    replacement — the exact-size companion to C16's Bernoulli thinning
+    (which only controls the EXPECTED count). Ranking uses the monotone
+    transform ln(u)/w pre-scaled to an exact BIGINT (absorbing ln ulps),
+    so the selection is an integer sort: TakeOrderedAndProject + the
+    bounded k x k rank join, never a global window. Mergeable at scale:
+    per-partition top-k merges to global top-k (the reservoir property)."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    scored = d.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("weight"),
+        F.expr(_WRES_SCORE).alias("es_scaled"),
+    )
+    top = scored.orderBy(F.col("es_scaled").desc(), F.col("doc_id").asc()).limit(
+        _WRES_K
+    )
+    lhs, rhs = top.alias("l"), top.alias("r")
+    ahead = (F.col("r.es_scaled") > F.col("l.es_scaled")) | (
+        (F.col("r.es_scaled") == F.col("l.es_scaled"))
+        & (F.col("r.doc_id") < F.col("l.doc_id"))
+    )
+    return (
+        lhs.join(rhs, ahead, "left")
+        .groupBy(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("l.weight").alias("weight"),
+            F.col("l.es_scaled").alias("es_scaled"),
+        )
+        .agg((F.count(F.col("r.doc_id")) + 1).cast("long").alias("rnk"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4: stratified sampling under an EXACT total budget
+# --------------------------------------------------------------------------
+_STRAT_BUDGET = 100
+_STRAT_U32 = md5_prefix_uint32_sql("'strat|' || CAST(doc_id AS STRING)")
+
+_STRAT_ORACLE = f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_s FROM documents GROUP BY source
+),
+tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS n FROM counts),
+q AS (
+  SELECT c.source, c.n_s,
+         (c.n_s * {_STRAT_BUDGET}) // t.n AS floor_units,
+         (c.n_s * {_STRAT_BUDGET}) % t.n AS remainder
+  FROM counts c CROSS JOIN tot t
+),
+short AS (SELECT {_STRAT_BUDGET} - SUM(floor_units) AS missing FROM q),
+rr AS (
+  SELECT a.source, a.n_s, a.floor_units,
+         1 + (SELECT COUNT(*) FROM q b
+               WHERE b.remainder > a.remainder
+                  OR (b.remainder = a.remainder AND b.source < a.source))
+           AS remainder_rank
+  FROM q a
+),
+quota AS (
+  SELECT rr.source, rr.n_s,
+         CAST(rr.floor_units
+              + CASE WHEN rr.remainder_rank <= s.missing THEN 1 ELSE 0 END
+              AS BIGINT) AS k_s
+  FROM rr CROSS JOIN short s
+),
+ranked AS (
+  SELECT d.doc_id, d.source,
+         ROW_NUMBER() OVER (PARTITION BY d.source
+                            ORDER BY {_STRAT_U32.replace('doc_id', 'd.doc_id')} ASC,
+                                     d.doc_id ASC) AS rnk
+  FROM documents d
+)
+SELECT r.doc_id, r.source, CAST(r.rnk AS BIGINT) AS rnk, q.k_s
+FROM ranked r JOIN quota q ON r.source = q.source
+WHERE r.rnk <= q.k_s
+"""
+
+
+@workload("sample_stratified_budget", oracle=_STRAT_ORACLE)
+def sample_stratified_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED sampling under an EXACT total budget: per-source quotas
+    from Hamilton largest-remainder allocation (C117's integer DIV/MOD
+    machinery — quotas sum to the budget EXACTLY, no rounding drift),
+    then a deterministic md5-u32 rank picks each stratum's members — the
+    proportional corpus-subsample every eval-set builder needs, fully
+    reproducible across engines/partitionings. The remainder rank is a
+    bounded |sources| x |sources| self-join (no global window); the
+    in-stratum rank window is source-partitioned."""
+    from pyspark.sql.window import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    tot = counts.agg(F.sum("n_s").alias("n"))
+    q = counts.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_s",
+        F.expr(f"(n_s * {_STRAT_BUDGET}) div n").alias("floor_units"),
+        ((F.col("n_s") * _STRAT_BUDGET) % F.col("n")).alias("remainder"),
+    )
+    short = q.agg((F.lit(_STRAT_BUDGET) - F.sum("floor_units")).alias("missing"))
+    a, b = q.alias("a"), q.alias("b")
+    ahead = (F.col("b.remainder") > F.col("a.remainder")) | (
+        (F.col("b.remainder") == F.col("a.remainder"))
+        & (F.col("b.source") < F.col("a.source"))
+    )
+    rr = (
+        a.join(b, ahead, "left")
+        .groupBy(
+            F.col("a.source").alias("source"),
+            F.col("a.n_s").alias("n_s"),
+            F.col("a.floor_units").alias("floor_units"),
+        )
+        .agg((F.count(F.col("b.source")) + 1).alias("remainder_rank"))
+    )
+    quota = rr.crossJoin(F.broadcast(short)).select(
+        "source",
+        (
+            F.col("floor_units")
+            + F.when(F.col("remainder_rank") <= F.col("missing"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("k_s"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.expr(_STRAT_U32).asc(), F.col("doc_id").asc()
+    )
+    ranked = d.select("doc_id", "source").withColumn(
+        "rnk", F.row_number().over(w).cast("long")
+    )
+    return ranked.join(F.broadcast(quota), "source").filter(
+        F.col("rnk") <= F.col("k_s")
+    ).select("doc_id", "source", "rnk", "k_s")
