@@ -437,6 +437,9 @@ def ml_logistic_regression_gd(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((day.cast("double") - 9237.0) / 1200.0).alias("x2"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1.0).otherwise(0.0).alias("y"),
     )
+    # Caching contract (same as jaccard_pairs_prefix): feat backs the 3
+    # eager iteration jobs AND the returned DataFrame; the caller/bench
+    # owns clearCache between workloads.
     feat = feat.persist()
     n = feat.count()
     w = [0.0, 0.0, 0.0]

@@ -1016,6 +1016,8 @@ def stream_holt_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderpriority").alias("priority"),
         F.expr("datediff(to_date(o_orderdate), DATE'1970-01-01') div 7").alias("d"),
     ).agg(F.sum(cents).cast("long").alias("v"))
+    # cache contract: the materialized stream result backs both the fold
+    # below and the driver's collect; caller/bench owns clearCache.
     daily = run_stream_to_table(weekly).cache()
     ser = daily.groupBy("priority").agg(
         F.count(F.lit(1)).cast("long").alias("n_weeks"),
