@@ -64,6 +64,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round3c,
         analytics_round3d,
         analytics_round4,
+        analytics_round4b,
         asof_queries,
         curation_queries,
         dedup_queries,
