@@ -431,3 +431,268 @@ def text_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Per-class precision / recall / F1 over the naive-Bayes confusion matrix
+# --------------------------------------------------------------------------
+def _prf_oracle() -> str:
+    from sample_data_pipeline_project_spark.workloads.analytics_round4 import (
+        _NB_ORACLE,
+    )
+
+    return f"""
+WITH cm AS (
+{_NB_ORACLE}
+),
+classes AS (
+  SELECT lang_true AS cls FROM cm
+  UNION
+  SELECT lang_pred FROM cm
+),
+stats AS (
+  SELECT c.cls,
+         CAST(COALESCE(SUM(CASE WHEN cm.lang_true = c.cls
+                                 AND cm.lang_pred = c.cls
+                            THEN cm.n_docs END), 0) AS BIGINT) AS tp,
+         CAST(COALESCE(SUM(CASE WHEN cm.lang_pred = c.cls
+                                 AND cm.lang_true != c.cls
+                            THEN cm.n_docs END), 0) AS BIGINT) AS fp,
+         CAST(COALESCE(SUM(CASE WHEN cm.lang_true = c.cls
+                                 AND cm.lang_pred != c.cls
+                            THEN cm.n_docs END), 0) AS BIGINT) AS fn
+  FROM classes c LEFT JOIN cm ON cm.lang_true = c.cls OR cm.lang_pred = c.cls
+  GROUP BY c.cls
+)
+SELECT cls, tp, fp, fn,
+       CASE WHEN tp + fp > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) END AS precision_,
+       CASE WHEN tp + fn > 0
+            THEN CAST(tp AS DOUBLE) / CAST(tp + fn AS DOUBLE) END AS recall_,
+       CASE WHEN 2 * tp + fp + fn > 0
+            THEN CAST(2 * tp AS DOUBLE) / CAST(2 * tp + fp + fn AS DOUBLE)
+       END AS f1
+FROM stats
+"""
+
+
+@workload("stats_precision_recall_f1", oracle=_prf_oracle())
+def stats_precision_recall_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PER-CLASS precision / recall / F1 for the naive-Bayes language
+    classifier (C137) — the metric sheet on top of its confusion matrix,
+    completing the eval family (confusion C45, kappa C106, AUC C161).
+    Everything reduces to exact tp/fp/fn integers per class; each metric
+    is ONE guarded division (F1 as 2tp/(2tp+fp+fn) rather than the
+    p-r harmonic mean, so no divisions stack). The Spark side reuses the
+    C137 pipeline and aggregates its cells; the oracle nests the
+    identical NB oracle as a CTE — drift between them is impossible by
+    construction."""
+    from sample_data_pipeline_project_spark.workloads.analytics_round4 import (
+        ml_naive_bayes_langid,
+    )
+
+    cm = ml_naive_bayes_langid(spark, sf_dir).localCheckpoint(eager=True)
+    classes = (
+        cm.select(F.col("lang_true").alias("cls"))
+        .unionByName(cm.select(F.col("lang_pred").alias("cls")))
+        .distinct()
+    )
+    joined = classes.join(
+        cm,
+        (cm["lang_true"] == classes["cls"]) | (cm["lang_pred"] == classes["cls"]),
+        "left",
+    )
+    stats = joined.groupBy("cls").agg(
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_true") == F.col("cls"))
+                    & (F.col("lang_pred") == F.col("cls")),
+                    F.col("n_docs"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("tp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_pred") == F.col("cls"))
+                    & (F.col("lang_true") != F.col("cls")),
+                    F.col("n_docs"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fp"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("lang_true") == F.col("cls"))
+                    & (F.col("lang_pred") != F.col("cls")),
+                    F.col("n_docs"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("fn"),
+    )
+    return stats.select(
+        "cls",
+        "tp",
+        "fp",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")).cast("double"),
+        ).alias("precision_"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")).cast("double"),
+        ).alias("recall_"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            (2 * F.col("tp")).cast("double")
+            / (2 * F.col("tp") + F.col("fp") + F.col("fn")).cast("double"),
+        ).alias("f1"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Seasonal strength of daily revenue (weekday-component variance share)
+# --------------------------------------------------------------------------
+_SEAS_ORACLE = """
+WITH daily AS (
+  SELECT date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS d,
+         CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT))
+              // 100 AS BIGINT) AS v
+  FROM orders GROUP BY 1
+),
+tot AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(v) AS BIGINT) AS sv,
+         CAST(SUM(v * v) AS BIGINT) AS svv
+  FROM daily
+),
+bywd AS (
+  SELECT d % 7 AS wd, CAST(SUM(v) AS BIGINT) AS s_w,
+         CAST(COUNT(*) AS BIGINT) AS n_w
+  FROM daily GROUP BY d % 7
+),
+seas AS (
+  SELECT CAST(SUM(CAST(ROUND(CAST(s_w AS DOUBLE) * CAST(s_w AS DOUBLE)
+                             / CAST(n_w AS DOUBLE), 0) AS BIGINT))
+              AS BIGINT) AS t
+  FROM bywd
+)
+SELECT tot.n AS n_days,
+       ROUND(1.0 - (CAST(tot.svv AS DOUBLE) - CAST(seas.t AS DOUBLE))
+                   / (CAST(tot.svv AS DOUBLE)
+                      - CAST(tot.sv AS DOUBLE) * CAST(tot.sv AS DOUBLE)
+                        / CAST(tot.n AS DOUBLE)), 9) AS seasonal_strength
+FROM tot CROSS JOIN seas
+"""
+
+
+@workload("timeseries_seasonal_strength", oracle=_SEAS_ORACLE)
+def timeseries_seasonal_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEASONAL STRENGTH of daily revenue: the share of variance the
+    weekday component explains, 1 - SS_residual/SS_total with the
+    weekday means as the seasonal model — the decision metric for
+    whether the seasonal-naive forecaster (C50) is even applicable.
+    Sufficient statistics are exact int64 in floor-DOLLARS (the C84
+    headroom convention: v^2 sums stay in range through sf10); the seven
+    per-weekday S^2/n terms go through the scaled-int ROUND so their sum
+    is order-independent; two divisions total, ROUND(9)-guarded. Epoch
+    mod-7 weekday keying (dialect-portable, C50/C92 convention)."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    daily = (
+        o.groupBy(
+            F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01")).alias("d")
+        )
+        .agg(F.expr(f"CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)) div 100 AS BIGINT)").alias("v"))
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("v").cast("long").alias("sv"),
+        F.sum(F.col("v") * F.col("v")).cast("long").alias("svv"),
+    )
+    bywd = daily.groupBy((F.col("d") % 7).alias("wd")).agg(
+        F.sum("v").cast("long").alias("s_w"),
+        F.count(F.lit(1)).cast("long").alias("n_w"),
+    )
+    seas = bywd.agg(
+        F.sum(
+            F.round(
+                F.col("s_w").cast("double")
+                * F.col("s_w").cast("double")
+                / F.col("n_w").cast("double"),
+                0,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("t")
+    )
+    return tot.crossJoin(F.broadcast(seas)).select(
+        F.col("n").alias("n_days"),
+        F.round(
+            1.0
+            - (F.col("svv").cast("double") - F.col("t").cast("double"))
+            / (
+                F.col("svv").cast("double")
+                - F.col("sv").cast("double")
+                * F.col("sv").cast("double")
+                / F.col("n").cast("double")
+            ),
+            9,
+        ).alias("seasonal_strength"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Classifier calibration bins (reliability-diagram sufficient statistics)
+# --------------------------------------------------------------------------
+_CAL_BAND = 2_500_000  # $25,000 price bands in cents
+_CAL_MAX_BAND = 20
+
+_CAL_ORACLE = f"""
+WITH pts AS (
+  SELECT LEAST({_CENTS_O} // {_CAL_BAND}, {_CAL_MAX_BAND}) AS band,
+         CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS y
+  FROM orders
+)
+SELECT CAST(band AS BIGINT) AS band,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(y) AS BIGINT) AS n_pos,
+       CAST(SUM(y) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS observed_rate
+FROM pts GROUP BY band
+"""
+
+
+@workload("ml_calibration_bins", oracle=_CAL_ORACLE)
+def ml_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CALIBRATION (reliability-diagram) bins for the price-as-urgency
+    score that C161 grades by rank: fixed $25k price bands (top-capped),
+    each with its exact positive count and observed rate — if AUC says
+    the ranking discriminates, calibration says whether the score's
+    LEVELS mean anything. Exact integers plus one division per band;
+    a single keyed aggregate over a capped, bounded band domain."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+    pts = o.select(
+        F.least(F.expr(f"{_CENTS_O} div {_CAL_BAND}"), F.lit(_CAL_MAX_BAND)).alias(
+            "band"
+        ),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("y"),
+    )
+    return pts.groupBy(F.col("band").cast("long").alias("band")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("y").cast("long").alias("n_pos"),
+        (F.sum("y").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "observed_rate"
+        ),
+    )
