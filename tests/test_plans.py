@@ -181,17 +181,67 @@ def test_r02_weak_workloads_have_no_global_window(spark, name):
     assert sites == [], sites
 
 
+# Workloads whose BroadcastNestedLoopJoin is a documented BOUNDED
+# broadcast (1-row stats crossjoins, k x k rank joins after a limit,
+# query-vector/centroid broadcasts, calendar- or domain-bounded pair
+# tables — see each workload's docstring and PLANS.md). A NEW workload
+# acquiring a BNLJ fails this invariant until it is justified here: the
+# bounded-BNLJ claim is enforced, not just narrated.
+_BNLJ_ALLOWLIST: set[str] = {
+    "dq_benford_first_digit", "dq_k_anonymity", "dq_psi_drift",
+    "dq_skew_report", "events_dau_wau_stickiness",
+    "events_type_cooccurrence", "graph_adamic_adar", "graph_hits_bipartite",
+    "graph_pagerank_neardup", "ml_knn_label_classifier",
+    "ml_naive_bayes_langid", "sample_stratified_budget",
+    "sample_weighted_reservoir", "sim_ivf_index_topk", "sim_ivf_topk",
+    "sim_ivfpq_topk", "sim_kmeans_ivf_topk", "sim_label_centroid_classify",
+    "sim_lsh_topk", "sim_pq_adc_topk", "sim_quantized_int8_topk",
+    "sim_rplsh_neardup", "sim_topk_bruteforce", "sketch_hll_intersection",
+    "sketch_hll_trailing_wau", "sketch_misra_gries_buckets",
+    "stats_chi_square_type_dow", "stats_cohens_kappa_langid",
+    "stats_kaplan_meier_purchase", "stats_ks_doclen_cohorts",
+    "stats_mutual_information_type_dow", "stats_precision_recall_f1",
+    "stats_theil_sen_slope", "stats_two_proportion_ztest",
+    "stats_welch_ttest_segments", "text_bigram_lm_counts",
+    "text_bigram_perplexity", "text_bm25_search",
+    "text_bpe_merge_candidates", "text_corpus_mix_report",
+    "text_hybrid_rrf_fusion", "text_kl_divergence_by_source",
+    "text_pmi_collocations", "text_target_mix_resample",
+    "text_vocab_oov_report", "text_zipf_exponent",
+    "timeseries_acf_daily_revenue", "timeseries_ccf_view_click",
+    "timeseries_seasonal_strength", "timeseries_weekly_spectrum",
+    "tpch_q11_important_parts", "tpch_q22_idle_rich_customers",
+    "train_negative_samples",
+    # batch tail of the streaming left-outer join: the expiry-region
+    # exclusion crossjoins the 1-row event-time watermark bound
+    "stream_click_view_left_outer",
+}
+
+
 def test_registry_has_no_single_partition_window(spark):
-    """Every registered workload's physical plan is free of
-    Exchange SinglePartition directly feeding a Window."""
-    offenders = {}
+    """Registry-wide structural invariants, ONE plan walk per workload:
+    (a) no Exchange SinglePartition directly feeding a Window;
+    (b) no CartesianProduct node anywhere (the genuinely unbounded
+        cross-product operator);
+    (c) BroadcastNestedLoopJoin only in workloads on the documented
+        bounded-broadcast allowlist."""
+    window_offenders = {}
+    cartesian_offenders = []
+    bnlj_offenders = []
     for name, w in sorted(load_all().items()):
-        if name in _GLOBAL_WINDOW_ALLOWLIST:
-            continue
-        sites = single_partition_window_sites(w.fn(spark, _SF))
-        if sites:
-            offenders[name] = sites[0]
-    assert offenders == {}, offenders
+        df = w.fn(spark, _SF)
+        if name not in _GLOBAL_WINDOW_ALLOWLIST:
+            sites = single_partition_window_sites(df)
+            if sites:
+                window_offenders[name] = sites[0]
+        plan = physical_plan(df)
+        if "CartesianProduct" in plan:
+            cartesian_offenders.append(name)
+        if "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_ALLOWLIST:
+            bnlj_offenders.append(name)
+    assert window_offenders == {}, window_offenders
+    assert cartesian_offenders == [], cartesian_offenders
+    assert bnlj_offenders == [], bnlj_offenders
 
 
 # --------------------------------------------------------------------------
