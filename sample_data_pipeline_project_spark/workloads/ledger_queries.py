@@ -7,6 +7,7 @@ ANSI SQL (same LEDGER_CTE prefix) for the DuckDB oracle.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from sample_data_pipeline_project_spark.ledger.derive import LEDGER_CTE, derived_ledger
 from sample_data_pipeline_project_spark.ledger import tasks
@@ -357,4 +358,109 @@ def ledger_coverage_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("covered_us").cast("long").alias("total_covered_us"),
         F.max("covered_us").cast("long").alias("max_island_us"),
         F.max("n_runs").cast("long").alias("max_island_runs"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4: backfill work plan — the complement of the coverage islands
+# --------------------------------------------------------------------------
+_BACKFILL_ORACLE = f"""
+WITH {LEDGER_CTE},
+seq AS (
+  SELECT pipeline_name, index_name,
+         query_window_start_ts AS s, query_window_end_ts AS e, run_id,
+         MAX(query_window_end_ts) OVER (
+           PARTITION BY pipeline_name, index_name
+           ORDER BY query_window_start_ts, run_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max_e
+  FROM pipeline_runs
+)
+SELECT pipeline_name, index_name,
+       prev_max_e AS gap_start, s AS gap_end,
+       CAST(epoch_us(s) - epoch_us(prev_max_e) AS BIGINT) AS gap_us
+FROM seq
+WHERE prev_max_e IS NOT NULL AND s > prev_max_e
+"""
+
+
+@workload("ledger_backfill_plan", oracle=_BACKFILL_ORACLE)
+def ledger_backfill_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BACKFILL WORK PLAN — the reference library's reason to exist,
+    emitted as data: every uncovered interval between merged coverage
+    islands (C83) per (pipeline, index), i.e. exactly the [prev_max_end,
+    next_start) ranges a scheduler must re-run to make the ledger
+    continuous. The running-max window is the C83 island machinery
+    stopped one step earlier (emit the complement instead of the union);
+    gap durations are exact epoch MICROSECONDS. Windows ride
+    (pipeline, index) partitions — never global."""
+    from pyspark.sql.window import Window
+
+    led = derived_ledger(spark, sf_dir)
+    w = (
+        Window.partitionBy("pipeline_name", "index_name")
+        .orderBy("query_window_start_ts", "run_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = led.select(
+        "pipeline_name",
+        "index_name",
+        F.col("query_window_start_ts").alias("s"),
+        "run_id",
+        F.max("query_window_end_ts").over(w).alias("prev_max_e"),
+    )
+    return seq.filter(
+        F.col("prev_max_e").isNotNull() & (F.col("s") > F.col("prev_max_e"))
+    ).select(
+        "pipeline_name",
+        "index_name",
+        F.col("prev_max_e").alias("gap_start"),
+        F.col("s").alias("gap_end"),
+        (
+            F.unix_micros(F.col("s").cast("timestamp"))
+            - F.unix_micros(F.col("prev_max_e").cast("timestamp"))
+        ).alias("gap_us"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Round 4: SLA breach audit over run windows
+# --------------------------------------------------------------------------
+_SLA_US = 7_200_000_000  # 2 hours
+
+_SLA_ORACLE = f"""
+WITH {LEDGER_CTE},
+d AS (
+  SELECT pipeline_name, index_name,
+         CAST(epoch_us(query_window_end_ts)
+              - epoch_us(query_window_start_ts) AS BIGINT) AS dur_us
+  FROM pipeline_runs
+)
+SELECT pipeline_name, index_name,
+       CAST(COUNT(*) AS BIGINT) AS n_runs,
+       CAST(SUM(CASE WHEN dur_us > {_SLA_US} THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_breach,
+       CAST(MAX(dur_us) AS BIGINT) AS max_dur_us
+FROM d GROUP BY pipeline_name, index_name
+"""
+
+
+@workload("ledger_sla_breach_audit", oracle=_SLA_ORACLE)
+def ledger_sla_breach_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SLA AUDIT over the run ledger: per (pipeline, index), how many run
+    windows exceed the 2-hour processing SLA, with the worst duration —
+    the operational-health rollup a ledger owner reads before trusting
+    the backfill plan. Durations are exact epoch-microsecond integers;
+    one keyed aggregate."""
+    led = derived_ledger(spark, sf_dir)
+    dur = (
+        F.unix_micros(F.col("query_window_end_ts").cast("timestamp"))
+        - F.unix_micros(F.col("query_window_start_ts").cast("timestamp"))
+    ).alias("dur_us")
+    d = led.select("pipeline_name", "index_name", dur)
+    return d.groupBy("pipeline_name", "index_name").agg(
+        F.count(F.lit(1)).cast("long").alias("n_runs"),
+        F.sum(F.when(F.col("dur_us") > _SLA_US, 1).otherwise(0))
+        .cast("long")
+        .alias("n_breach"),
+        F.max("dur_us").cast("long").alias("max_dur_us"),
     )
