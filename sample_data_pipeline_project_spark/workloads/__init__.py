@@ -65,6 +65,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round3d,
         analytics_round4,
         analytics_round4b,
+        analytics_round4c,
         asof_queries,
         curation_queries,
         dedup_queries,
