@@ -66,6 +66,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round4,
         analytics_round4b,
         analytics_round4c,
+        analytics_round4d,
         asof_queries,
         curation_queries,
         dedup_queries,
