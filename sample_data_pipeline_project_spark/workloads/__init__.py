@@ -67,6 +67,8 @@ def load_all() -> dict[str, Workload]:
         analytics_round4b,
         analytics_round4c,
         analytics_round4d,
+        analytics_round4e,
+        analytics_round4f,
         asof_queries,
         curation_queries,
         dedup_queries,

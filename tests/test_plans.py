@@ -215,6 +215,11 @@ _BNLJ_ALLOWLIST: set[str] = {
     # batch tail of the streaming left-outer join: the expiry-region
     # exclusion crossjoins the 1-row event-time watermark bound
     "stream_click_view_left_outer",
+    # round-4 additions: 1-row scalar-statistics broadcasts (fold totals,
+    # KMV sketch vs exact count, bootstrap replicate aggregate, total
+    # bigram types) joined onto bounded (<= 64-row) left sides
+    "ml_kfold_cv_ols", "sketch_kmv_distinct",
+    "stats_poisson_bootstrap_se", "text_kneser_ney_bigram",
 }
 
 
