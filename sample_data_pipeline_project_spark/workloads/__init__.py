@@ -69,6 +69,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round4d,
         analytics_round4e,
         analytics_round4f,
+        analytics_round4g,
         asof_queries,
         curation_queries,
         dedup_queries,

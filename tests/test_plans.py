@@ -220,6 +220,9 @@ _BNLJ_ALLOWLIST: set[str] = {
     # bigram types) joined onto bounded (<= 64-row) left sides
     "ml_kfold_cv_ols", "sketch_kmv_distinct",
     "stats_poisson_bootstrap_se", "text_kneser_ney_bigram",
+    # 10x10 cumulative self-join over the decile summary (bounded by the
+    # fixed decile count, not by data size)
+    "stats_lift_gains_deciles",
 }
 
 
