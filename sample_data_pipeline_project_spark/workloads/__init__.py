@@ -70,6 +70,8 @@ def load_all() -> dict[str, Workload]:
         analytics_round4e,
         analytics_round4f,
         analytics_round4g,
+        analytics_round4h,
+        analytics_round4i,
         asof_queries,
         curation_queries,
         dedup_queries,

@@ -223,6 +223,8 @@ _BNLJ_ALLOWLIST: set[str] = {
     # 10x10 cumulative self-join over the decile summary (bounded by the
     # fixed decile count, not by data size)
     "stats_lift_gains_deciles",
+    # same 1-row n/dims crossjoins as the allowlisted chi-square (C93)
+    "stats_cramers_v_type_dow",
 }
 
 
