@@ -26,7 +26,12 @@ external API or queue.
 
 from __future__ import annotations
 
-from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
 
 
 class DetRangePartition(InputPartition):
@@ -70,3 +75,56 @@ def register_det_range(spark) -> None:
         spark.dataSource.register(DetRangeSource)
     except Exception:
         pass  # already registered in this session
+
+
+# --------------------------------------------------------------------------
+# Streaming variant: SimpleDataSourceStreamReader over the same generator
+# --------------------------------------------------------------------------
+
+
+class DetRangeStreamReader(SimpleDataSourceStreamReader):
+    """Chunked micro-batch reads over the deterministic generator: the
+    offset is a plain dict {"pos": next_id}; each read() emits one chunk
+    and advances the offset; readBetweenOffsets replays any committed
+    range exactly (the failure-recovery contract — replay MUST be
+    deterministic, which the arithmetic generator gives for free)."""
+
+    def __init__(self, options):
+        self.n = int(options.get("n", 30000))
+        self.chunk = int(options.get("chunk", 10000))
+
+    def initialOffset(self):
+        return {"pos": 0}
+
+    def _rows(self, lo: int, hi: int):
+        return iter(
+            [(i, i % 10, (i * 2654435761) % 1000003) for i in range(lo, hi)]
+        )
+
+    def read(self, start):
+        pos = int(start["pos"])
+        end = min(pos + self.chunk, self.n)
+        return (self._rows(pos, end), {"pos": end})
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(int(start["pos"]), int(end["pos"]))
+
+
+class DetRangeStreamSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "det_range_stream"
+
+    def schema(self) -> str:
+        return "id BIGINT, bucket BIGINT, val BIGINT"
+
+    def simpleStreamReader(self, schema) -> DetRangeStreamReader:
+        return DetRangeStreamReader(self.options)
+
+
+def register_det_range_stream(spark) -> None:
+    """Idempotently register the streaming source with the session."""
+    try:
+        spark.dataSource.register(DetRangeStreamSource)
+    except Exception:
+        pass

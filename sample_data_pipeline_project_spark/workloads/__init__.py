@@ -72,6 +72,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round4g,
         analytics_round4h,
         analytics_round4i,
+        analytics_round4j,
         asof_queries,
         curation_queries,
         dedup_queries,
