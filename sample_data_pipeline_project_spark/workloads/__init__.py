@@ -73,6 +73,8 @@ def load_all() -> dict[str, Workload]:
         analytics_round4h,
         analytics_round4i,
         analytics_round4j,
+        analytics_round4k,
+        analytics_round4l,
         asof_queries,
         curation_queries,
         dedup_queries,
