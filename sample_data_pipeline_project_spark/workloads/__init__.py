@@ -75,6 +75,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round4j,
         analytics_round4k,
         analytics_round4l,
+        analytics_round4m,
         asof_queries,
         curation_queries,
         dedup_queries,
