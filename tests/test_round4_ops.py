@@ -163,5 +163,83 @@ def test_sweepline_matches_bruteforce(spark):
         assert got[g] == brute, g
 
 
+# --------------------------------------------------------------------------
+# Kneser-Ney: interpolated bigram probabilities form a simplex per context
+# --------------------------------------------------------------------------
+def test_kneser_ney_sums_to_one_per_context():
+    """With absolute discount D and continuation backoff, sum over the
+    FULL vocabulary of P(w2|w1) must be exactly 1 per observed context:
+    sum(max(c-D,0))/c1 = (c1 - D*n1fw)/c1 and the lambda mass
+    D*n1fw/c1 multiplies a distribution (sum n1bw = T). Mirrors the
+    C184 formula on a toy corpus."""
+    D = 0.75
+    corpus = [
+        "the cat sat on the mat".split(),
+        "the dog sat on the log".split(),
+        "a cat and a dog".split(),
+    ]
+    from collections import Counter
+
+    pairs = Counter()
+    for doc in corpus:
+        for w1, w2 in zip(doc, doc[1:]):
+            pairs[(w1, w2)] += 1
+    c1 = Counter()
+    n1fw = Counter()
+    n1bw = Counter()
+    for (w1, w2), c in pairs.items():
+        c1[w1] += c
+        n1fw[w1] += 1
+        n1bw[w2] += 1
+    T = len(pairs)
+    vocab_w2 = set(n1bw)
+    for w1 in c1:
+        total = 0.0
+        for w2 in vocab_w2:
+            c = pairs.get((w1, w2), 0)
+            p = max(c - D, 0.0) / c1[w1] + (D * n1fw[w1] / c1[w1]) * (
+                n1bw[w2] / T
+            )
+            total += p
+        assert abs(total - 1.0) < 1e-12, (w1, total)
+
+
+# --------------------------------------------------------------------------
+# det_range source: partitions are disjoint and complete
+# --------------------------------------------------------------------------
+def test_det_range_partitions_cover_domain():
+    from sample_data_pipeline_project_spark.sources.pydatasource import (
+        DetRangePartition,
+        DetRangeReader,
+    )
+
+    rdr = DetRangeReader({"n": "1000", "partitions": "7"})
+    seen = []
+    for part in rdr.partitions():
+        assert isinstance(part, DetRangePartition)
+        seen.extend(i for i, _, _ in rdr.read(part))
+    assert sorted(seen) == list(range(1000))
+
+
+def test_det_range_stream_replay_is_exact():
+    from sample_data_pipeline_project_spark.sources.pydatasource import (
+        DetRangeStreamReader,
+    )
+
+    rdr = DetRangeStreamReader({"n": "2500", "chunk": "1000"})
+    off = rdr.initialOffset()
+    rows = []
+    offsets = [off]
+    while off["pos"] < 2500:
+        it, off = rdr.read(off)
+        rows.extend(it)
+        offsets.append(off)
+    assert [r[0] for r in rows] == list(range(2500))
+    # replay any committed window: identical rows
+    replay = list(rdr.readBetweenOffsets(offsets[1], offsets[3]))
+    assert replay == rows[1000:2500][:2000][: len(replay)]
+    assert [r[0] for r in replay] == list(range(1000, 2500))[: len(replay)]
+
+
 if __name__ == "__main__":
     raise SystemExit(pytest.main([__file__, "-q"]))
