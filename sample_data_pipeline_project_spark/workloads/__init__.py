@@ -76,6 +76,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round4k,
         analytics_round4l,
         analytics_round4m,
+        analytics_round4n,
         asof_queries,
         curation_queries,
         dedup_queries,
