@@ -1,0 +1,81 @@
+"""Semantic invariants of the round-4 report workloads, run on the
+sf0.001 testdata through the registered builders themselves — facts that
+must hold regardless of engine parity (the oracle gate checks Spark ==
+DuckDB; these check both == the mathematics)."""
+
+from __future__ import annotations
+
+import pytest
+
+from sample_data_pipeline_project_spark.workloads import load_all
+
+_SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def registry():
+    return load_all()
+
+
+def test_lift_gains_terminal_and_monotone(spark, registry):
+    rows = sorted(
+        registry["stats_lift_gains_deciles"].fn(spark, _SF).collect(),
+        key=lambda r: r["decile"],
+    )
+    assert [r["decile"] for r in rows] == list(range(1, 11))
+    # cumulative gain is nondecreasing and ends at exactly 1
+    gains = [r["gain"] for r in rows]
+    assert all(a <= b + 1e-12 for a, b in zip(gains, gains[1:]))
+    assert abs(gains[-1] - 1.0) < 1e-12
+    # final cumulative lift is exactly the base rate ratio = 1
+    assert abs(rows[-1]["lift"] - 1.0) < 1e-12
+    # cum counts tile the corpus
+    assert rows[-1]["cum_n"] == sum(r["n_d"] for r in rows)
+
+
+def test_dataset_card_shares_sum_to_one(spark, registry):
+    rows = registry["train_dataset_card"].fn(spark, _SF).collect()
+    assert abs(sum(r["share_docs"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["share_tokens"] for r in rows) - 1.0) < 1e-9
+
+
+def test_abc_partitions_revenue(spark, registry):
+    rows = {r["abc_class"]: r for r in
+            registry["stats_abc_classification"].fn(spark, _SF).collect()}
+    assert set(rows) <= {"A", "B", "C"}
+    total = sum(r["class_rev_m4"] for r in rows.values())
+    assert abs(sum(r["share_of_revenue"] for r in rows.values()) - 1.0) < 1e-12
+    # class A alone never exceeds 80% + one part's worth of revenue
+    if "A" in rows and "B" in rows:
+        assert rows["A"]["class_rev_m4"] * 100 <= total * 80 + 100 * max(
+            r["class_rev_m4"] for r in rows.values()
+        )
+
+
+def test_share_of_parent_consistency(spark, registry):
+    rows = registry["rollup_share_of_parent"].fn(spark, _SF).collect()
+    by_region: dict[str, float] = {}
+    for r in rows:
+        by_region[r["region"]] = by_region.get(r["region"], 0.0) + r[
+            "share_of_region"
+        ]
+    for region, s in by_region.items():
+        assert abs(s - 1.0) < 1e-9, region
+    assert abs(sum(r["share_of_total"] for r in rows) - 1.0) < 1e-9
+
+
+def test_blocking_quality_bounds(spark, registry):
+    row = registry["er_blocking_quality"].fn(spark, _SF).collect()[0]
+    assert 0 <= row["candidate_pairs"] <= row["total_pairs"]
+    assert 0.0 <= row["reduction_ratio"] <= 1.0
+    assert row["n_captured"] <= row["n_truth"]
+    if row["n_truth"]:
+        assert 0.0 <= row["pair_recall"] <= 1.0
+
+
+def test_kfold_partitions_rows(spark, registry):
+    rows = registry["ml_kfold_cv_ols"].fn(spark, _SF).collect()
+    assert len(rows) == 5
+    n_total = {r["n_train"] + r["n_test"] for r in rows}
+    assert len(n_total) == 1  # every fold sees the same corpus
+    assert sum(r["n_test"] for r in rows) == n_total.pop()
