@@ -77,6 +77,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round4l,
         analytics_round4m,
         analytics_round4n,
+        analytics_round4o,
         asof_queries,
         curation_queries,
         dedup_queries,
