@@ -79,3 +79,74 @@ def test_kfold_partitions_rows(spark, registry):
     n_total = {r["n_train"] + r["n_test"] for r in rows}
     assert len(n_total) == 1  # every fold sees the same corpus
     assert sum(r["n_test"] for r in rows) == n_total.pop()
+
+
+def test_growth_accounting_identity(spark, registry):
+    """actives(w) must equal new + retained + resurrected exactly, and
+    every user classified churned at w+1 was active at w."""
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    rows = {r["wk"]: r for r in
+            registry["events_growth_accounting"].fn(spark, _SF).collect()}
+    uw = (
+        load_table(spark, _SF, "events")
+        .select("user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk"))
+        .distinct()
+        .groupBy("wk")
+        .count()
+        .collect()
+    )
+    actives = {r["wk"]: r["count"] for r in uw}
+    assert set(actives) == set(rows)
+    for wk, r in rows.items():
+        assert actives[wk] == r["n_new"] + r["n_retained"] + r["n_resurrected"], wk
+    # churn bridge: actives(w) - (retained(w+1) on the SAME users) = churned(w+1)
+    wks = sorted(rows)
+    for a, b in zip(wks, wks[1:]):
+        if (b - a).days == 7:
+            assert actives[a] - rows[b]["n_retained"] == rows[b]["n_churned"], (a, b)
+
+
+def test_decomposition_identities(spark, registry):
+    """Exact per-row identities: 7*rev == trend_x7 + resid_x7, and
+    seasonal + remainder reconstruct the residual. Per (nation, dow),
+    remainders must sum to ~0 — the seasonal IS their mean, so this is
+    an identity of the estimator, unlike any claim about residuals
+    themselves (sparse series leave real detrend bias)."""
+    rows = registry["timeseries_classical_decomposition"].fn(spark, _SF).collect()
+    assert rows
+    rem_by_cell: dict[tuple[int, int], float] = {}
+    for r in rows:
+        assert 7 * r["rev_cents"] == r["trend_x7"] + r["resid_x7"]
+        assert abs((r["seasonal_x7"] + r["remainder_x7"]) - r["resid_x7"]) < 1e-6
+        dow = (r["day"].toordinal() - 719162) % 7  # days since 1970-01-01
+        cell = (r["nationkey"], dow)
+        rem_by_cell[cell] = rem_by_cell.get(cell, 0.0) + r["remainder_x7"]
+    for cell, s in rem_by_cell.items():
+        assert abs(s) < 1e-3, cell
+
+
+def test_novelty_accounts_for_every_bigram(spark, registry):
+    """Summed first-seen bigrams across sources == total distinct corpus
+    bigrams (every bigram is novel exactly once)."""
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.functions.text import (
+        tokens,
+        word_bigrams,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    rows = registry["text_novelty_rate"].fn(spark, _SF).collect()
+    total_novel = sum(r["n_novel"] for r in rows)
+    d = load_table(spark, _SF, "documents")
+    distinct_bigrams = (
+        d.select(tokens("text").alias("__t"))
+        .select(F.explode(word_bigrams("__t")).alias("b"))
+        .select("b.w1", "b.w2")
+        .distinct()
+        .count()
+    )
+    assert total_novel == distinct_bigrams
