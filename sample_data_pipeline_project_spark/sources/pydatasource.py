@@ -69,12 +69,23 @@ class DetRangeSource(DataSource):
         return DetRangeReader(self.options)
 
 
+def _register_idempotent(spark, source_cls) -> None:
+    """Register a Python DataSource, tolerating ONLY the already-registered
+    duplicate error — any other failure (missing datasource API, broken
+    source class) propagates instead of resurfacing later as an opaque
+    DATA_SOURCE_NOT_FOUND at .load() time."""
+    try:
+        spark.dataSource.register(source_cls)
+    except Exception as exc:
+        msg = str(exc).lower()
+        if "already" in msg and "register" in msg:
+            return
+        raise
+
+
 def register_det_range(spark) -> None:
     """Idempotently register the source with the session."""
-    try:
-        spark.dataSource.register(DetRangeSource)
-    except Exception:
-        pass  # already registered in this session
+    _register_idempotent(spark, DetRangeSource)
 
 
 # --------------------------------------------------------------------------
@@ -124,7 +135,4 @@ class DetRangeStreamSource(DataSource):
 
 def register_det_range_stream(spark) -> None:
     """Idempotently register the streaming source with the session."""
-    try:
-        spark.dataSource.register(DetRangeStreamSource)
-    except Exception:
-        pass
+    _register_idempotent(spark, DetRangeStreamSource)

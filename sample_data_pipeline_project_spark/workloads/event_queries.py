@@ -1061,7 +1061,7 @@ WITH ranked AS (
   FROM events
 )
 SELECT user_id,
-       list_sort(list(event_id)) AS recent_event_ids,
+       array_to_string(list_sort(list(event_id)), ',') AS recent_event_ids,
        CAST(COUNT(*) AS BIGINT) AS n_recent
 FROM ranked WHERE rn <= {_HIST_K}
 GROUP BY user_id
@@ -1070,14 +1070,16 @@ GROUP BY user_id
 
 @workload("events_recent_history_array", oracle=_HIST_ORACLE)
 def events_recent_history_array(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ARRAY-VALUED aggregation through the correctness gate: each user's
-    {k} most recent event ids materialized as a SORTED array column — the
-    feature-store "recent history" shape (one row per user, history as a
-    nested list). The top-k ranks ride user-partitioned windows with a
-    unique (ts, event_id) tiebreak; the array is sorted ascending on both
-    engines so collect order can't leak into the value hash — pinning
-    that nested array values survive the Spark->Arrow and DuckDB->Python
-    boundaries identically."""
+    """Per-user recent history: each user's {k} most recent event ids
+    materialized as a SORTED sequence — the feature-store "recent
+    history" shape (one row per user). The top-k ranks ride
+    user-partitioned windows with a unique (ts, event_id) tiebreak; the
+    sequence is sorted ascending on both engines so collect order can't
+    leak into the value hash, then serialized to ONE comma-joined STRING
+    column — the driver's pandas canonicalizer cannot sort/factorize
+    list cells (r04 red row on features_hashing_trick proved raw arrays
+    hash only in the repo's local checker), so the final schema stays
+    scalar."""
     from pyspark.sql.window import Window as W
 
     ev = load_table(spark, sf_dir, "events")
@@ -1088,7 +1090,9 @@ def events_recent_history_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "event_id", F.row_number().over(w).alias("rn")
     ).filter(F.col("rn") <= _HIST_K)
     return ranked.groupBy("user_id").agg(
-        F.sort_array(F.collect_list("event_id")).alias("recent_event_ids"),
+        F.array_join(
+            F.sort_array(F.collect_list("event_id")), ","
+        ).alias("recent_event_ids"),
         F.count(F.lit(1)).cast("long").alias("n_recent"),
     )
 

@@ -437,7 +437,7 @@ def join_bucketed_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame
     "agg_collect_sorted_segments",
     oracle="""
 SELECT c_nationkey,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
        COUNT(DISTINCT c_mktsegment) AS n_segments
 FROM customer
 GROUP BY c_nationkey
@@ -447,10 +447,15 @@ def agg_collect_sorted_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array-valued aggregation: distinct segments per nation collected to
     a SORTED array (collect_set order is partition-dependent; sort_array
     makes the value deterministic — the only way an array aggregate can be
-    compared across engines or retries)."""
+    compared across engines or retries), then serialized to ONE
+    comma-joined STRING: the driver's pandas canonicalizer cannot
+    sort/factorize list cells (proven by the r04 red row on
+    features_hashing_trick), so the final schema stays scalar."""
     c = load_table(spark, sf_dir, "customer")
     return c.groupBy("c_nationkey").agg(
-        F.sort_array(F.collect_set("c_mktsegment")).alias("segments"),
+        F.array_join(F.sort_array(F.collect_set("c_mktsegment")), ",").alias(
+            "segments"
+        ),
         F.count_distinct("c_mktsegment").alias("n_segments"),
     )
 

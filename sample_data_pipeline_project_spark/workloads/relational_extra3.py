@@ -165,7 +165,9 @@ SELECT vec_id,
        list_min(embedding) AS mn,
        list_max(embedding) AS mx,
        len(list_filter(embedding, x -> x > 0)) AS n_pos,
-       embedding[1:3] AS head3
+       embedding[1] AS head1,
+       embedding[2] AS head2,
+       embedding[3] AS head3
 FROM embeddings
 WHERE vec_id < 500
 """,
@@ -173,9 +175,12 @@ WHERE vec_id < 500
 def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array + lambda higher-order functions over `embedding:
     array<float>`: size, element min/max, a filtered count (HOF lambda),
-    and a slice — all JVM-side expressions on the nested type, no UDF.
-    Only comparisons and reshaping (no float arithmetic), so results are
-    bit-exact across engines."""
+    and the first three elements — all JVM-side expressions on the nested
+    type, no UDF. Only comparisons and reshaping (no float arithmetic),
+    so results are bit-exact across engines. The head slice is emitted as
+    THREE SCALAR float columns (not array<float>): the driver's pandas
+    canonicalizer cannot sort/factorize list cells (r04 red row on
+    features_hashing_trick), so final output schemas stay scalar."""
     e = load_table(spark, sf_dir, "embeddings").filter(F.col("vec_id") < 500)
     return e.select(
         "vec_id",
@@ -183,7 +188,9 @@ def array_embedding_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min("embedding").alias("mn"),
         F.array_max("embedding").alias("mx"),
         F.size(F.filter("embedding", lambda x: x > 0)).alias("n_pos"),
-        F.slice("embedding", 1, 3).alias("head3"),
+        F.col("embedding")[0].alias("head1"),
+        F.col("embedding")[1].alias("head2"),
+        F.col("embedding")[2].alias("head3"),
     )
 
 
@@ -578,8 +585,6 @@ def sort_null_ordering(spark: SparkSession, sf_dir: str) -> DataFrame:
     (DESC NULLS FIRST and ASC NULLS LAST) through TakeOrdered top-5s
     with a unique tiebreak, value-hashed across engines. The kind of
     semantic edge a query engine has to get right, stated as a test."""
-    from sample_data_pipeline_project_spark.sources.catalog import load_table, register_views
-
     e = load_table(spark, sf_dir, "events").select(
         "event_id",
         F.when(F.col("event_id") % 7 == 0, None)
@@ -824,7 +829,8 @@ x AS (
   SELECT flag,
          CASE WHEN b = 0 THEN NULL
               ELSE CAST(a AS DOUBLE) / CAST(b AS DOUBLE) END AS d,
-         TRY_CAST(s AS INTEGER) AS c
+         CASE WHEN regexp_matches(s, '^\\s*[+-]?[0-9]+\\s*$')
+              THEN TRY_CAST(s AS INTEGER) END AS c
   FROM t
 )
 SELECT flag,
@@ -865,6 +871,13 @@ def scalar_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
     # regex pre-guard short-circuits rows that cannot possibly parse —
     # try_cast still performs the real parse (overflow -> NULL preserved)
     # on the plausible ones, so NULL-on-malformed semantics are intact.
+    # KNOWN DIVERGENCE from bare DuckDB TRY_CAST: on decimal strings
+    # DuckDB's TRY_CAST('4.5' AS INTEGER) ROUNDS to 5, while this integer-
+    # literal guard yields NULL. Safe for the current inputs ('42', '7x',
+    # l_linestatus letters — no decimal strings reach the cast), and the
+    # oracle below states the SAME integer-literal guard so both engines
+    # pin identical semantics; revisit if the malformed-column recipe
+    # ever includes decimal-looking strings.
     plausible_int = F.col("s").rlike(r"^\s*[+-]?[0-9]+\s*$")
     x = t.select(
         "flag",

@@ -1666,8 +1666,8 @@ bt AS (
   GROUP BY doc_id, {_FH_BUCKET_EXPR}
 )
 SELECT doc_id,
-       list_sort(list(bucket)) AS buckets,
-       list(cnt ORDER BY bucket) AS counts,
+       array_to_string(list_sort(list(bucket)), ',') AS buckets,
+       array_to_string(list(cnt ORDER BY bucket), ',') AS counts,
        CAST(COUNT(*) AS BIGINT) AS nnz
 FROM bt GROUP BY doc_id
 """
@@ -1679,10 +1679,13 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     folded into a FIXED {b}-bucket sparse vector via the portable
     md5-u32 bucket hash — the vocabulary-free featurization that needs no
     dictionary broadcast or vocabulary shuffle at any corpus size.
-    Output is the sparse encoding as two PARALLEL SORTED ARRAYS
-    (buckets asc, aligned counts) — arrays of primitives hash portably
-    across both engines (struct arrays would not: DuckDB renders structs
-    as dicts). Shuffle is keyed (doc, bucket), bounded by docs x {b}."""
+    Output is the sparse encoding as two PARALLEL SORTED sequences
+    (buckets asc, aligned counts) serialized to comma-joined STRINGS:
+    the driver's pandas canonicalizer cannot sort/factorize list-typed
+    cells (r04 driver gate empirically failed this workload on raw
+    array<bigint> output — arrays hash portably only in the repo's
+    local checker, NOT in the driver), so the final schema is all
+    scalars. Shuffle is keyed (doc, bucket), bounded by docs x {b}."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(tokens("text")).alias("tok")
@@ -1694,12 +1697,12 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = bt.groupBy("doc_id").agg(
         F.expr(
-            "transform(array_sort(collect_list(struct(bucket, cnt))),"
-            " x -> x.bucket)"
+            "array_join(transform(array_sort(collect_list(struct(bucket,"
+            " cnt))), x -> x.bucket), ',')"
         ).alias("buckets"),
         F.expr(
-            "transform(array_sort(collect_list(struct(bucket, cnt))),"
-            " x -> x.cnt)"
+            "array_join(transform(array_sort(collect_list(struct(bucket,"
+            " cnt))), x -> x.cnt), ',')"
         ).alias("counts"),
         F.count(F.lit(1)).cast("long").alias("nnz"),
     )
