@@ -77,8 +77,13 @@ def _register_idempotent(spark, source_cls) -> None:
     try:
         spark.dataSource.register(source_cls)
     except Exception as exc:
+        # Spark's canonical DATA_SOURCE_ALREADY_EXISTS message is
+        # "Data source '<name>' already exists, please use a different
+        # name" — match either wording so the guard stays idempotent
+        # across Spark versions (4.1.2 silently replaces and never
+        # raises; this is forward-compatibility only).
         msg = str(exc).lower()
-        if "already" in msg and "register" in msg:
+        if "already exists" in msg or "already registered" in msg:
             return
         raise
 
