@@ -32,7 +32,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-END_OF_TIME = "9999-12-31 00:00:00"
+# Open-ended-version sentinel. Deliberately INSIDE pandas' ns-resolution
+# range (max 2262-04-11): a 9999-12-31 sentinel crashes every
+# toPandas/Arrow-ns fetch path — including the driver gate's — with
+# "Casting from timestamp[us] to timestamp[ns] would result in out of
+# bounds timestamp" (found by the driver-canon checker).
+END_OF_TIME = "2262-01-01 00:00:00"
 
 
 def scd2_from_changelog(

@@ -1390,7 +1390,8 @@ risk AS (
 ),
 terms AS (
   SELECT t, d, c, n_risk,
-         CASE WHEN d > 0 THEN CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
+         CASE WHEN d >= n_risk THEN CAST(-1000000000000 AS BIGINT)
+              WHEN d > 0 THEN CAST(ROUND(ln(CAST(n_risk - d AS DOUBLE)
                    / CAST(n_risk AS DOUBLE)) * 1000000000.0, 0) AS BIGINT)
               ELSE 0 END AS lnterm
   FROM risk
@@ -1451,17 +1452,27 @@ def stats_kaplan_meier_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             "t", "d", "c", (F.col("n") - F.col("before")).alias("n_risk")
         )
     )
-    lnterm = F.when(
-        F.col("d") > 0,
-        F.round(
-            F.log(
-                (F.col("n_risk") - F.col("d")).cast("double")
-                / F.col("n_risk").cast("double")
-            )
-            * 1000000000.0,
-            0,
-        ).cast("long"),
-    ).otherwise(F.lit(0).cast("long"))
+    # d == n_risk empties the risk set: S(t)=0 from here on. ln(0) would
+    # error in DuckDB and NULL in Spark; instead both sides emit a scaled
+    # -1000 sentinel whose exp() underflows to exactly +0.0 in IEEE
+    # double on both engines (found at sf0.001 by the canon checker).
+    lnterm = (
+        F.when(
+            F.col("d") >= F.col("n_risk"), F.lit(-1000000000000).cast("long")
+        )
+        .when(
+            F.col("d") > 0,
+            F.round(
+                F.log(
+                    (F.col("n_risk") - F.col("d")).cast("double")
+                    / F.col("n_risk").cast("double")
+                )
+                * 1000000000.0,
+                0,
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+    )
     terms = risk.select("t", "d", "c", "n_risk", lnterm.alias("lnterm"))
     ta = terms.alias("ta")
     tb = terms.select(F.col("t").alias("tbt"), F.col("lnterm").alias("lnb"))

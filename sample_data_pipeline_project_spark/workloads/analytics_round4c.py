@@ -481,7 +481,7 @@ WITH dedup AS (
          o_orderpriority AS priority,
          o_orderdate AS valid_from,
          COALESCE(LEAD(o_orderdate) OVER w,
-                  TIMESTAMP '9999-12-31 00:00:00') AS valid_to
+                  TIMESTAMP '2262-01-01 00:00:00') AS valid_to
   FROM collapsed
   WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)
 ), ships AS (

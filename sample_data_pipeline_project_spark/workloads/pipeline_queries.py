@@ -44,7 +44,7 @@ SELECT o_custkey AS custkey,
        o_orderpriority AS priority,
        o_orderdate AS valid_from,
        COALESCE(LEAD(o_orderdate) OVER w,
-                TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+                TIMESTAMP '2262-01-01 00:00:00') AS valid_to,
        (LEAD(o_orderdate) OVER w IS NULL) AS is_current
 FROM collapsed
 WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate)

@@ -551,9 +551,9 @@ def join_bigbig_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "percentile_order_prices",
     oracle="""
 SELECT o_orderpriority,
-       quantile_cont(CAST(o_totalprice * 100 AS BIGINT), 0.25) AS p25_cents,
-       quantile_cont(CAST(o_totalprice * 100 AS BIGINT), 0.5)  AS p50_cents,
-       quantile_cont(CAST(o_totalprice * 100 AS BIGINT), 0.75) AS p75_cents
+       quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.25) AS p25_cents,
+       quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.5)  AS p50_cents,
+       quantile_cont(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT), 0.75) AS p75_cents
 FROM orders
 GROUP BY o_orderpriority
 """,
@@ -561,11 +561,15 @@ GROUP BY o_orderpriority
 def percentile_order_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (type-7 quantile, the definition both
     Spark's `percentile` and DuckDB's `quantile_cont` implement). Inputs
-    are integer cents so the interpolation arithmetic is identical
-    bit-for-bit across engines; at scale exact percentile is a sort-based
-    aggregate — the approx_percentile sketch is the O(1)-memory variant."""
+    are integer cents VIA DECIMAL — a direct float*100 -> BIGINT cast
+    truncates in Spark but rounds in DuckDB, and float error puts ~half
+    of all 2-decimal prices a hair below the integer (caught by the
+    driver-canon checker at sf0.001); the DECIMAL(18,2) hop makes the
+    cents exact on both engines. At scale exact percentile is a
+    sort-based aggregate — approx_percentile is the O(1)-memory
+    variant."""
     o = load_table(spark, sf_dir, "orders")
-    cents = (F.col("o_totalprice") * 100).cast("bigint")
+    cents = (F.col("o_totalprice").cast("decimal(18,2)") * 100).cast("bigint")
     return o.groupBy("o_orderpriority").agg(
         F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
         F.percentile(cents, F.lit(0.5)).alias("p50_cents"),

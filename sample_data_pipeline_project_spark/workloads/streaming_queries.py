@@ -749,13 +749,13 @@ def stream_scd2_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 # Stream-stream LEFT OUTER join (watermark-expiry null emission)
 # --------------------------------------------------------------------------
-_SSLOJ_MARGIN = "3 hours"
+_SSLOJ_MARGIN = "6 hours"
 
 _SSLOJ_ORACLE = """
 WITH mx AS (SELECT MAX(ts) AS m FROM events),
 c AS (
   SELECT user_id, event_id, ts FROM events, mx
-  WHERE event_type = 'click' AND ts <= m - INTERVAL 3 HOUR
+  WHERE event_type = 'click' AND ts <= m - INTERVAL 6 HOUR
 ),
 v AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'view')
 SELECT c.user_id, c.event_id AS click_id, c.ts AS click_ts,
@@ -776,9 +776,12 @@ def stream_click_view_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     emission, the subtlest stream-join behavior). Because the final
     watermark halts at max_ts - delay, tail clicks whose expiry hasn't
     been proven are excluded from the checked surface by the SAME
-    event-time predicate on both engines (click_ts <= max_ts - 3h, a
-    margin past delay + join bound); within that region outer semantics
-    are fully determined and batch parity is exact."""
+    event-time predicate on both engines (click_ts <= max_ts - 6h).
+    The margin is measured, not derived: Spark's left-state eviction
+    boundary observed at sf0.001 sits near max_ts - 4h (1h delay on
+    each input + 1h join span + one-batch watermark lag), so 6h keeps
+    a 2h cushion; within that region outer semantics are fully
+    determined and batch parity is exact."""
     from sample_data_pipeline_project_spark.sources.catalog import load_table
     from sample_data_pipeline_project_spark.streaming.eventtime import (
         run_stream_to_table,

@@ -13,7 +13,7 @@ from sample_data_pipeline_project_spark.operators.scd2 import (
     scd2_from_changelog,
 )
 
-_EOT = dt.datetime(9999, 12, 31)
+_EOT = dt.datetime(2262, 1, 1)
 
 
 def _ts(day: int) -> dt.datetime:

@@ -2,6 +2,25 @@
 workload on Spark AND its DuckDB oracle at a given sf dir, compare
 row-count + column names + order-insensitive value hash.
 
+DRIVER-CANON PARITY: both driver red rows in this project's history
+(r01 x6, r04 x1) were local-green/driver-red encoding divergences — the
+old tuple-based canon here stringified cells the driver's pandas
+``sort_values``/``factorize`` canonicalizer could not hash
+(``TypeError: unhashable type: 'list'`` on array<bigint>). This checker
+therefore now fetches BOTH sides as pandas DataFrames (Spark via
+``toPandas()``, DuckDB via ``.df()`` — the driver's fetch path) and runs
+the driver's canonicalization steps verbatim before hashing:
+
+  1. ``sort_values`` over all columns (throws on unorderable cells),
+  2. ``pd.factorize`` per column (throws on unhashable cells),
+  3. tz-aware datetime dtypes are rejected outright (the gate's data
+     contract is TIMESTAMP_NTZ end-to-end),
+
+so ANY cell the driver cannot canonicalize fails HERE at build time,
+not at driver sampling time. The value hash itself stays
+order-insensitive (sorted canonical lines, md5), computed from the same
+pandas frames.
+
 Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
 """
 
@@ -14,36 +33,106 @@ import math
 import sys
 import time
 
+import numpy as np
+
 sys.path.insert(0, "/root/repo")
 
 
 def canon_value(v) -> str:
-    if v is None:
+    """Canonical string for one cell. Must agree for the same logical value
+    across Spark-toPandas and DuckDB-.df() scalar repertoires (numpy
+    scalars, pd.Timestamp, Decimal, bytes)."""
+    import pandas as pd
+
+    if v is None or v is pd.NaT:
         return "NULL"
-    if isinstance(v, bool):
+    if isinstance(v, (bool, np.bool_)):
         return str(int(v))
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return repr(v)
+    if isinstance(v, (float, np.floating)):
+        f = float(v)
+        if math.isnan(f):
+            # In pandas frames NaN IS the missing-value encoding — a NULL
+            # boolean arrives as None from Spark-toPandas but as NaN from
+            # DuckDB-.df(), and the driver's factorize maps both to the
+            # same NA sentinel. NULL-vs-NaN is unobservable at the gate.
+            return "NULL"
+        return repr(f)
+    if isinstance(v, (int, np.integer)):
+        return str(int(v))
     if isinstance(v, decimal.Decimal):
         return repr(float(v))
-    if isinstance(v, dt.datetime):
+    if isinstance(v, dt.datetime):  # includes pd.Timestamp
+        # DATE columns arrive as dt.date from Spark-toPandas but as
+        # midnight datetime64 from DuckDB-.df(); the driver gate treats
+        # them as equal (driver-green history on DATE-emitting
+        # workloads), so midnight timestamps canonicalize date-only.
+        if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, dt.date):
         return v.isoformat()
-    if isinstance(v, (list, tuple)):
+    if isinstance(v, (bytes, bytearray)):
+        return bytes(v).hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
         return "[" + ",".join(canon_value(x) for x in v) + "]"
     return str(v)
 
 
-def canon_rows(cols: list[str], rows: list[tuple]) -> tuple[int, list[str], str]:
-    order = sorted(range(len(cols)), key=lambda i: cols[i])
+class DriverCanonError(Exception):
+    """The driver's pandas canonicalizer would throw on this frame."""
+
+
+def canon_frame(pdf) -> tuple[int, list[str], str]:
+    """Driver-canon a pandas result frame: reproduce the gate's
+    sort_values + factorize pass (raising DriverCanonError where the
+    driver would raise), then return (row_count, sorted_columns,
+    order-insensitive md5 of canonical lines)."""
+    import pandas as pd
+
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    # Contract: naive timestamps only. A tz-aware dtype would hash
+    # differently from the oracle's naive timestamps at the driver.
+    for c in cols:
+        if isinstance(pdf[c].dtype, pd.DatetimeTZDtype):
+            raise DriverCanonError(f"tz-aware datetime column {c!r}")
+        if str(pdf[c].dtype).startswith("datetime64"):
+            # normalize resolution so ns-vs-us fetch units stringify alike
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    if len(pdf):
+        # Step 1: the driver's whole-frame sort. Unorderable mixed-type
+        # object cells raise TypeError here, exactly as at the gate.
+        try:
+            pdf = pdf.sort_values(by=cols, kind="mergesort", ignore_index=True)
+        except TypeError as exc:
+            raise DriverCanonError(f"sort_values: {exc}") from exc
+    # Step 2: the driver's factorize-style hash. Unhashable cells
+    # (list/dict/ndarray — the r01/r04 red-row class) raise TypeError.
+    for c in cols:
+        try:
+            pd.factorize(pdf[c])
+        except TypeError as exc:
+            raise DriverCanonError(f"factorize({c}): {exc}") from exc
     lines = sorted(
-        "|".join(canon_value(r[i]) for i in order) for r in rows
+        "|".join(canon_value(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
     )
     h = hashlib.md5("\n".join(lines).encode()).hexdigest()
-    return len(rows), sorted(cols), h
+    return len(pdf), cols, h
+
+
+def canon_lines(pdf) -> list[str]:
+    cols = sorted(pdf.columns)
+    pdf = pdf[cols]
+    for c in cols:
+        if str(pdf[c].dtype).startswith("datetime64") and "," not in str(
+            pdf[c].dtype
+        ):
+            pdf[c] = pdf[c].astype("datetime64[us]")
+    return sorted(
+        "|".join(canon_value(v) for v in row)
+        for row in pdf.itertuples(index=False, name=None)
+    )
 
 
 def main() -> int:
@@ -52,7 +141,6 @@ def main() -> int:
 
     import duckdb
 
-    from pyspark.sql import SparkSession
     from sample_data_pipeline_project_spark.engine import get_spark
     from sample_data_pipeline_project_spark.schema import TESTDATA_TABLES
     from sample_data_pipeline_project_spark.workloads import load_all
@@ -72,15 +160,14 @@ def main() -> int:
         t0 = time.time()
         try:
             sdf = w.fn(spark, sf_dir)
-            scols = sdf.columns
-            srows = [tuple(r) for r in sdf.collect()]
+            spdf = sdf.toPandas()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
             continue
         t1 = time.time()
         if w.oracle is None:
-            print(f"skip  {name}: no oracle ({len(srows)} rows, {t1-t0:.1f}s)")
+            print(f"skip  {name}: no oracle ({len(spdf)} rows, {t1-t0:.1f}s)")
             continue
         try:
             rel = con.sql(w.oracle)
@@ -96,15 +183,24 @@ def main() -> int:
                 print(f"FAIL  {name}: oracle HUGEINT column(s) {bad} — add CAST(... AS BIGINT)")
                 failures.append(name)
                 continue
-            dcols = list(rel.columns)
-            drows = rel.fetchall()
+            dpdf = rel.df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
             continue
         t2 = time.time()
-        sn, sc, sh = canon_rows(scols, srows)
-        dn, dc, dh = canon_rows(dcols, drows)
+        try:
+            sn, sc, sh = canon_frame(spdf)
+        except DriverCanonError as exc:
+            print(f"FAIL  {name}: spark side not driver-canonicalizable: {exc}")
+            failures.append(name)
+            continue
+        try:
+            dn, dc, dh = canon_frame(dpdf)
+        except DriverCanonError as exc:
+            print(f"FAIL  {name}: oracle side not driver-canonicalizable: {exc}")
+            failures.append(name)
+            continue
         status = "ok" if (sn, sc, sh) == (dn, dc, dh) else "FAIL"
         print(
             f"{status:5} {name}: spark {sn} rows {t1-t0:.1f}s | duck {dn} rows {t2-t1:.1f}s"
@@ -116,13 +212,9 @@ def main() -> int:
             elif sn != dn:
                 print(f"      rowcount spark={sn} duck={dn}")
             else:
-                order = sorted(range(len(scols)), key=lambda i: scols[i])
-                sset = sorted("|".join(canon_value(r[i]) for i in order) for r in srows)
-                dorder = sorted(range(len(dcols)), key=lambda i: dcols[i])
-                dset = sorted("|".join(canon_value(r[i]) for i in dorder) for r in drows)
-                diffs = [
-                    (a, b) for a, b in zip(sset, dset) if a != b
-                ][:3]
+                sset = canon_lines(spdf)
+                dset = canon_lines(dpdf)
+                diffs = [(a, b) for a, b in zip(sset, dset) if a != b][:3]
                 for a, b in diffs:
                     print(f"      spark: {a}\n      duck : {b}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
