@@ -74,11 +74,136 @@ def test_frame_sampling(media):
     assert all(len(bytes(r["frame"])) == frame_len for r in frames)
 
 
-def test_decode_stub_raises_without_codec(media):
+def _encode_png(arr, ctype: int, filters=None) -> bytes:
+    """Minimal stdlib PNG encoder for test fixtures: 8-bit depth,
+    grayscale (ctype 0) or RGB (ctype 2), one chosen filter byte per
+    scanline (cycling all five by default, so decoding exercises every
+    unfilter branch)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h = arr.shape[0]
+    channels = 1 if arr.ndim == 2 else arr.shape[2]
+    w = arr.shape[1]
+    flat = arr.reshape(h, w * channels).astype(np.int32)
+    if filters is None:
+        filters = [y % 5 for y in range(h)]
+
+    def chunk(typ: bytes, payload: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(payload))
+            + typ
+            + payload
+            + struct.pack(">I", zlib.crc32(typ + payload) & 0xFFFFFFFF)
+        )
+
+    raw = bytearray()
+    prev = np.zeros(w * channels, dtype=np.int32)
+    for y in range(h):
+        f = filters[y]
+        cur = flat[y]
+        raw.append(f)
+        for x in range(w * channels):
+            a = int(cur[x - channels]) if x >= channels else 0
+            b = int(prev[x])
+            c = int(prev[x - channels]) if x >= channels else 0
+            if f == 0:
+                v = cur[x]
+            elif f == 1:
+                v = cur[x] - a
+            elif f == 2:
+                v = cur[x] - b
+            elif f == 3:
+                v = cur[x] - ((a + b) >> 1)
+            else:  # Paeth
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+                v = cur[x] - pred
+            raw.append(v & 0xFF)
+        prev = cur
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def test_decode_non_png_payload_raises(media):
+    """Without PIL, a non-PNG payload must fail loudly (ValueError from
+    the stdlib decoder), not decode to garbage. The `media` fixture's
+    payloads are raw fake rasters, not PNG files."""
     if have_image_codec():
-        pytest.skip("codec installed; stub path not reachable")
-    with pytest.raises(NotImplementedError, match="no image codec"):
-        decode_image(media)
+        pytest.skip("codec installed; stdlib dispatch not reachable")
+    with pytest.raises(Exception, match="not a PNG"):
+        decode_image(media).collect()
+
+
+def test_decode_png_stdlib_all_filters_grayscale():
+    """The stdlib decoder reproduces a known grayscale raster through a
+    PNG encoded with every filter type (0..4 cycling per scanline)."""
+    import numpy as np
+
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        _decode_png_stdlib,
+    )
+
+    w, h = 16, 12
+    raster = (np.arange(w * h, dtype=np.uint64) * 37 % 251).astype(np.uint8)
+    png = _encode_png(raster.reshape(h, w), ctype=0)
+    gw, gh, got = _decode_png_stdlib(png)
+    assert (gw, gh) == (w, h)
+    assert got == raster.tobytes()
+
+
+def test_decode_png_stdlib_rgb_luma_matches_pil_formula():
+    """RGB PNGs decode to grayscale via PIL's exact fixed-point ITU-R
+    601-2 luma, pinned here against the formula itself."""
+    import numpy as np
+
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        _decode_png_stdlib,
+    )
+
+    rng = np.arange(5 * 4 * 3, dtype=np.uint64)
+    rgb = ((rng * 97 + 13) % 256).astype(np.uint8).reshape(4, 5, 3)
+    png = _encode_png(rgb, ctype=2)
+    gw, gh, got = _decode_png_stdlib(png)
+    r, g, b = (rgb[..., i].astype(np.uint32) for i in range(3))
+    expect = ((r * 19595 + g * 38470 + b * 7471 + 0x8000) >> 16).astype(
+        np.uint8
+    )
+    assert (gw, gh) == (5, 4)
+    assert got == expect.tobytes()
+
+
+def test_decode_png_stdlib_rejects_interlace_and_bad_sig():
+    import struct
+
+    import numpy as np
+
+    from sample_data_pipeline_project_spark.multimodal.ops import (
+        _decode_png_stdlib,
+    )
+
+    with pytest.raises(ValueError, match="not a PNG"):
+        _decode_png_stdlib(b"GIF89a....")
+    # flip the interlace byte of a valid PNG
+    png = bytearray(_encode_png(np.zeros((2, 2), dtype=np.uint8), ctype=0))
+    assert png[8 + 8 + 12] == 0  # interlace byte inside IHDR
+    png[8 + 8 + 12] = 1
+    ihdr = bytes(png[8 + 8 : 8 + 8 + 13])
+    import zlib as _z
+
+    png[8 + 8 + 13 : 8 + 8 + 17] = struct.pack(
+        ">I", _z.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF
+    )
+    with pytest.raises(NotImplementedError, match="Adam7"):
+        _decode_png_stdlib(bytes(png))
 
 
 def test_audio_window_energy_known_waveform(spark):
@@ -123,24 +248,29 @@ def test_audio_window_energy_tail_window(spark):
     assert [r["n_samples"] for r in rows] == [4, 4, 2]
 
 
-def test_decode_image_pil_roundtrip(spark):
-    """With PIL present: a PNG-encoded known raster decodes back to the
-    identical bytes through the Arrow-batched decode operator."""
-    if not have_image_codec():
-        pytest.skip("pillow not installed; decode dispatch untestable here")
-    import io
-
+def test_decode_image_png_roundtrip(spark):
+    """A PNG-encoded known raster decodes back to the identical bytes
+    through the Arrow-batched decode operator — via PIL when installed,
+    via the stdlib PNG decoder otherwise (both paths are byte-identical
+    for PNG, so this test runs everywhere with no skip)."""
     import numpy as np
-    from PIL import Image
 
     from sample_data_pipeline_project_spark.multimodal.ops import MEDIA_SCHEMA
 
     w, h = 16, 12
     raster = (np.arange(w * h, dtype=np.uint64) * 37 % 251).astype(np.uint8)
-    buf = io.BytesIO()
-    Image.fromarray(raster.reshape(h, w), mode="L").save(buf, format="PNG")
+    if have_image_codec():
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.fromarray(raster.reshape(h, w), mode="L").save(buf, format="PNG")
+        png = buf.getvalue()
+    else:
+        png = _encode_png(raster.reshape(h, w), ctype=0)
     media = spark.createDataFrame(
-        [(7, "image", bytearray(buf.getvalue()), (w, h, 1, None, None))],
+        [(7, "image", bytearray(png), (w, h, 1, None, None))],
         MEDIA_SCHEMA,
     )
     out = decode_image(media).collect()
