@@ -1079,22 +1079,15 @@ def events_recent_history_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     column — the driver's pandas canonicalizer cannot sort/factorize
     list cells (r04 red row on features_hashing_trick proved raw arrays
     hash only in the repo's local checker), so the final schema stays
-    scalar."""
-    from pyspark.sql.window import Window as W
+    scalar. Engine users get the typed array<bigint> form from
+    operators/features.py recent_history(as_array=True) — the same plan
+    minus this serialization step."""
+    from sample_data_pipeline_project_spark.operators.features import (
+        recent_history,
+    )
 
     ev = load_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy(
-        F.col("ts").desc(), F.col("event_id").desc()
-    )
-    ranked = ev.select(
-        "user_id", "event_id", F.row_number().over(w).alias("rn")
-    ).filter(F.col("rn") <= _HIST_K)
-    return ranked.groupBy("user_id").agg(
-        F.array_join(
-            F.sort_array(F.collect_list("event_id")), ","
-        ).alias("recent_event_ids"),
-        F.count(F.lit(1)).cast("long").alias("n_recent"),
-    )
+    return recent_history(ev, k=_HIST_K, as_array=False)
 
 
 # --------------------------------------------------------------------------

@@ -1685,25 +1685,15 @@ def features_hashing_trick(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells (r04 driver gate empirically failed this workload on raw
     array<bigint> output — arrays hash portably only in the repo's
     local checker, NOT in the driver), so the final schema is all
-    scalars. Shuffle is keyed (doc, bucket), bounded by docs x {b}."""
+    scalars. Engine users get the typed array<bigint> form from
+    operators/features.py hash_features(as_array=True) — the same plan
+    minus this serialization step. Shuffle is keyed (doc, bucket),
+    bounded by docs x {b}."""
+    from sample_data_pipeline_project_spark.operators.features import (
+        hash_features,
+    )
+
     d = load_table(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id", F.explode(tokens("text")).alias("tok")
-    ).filter(F.col("tok") != "")
-    bt = (
-        toks.select("doc_id", F.expr(_FH_BUCKET_EXPR).alias("bucket"))
-        .groupBy("doc_id", "bucket")
-        .agg(F.count(F.lit(1)).alias("cnt"))
+    return hash_features(d, n_buckets=_FH_BUCKETS, as_array=False).select(
+        "doc_id", "buckets", "counts", "nnz"
     )
-    pairs = bt.groupBy("doc_id").agg(
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(bucket,"
-            " cnt))), x -> x.bucket), ',')"
-        ).alias("buckets"),
-        F.expr(
-            "array_join(transform(array_sort(collect_list(struct(bucket,"
-            " cnt))), x -> x.cnt), ',')"
-        ).alias("counts"),
-        F.count(F.lit(1)).cast("long").alias("nnz"),
-    )
-    return pairs.select("doc_id", "buckets", "counts", "nnz")
