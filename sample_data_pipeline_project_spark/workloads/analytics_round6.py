@@ -1,0 +1,360 @@
+"""Round-6 workloads: pivot/unpivot surface, LOCF gap fill, time-bound
+funnel conversion, exact weighted median.
+
+Determinism notes:
+  - Pivot columns are a FIXED literal list (the five event types), never
+    inferred — inference would add a full extra pass over the data AND
+    make the output schema data-dependent, which the driver gate (stable
+    schema) and any production sink both reject.
+  - LOCF rides last_value(... IGNORE NULLS) over the per-key calendar
+    spine; revenue is exact BIGINT cents so carried values hash
+    identically on both engines.
+  - The funnel counts are exact integers; the two conversion ratios are
+    single divisions of exact counts (ROUND 6) — no double aggregation.
+  - Weighted median merges equal values BEFORE the cumulative scan and
+    uses the 2*cum >= total integer criterion — no halving, no doubles,
+    fully order-independent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+_CENTS_O = "CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+_CENTS_L = "CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT)"
+
+# --------------------------------------------------------------------------
+# C208 — PIVOT: long event stream -> fixed wide per-user activity matrix
+# --------------------------------------------------------------------------
+_PIVOT_ORACLE = f"""
+SELECT user_id,
+       {', '.join(
+           f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT)"
+           f" AS n_{t}" for t in _EVENT_TYPES)},
+       CAST(COUNT(*) AS BIGINT) AS n_total
+FROM events
+GROUP BY user_id
+"""
+
+
+@workload("events_pivot_type_matrix", oracle=_PIVOT_ORACLE)
+def events_pivot_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT surface: the long (user, event_type) stream pivoted to the
+    fixed wide per-user activity matrix — the feature-store "wide
+    activity row" shape. The pivot VALUES are an explicit literal list:
+    `.pivot(col, values)` with values supplied compiles to one
+    conditional-aggregation pass (exactly the oracle's COUNT(*) FILTER
+    form, one shuffle on user_id); omitting the list would trigger a
+    whole extra distinct-scan job AND a data-dependent schema. Absent
+    cells fill 0, so the matrix is dense and schema-stable at any
+    scale."""
+    ev = load_table(spark, sf_dir, "events")
+    wide = (
+        ev.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+    )
+    cols = [
+        F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
+        for t in _EVENT_TYPES
+    ]
+    total = sum(F.coalesce(F.col(t), F.lit(0)) for t in _EVENT_TYPES)
+    return wide.select("user_id", *cols, total.cast("long").alias("n_total"))
+
+
+# --------------------------------------------------------------------------
+# C209 — UNPIVOT: the wide matrix back to dense long form (stack)
+# --------------------------------------------------------------------------
+_UNPIVOT_ORACLE = f"""
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t(event_type) AS (VALUES {', '.join(f"('{t}')" for t in _EVENT_TYPES)}),
+c AS (
+  SELECT user_id, event_type, COUNT(*) AS n
+  FROM events GROUP BY user_id, event_type
+)
+SELECT u.user_id, t.event_type, CAST(COALESCE(c.n, 0) AS BIGINT) AS n
+FROM u CROSS JOIN t
+LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+"""
+
+
+@workload("events_unpivot_roundtrip", oracle=_UNPIVOT_ORACLE)
+def events_unpivot_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT surface: melt the C208 wide matrix back to DENSE long form
+    (every user x every type, zeros included — the shape model-training
+    feature extraction wants) via the `stack()` table generator. Pivot
+    then unpivot is the lossless-roundtrip certification of both
+    directions; the densification (explicit zeros for absent cells) is
+    what distinguishes this from the raw GROUP BY long form."""
+    wide = events_pivot_type_matrix(spark, sf_dir)
+    stack_expr = "stack({n}, {pairs}) AS (event_type, n)".format(
+        n=len(_EVENT_TYPES),
+        pairs=", ".join(f"'{t}', n_{t}" for t in _EVENT_TYPES),
+    )
+    return wide.select("user_id", F.expr(stack_expr)).select(
+        "user_id", "event_type", F.col("n").cast("long").alias("n")
+    )
+
+
+# --------------------------------------------------------------------------
+# C210 — LOCF (last observation carried forward) over a calendar spine
+# --------------------------------------------------------------------------
+_LOCF_ORACLE = f"""
+WITH RECURSIVE daily AS (
+  SELECT c.c_nationkey AS nationkey,
+         CAST(o.o_orderdate AS DATE) AS day,
+         CAST(SUM({_CENTS_O}) AS BIGINT) AS rev_cents
+  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT nationkey, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1
+),
+bounds AS (SELECT MIN(day) AS mn, MAX(day) AS mx FROM daily),
+g AS (
+  SELECT mn AS day, mx FROM bounds
+  UNION ALL
+  SELECT CAST(day + INTERVAL 1 DAY AS DATE), mx FROM g WHERE day < mx
+),
+spine AS (
+  SELECT s.nationkey, g.day
+  FROM span s JOIN g ON g.day BETWEEN s.mn AND s.mx
+)
+SELECT sp.nationkey, sp.day,
+       d.rev_cents AS rev_cents,
+       last_value(d.rev_cents IGNORE NULLS) OVER (
+         PARTITION BY sp.nationkey ORDER BY sp.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rev_filled,
+       (d.rev_cents IS NULL) AS is_gap
+FROM spine sp LEFT JOIN daily d
+  ON d.nationkey = sp.nationkey AND d.day = sp.day
+"""
+
+
+@workload("timeseries_locf_fill", oracle=_LOCF_ORACLE)
+def timeseries_locf_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF GAP FILL: each nation's daily revenue series densified over
+    its own calendar spine (sequence/explode — generated, never stored)
+    with missing days carried forward via last_value(IGNORE NULLS) —
+    the step-function fill finance and metrics pipelines use where
+    C1's linear interpolation is wrong (a balance stays constant until
+    restated, it doesn't glide). One shuffle to the (nation) keyed
+    window; the spine explode is per-nation and never global."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    daily = (
+        o.join(
+            F.broadcast(c.select("c_custkey", "c_nationkey")),
+            o["o_custkey"] == F.col("c_custkey"),
+        )
+        .groupBy(
+            F.col("c_nationkey").alias("nationkey"),
+            F.col("o_orderdate").cast("date").alias("day"),
+        )
+        .agg(F.sum(F.expr(_CENTS_O)).cast("long").alias("rev_cents"))
+    )
+    spine = (
+        daily.groupBy("nationkey")
+        .agg(F.min("day").alias("mn"), F.max("day").alias("mx"))
+        .select(
+            "nationkey",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 DAY"))
+            ).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("nationkey")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(daily, ["nationkey", "day"], "left")
+        .select(
+            "nationkey",
+            "day",
+            "rev_cents",
+            F.last("rev_cents", ignorenulls=True).over(w).alias("rev_filled"),
+            F.col("rev_cents").isNull().alias("is_gap"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C211 — time-bound funnel conversion (view -> click 24h -> purchase 72h)
+# --------------------------------------------------------------------------
+_FUNNEL_ORACLE = """
+WITH v AS (
+  SELECT user_id, MIN(ts) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+k AS (
+  SELECT v.user_id, v.first_view, MIN(e.ts) AS first_click
+  FROM v JOIN events e
+    ON e.user_id = v.user_id AND e.event_type = 'click'
+   AND e.ts >= v.first_view
+  GROUP BY v.user_id, v.first_view
+  HAVING MIN(e.ts) <= v.first_view + INTERVAL 24 HOUR
+),
+p AS (
+  SELECT k.user_id, MIN(e.ts) AS first_purchase
+  FROM k JOIN events e
+    ON e.user_id = k.user_id AND e.event_type = 'purchase'
+   AND e.ts >= k.first_click
+  GROUP BY k.user_id, k.first_click
+  HAVING MIN(e.ts) <= k.first_click + INTERVAL 72 HOUR
+)
+SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+       CAST((SELECT COUNT(*) FROM k) AS BIGINT) AS n_clickers_24h,
+       CAST((SELECT COUNT(*) FROM p) AS BIGINT) AS n_purchasers_72h,
+       ROUND(CAST((SELECT COUNT(*) FROM k) AS DOUBLE)
+             / (SELECT COUNT(*) FROM v), 6) AS view_to_click,
+       ROUND(CAST((SELECT COUNT(*) FROM p) AS DOUBLE)
+             / (SELECT COUNT(*) FROM k), 6) AS click_to_purchase
+"""
+
+
+@workload("events_funnel_timebound", oracle=_FUNNEL_ORACLE)
+def events_funnel_timebound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIME-BOUND FUNNEL: first view -> first subsequent click within
+    24h -> first subsequent purchase within 72h, counting users
+    surviving each stage — the stage-windowed form of
+    events_funnel_conversion (which tracks unbounded per-user depth;
+    real funnel metrics expire stages, so the bounded variant is the
+    one a growth team actually reports). Each stage is one
+    equi-join on user_id followed by a keyed aggregate — all three
+    stages shuffle on the SAME key, so at scale the exchange is reused
+    across the chain; no window function, no per-user state."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k_user"), F.col("ts").alias("k_ts")
+    )
+    k = (
+        v.join(
+            clicks,
+            (F.col("k_user") == F.col("user_id"))
+            & (F.col("k_ts") >= F.col("first_view")),
+        )
+        .groupBy("user_id", "first_view")
+        .agg(F.min("k_ts").alias("first_click"))
+        .filter(
+            F.col("first_click")
+            <= F.col("first_view") + F.expr("INTERVAL 24 HOUR")
+        )
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts")
+    )
+    p = (
+        k.join(
+            purch,
+            (F.col("p_user") == F.col("user_id"))
+            & (F.col("p_ts") >= F.col("first_click")),
+        )
+        .groupBy("user_id", "first_click")
+        .agg(F.min("p_ts").alias("first_purchase"))
+        .filter(
+            F.col("first_purchase")
+            <= F.col("first_click") + F.expr("INTERVAL 72 HOUR")
+        )
+    )
+    nv = v.agg(F.count(F.lit(1)).alias("n_viewers"))
+    nk = k.agg(F.count(F.lit(1)).alias("n_clickers_24h"))
+    np_ = p.agg(F.count(F.lit(1)).alias("n_purchasers_72h"))
+    return (
+        nv.crossJoin(nk)
+        .crossJoin(np_)
+        .select(
+            F.col("n_viewers").cast("long"),
+            F.col("n_clickers_24h").cast("long"),
+            F.col("n_purchasers_72h").cast("long"),
+            F.round(
+                F.col("n_clickers_24h").cast("double") / F.col("n_viewers"), 6
+            ).alias("view_to_click"),
+            F.round(
+                F.col("n_purchasers_72h").cast("double")
+                / F.col("n_clickers_24h"),
+                6,
+            ).alias("click_to_purchase"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# C212 — exact weighted median (lower weighted median, integer criterion)
+# --------------------------------------------------------------------------
+_WMED_ORACLE = f"""
+WITH vw AS (
+  SELECT l_returnflag AS returnflag,
+         {_CENTS_L} AS cents,
+         CAST(SUM(CAST(CAST(l_quantity AS DECIMAL(18,2)) AS BIGINT))
+              AS BIGINT) AS wt
+  FROM lineitem
+  GROUP BY l_returnflag, {_CENTS_L}
+),
+cum AS (
+  SELECT returnflag, cents, wt,
+         CAST(SUM(wt) OVER (PARTITION BY returnflag ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+           AS cw,
+         CAST(SUM(wt) OVER (PARTITION BY returnflag) AS BIGINT) AS total
+  FROM vw
+)
+SELECT returnflag,
+       CAST(MIN(CASE WHEN 2 * cw >= total THEN cents END) AS BIGINT)
+         AS median_cents,
+       CAST(MIN(total) AS BIGINT) AS total_weight
+FROM cum
+GROUP BY returnflag
+"""
+
+
+@workload("stats_weighted_median_price", oracle=_WMED_ORACLE)
+def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT WEIGHTED MEDIAN of line price (cents) weighted by quantity,
+    per return flag — the robust location estimate unweighted median
+    (C13/C112) can't give when rows carry multiplicity. Equal values
+    merge BEFORE the cumulative scan (group by (flag, cents)), then the
+    lower weighted median is the least value with 2*cumweight >= total
+    — an all-integer criterion, so engine float behavior can't touch
+    the answer. Cost: one keyed aggregate + one keyed window; the
+    cumulative scan runs over DISTINCT price points, not raw rows."""
+    l = load_table(spark, sf_dir, "lineitem")
+    vw = (
+        l.select(
+            F.col("l_returnflag").alias("returnflag"),
+            F.expr(_CENTS_L).alias("cents"),
+            F.col("l_quantity").cast("decimal(18,2)").cast("long").alias("w"),
+        )
+        .groupBy("returnflag", "cents")
+        .agg(F.sum("w").cast("long").alias("wt"))
+    )
+    w_cum = (
+        Window.partitionBy("returnflag")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy("returnflag")
+    cum = vw.select(
+        "returnflag",
+        "cents",
+        F.sum("wt").over(w_cum).cast("long").alias("cw"),
+        F.sum("wt").over(w_all).cast("long").alias("total"),
+    )
+    return cum.groupBy("returnflag").agg(
+        F.min(F.when(2 * F.col("cw") >= F.col("total"), F.col("cents")))
+        .cast("long")
+        .alias("median_cents"),
+        F.min("total").cast("long").alias("total_weight"),
+    )
