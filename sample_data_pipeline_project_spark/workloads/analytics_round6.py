@@ -358,3 +358,190 @@ def stats_weighted_median_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("median_cents"),
         F.min("total").cast("long").alias("total_weight"),
     )
+
+
+# --------------------------------------------------------------------------
+# C213 — Matryoshka two-stage retrieval (prefix-dim coarse scan, full rerank)
+# --------------------------------------------------------------------------
+_MRL_M = 16       # coarse prefix dimensions
+_MRL_CAND = 50    # stage-1 candidate pool
+_MRL_K = 10       # final top-k
+_MRL_Q = 0        # query vector id
+
+_MRL_ORACLE: str
+
+
+def _mrl_oracle() -> str:
+    from sample_data_pipeline_project_spark.functions.vectors import duck_cosine
+
+    coarse = duck_cosine(f"e.embedding[1:{_MRL_M}]", f"q.q_emb[1:{_MRL_M}]")
+    full = duck_cosine("c.embedding", "q.q_emb")
+    return f"""
+WITH q AS (SELECT embedding AS q_emb FROM embeddings WHERE vec_id = {_MRL_Q}),
+c AS (
+  SELECT e.vec_id, e.embedding, {coarse} AS coarse_sim
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != {_MRL_Q}
+  ORDER BY coarse_sim DESC, e.vec_id ASC
+  LIMIT {_MRL_CAND}
+)
+SELECT c.vec_id, c.coarse_sim, {full} AS cosine_sim
+FROM c CROSS JOIN q
+ORDER BY cosine_sim DESC, c.vec_id ASC
+LIMIT {_MRL_K}
+"""
+
+
+@workload("sim_matryoshka_two_stage", oracle=_mrl_oracle())
+def sim_matryoshka_two_stage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MATRYOSHKA two-stage retrieval: stage 1 scores only the FIRST
+    {m} dimensions of every vector (the cheap prefix scan MRL-trained
+    embeddings are built for — 1/{frac} of the multiply-adds of a full
+    scan), keeps a {cand}-candidate pool, and stage 2 re-ranks just the
+    pool with the exact full-dimension cosine. At corpus scale the full
+    vectors for stage 2 are fetched for CANDIDATES ONLY, so the wide
+    column never fully scans. Both stages are the bit-portable left-fold
+    dot; stage-1 and stage-2 scores both surface so recall analysis can
+    compare orderings. TakeOrdered bounds both stages; ties break on
+    vec_id."""
+    from sample_data_pipeline_project_spark.functions.vectors import cosine
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _MRL_Q).select(
+        F.col("embedding").alias("q_emb")
+    )
+    joined = emb.filter(F.col("vec_id") != _MRL_Q).crossJoin(F.broadcast(q))
+    coarse = cosine(
+        f"slice(embedding, 1, {_MRL_M})", f"slice(q_emb, 1, {_MRL_M})"
+    )
+    pool = (
+        joined.select(
+            "vec_id", "embedding", "q_emb", coarse.alias("coarse_sim")
+        )
+        .orderBy(F.desc("coarse_sim"), F.asc("vec_id"))
+        .limit(_MRL_CAND)
+    )
+    return (
+        pool.select(
+            "vec_id", "coarse_sim", cosine("embedding", "q_emb").alias("cosine_sim")
+        )
+        .orderBy(F.desc("cosine_sim"), F.asc("vec_id"))
+        .limit(_MRL_K)
+    )
+
+
+sim_matryoshka_two_stage.__doc__ = sim_matryoshka_two_stage.__doc__.format(
+    m=_MRL_M, frac=4, cand=_MRL_CAND
+)
+
+
+# --------------------------------------------------------------------------
+# C218 — ranking-function surface (rank/dense_rank/percent_rank/cume_dist/
+#        ntile) with explicit tie semantics
+# --------------------------------------------------------------------------
+_RANKS_ORACLE = """
+SELECT o_orderkey,
+       o_orderpriority AS priority,
+       CAST(RANK() OVER w_ties AS BIGINT) AS rnk,
+       CAST(DENSE_RANK() OVER w_ties AS BIGINT) AS drnk,
+       PERCENT_RANK() OVER w_ties AS prank,
+       CUME_DIST() OVER w_ties AS cdist,
+       CAST(NTILE(4) OVER w_uniq AS BIGINT) AS quartile,
+       CAST(ROW_NUMBER() OVER w_uniq AS BIGINT) AS rn
+FROM orders
+WINDOW
+  w_ties AS (PARTITION BY o_orderpriority ORDER BY CAST(o_orderdate AS DATE)),
+  w_uniq AS (PARTITION BY o_orderpriority
+             ORDER BY CAST(o_orderdate AS DATE), o_orderkey)
+"""
+
+
+@workload("window_rank_surface", oracle=_RANKS_ORACLE)
+def window_rank_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANKING-FUNCTION SURFACE with explicit tie semantics: rank /
+    dense_rank / percent_rank / cume_dist ride a TIE-FULL ordering
+    (order date only — value-based functions are deterministic under
+    ties), while ntile and row_number — POSITION-based, nondeterministic
+    under ties — ride the unique (date, orderkey) ordering. Both windows
+    share one partitioning (priority), so Catalyst plans a single
+    exchange with two sorts, not two shuffles."""
+    from pyspark.sql.window import Window as W
+
+    o = load_table(spark, sf_dir, "orders")
+    day = F.col("o_orderdate").cast("date")
+    w_ties = W.partitionBy("o_orderpriority").orderBy(day)
+    w_uniq = W.partitionBy("o_orderpriority").orderBy(day, F.col("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("priority"),
+        F.rank().over(w_ties).cast("long").alias("rnk"),
+        F.dense_rank().over(w_ties).cast("long").alias("drnk"),
+        F.percent_rank().over(w_ties).alias("prank"),
+        F.cume_dist().over(w_ties).alias("cdist"),
+        F.ntile(4).over(w_uniq).cast("long").alias("quartile"),
+        F.row_number().over(w_uniq).cast("long").alias("rn"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C223 — cross-field data-quality rule engine (one pass, unpivoted report)
+# --------------------------------------------------------------------------
+_DQ_RULES: list[tuple[str, str]] = [
+    # (rule_name, VIOLATION predicate — true means the row FAILS the rule)
+    ("ship_before_order", "l_shipdate < o_orderdate"),
+    ("discount_out_of_range", "l_discount < 0 OR l_discount > 1"),
+    ("nonpositive_price", "l_extendedprice <= 0"),
+    ("negative_tax", "l_tax < 0"),
+    ("zero_quantity", "l_quantity < 1"),
+]
+
+_DQRULES_ORACLE = f"""
+WITH j AS (
+  SELECT l.*, o.o_orderdate
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+),
+agg AS (
+  SELECT COUNT(*) AS n_checked,
+         {', '.join(
+             f"COUNT(*) FILTER (WHERE {pred}) AS v_{name}"
+             for name, pred in _DQ_RULES)}
+  FROM j
+)
+{' UNION ALL '.join(
+    f"SELECT '{name}' AS rule_name, CAST(n_checked AS BIGINT) AS n_checked, "
+    f"CAST(v_{name} AS BIGINT) AS n_violations, "
+    f"ROUND(CAST(v_{name} AS DOUBLE) / n_checked, 6) AS violation_rate "
+    f"FROM agg" for name, _ in _DQ_RULES)}
+"""
+
+
+@workload("dq_cross_field_rules", oracle=_DQRULES_ORACLE)
+def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-FIELD DQ RULE ENGINE: five referential/range constraints
+    (ship-before-order needs the lineitem->orders join; the rest are
+    row-local) evaluated in ONE aggregation pass — conditional counts,
+    never five scans — then unpivoted to the per-rule report shape
+    (rule, checked, violations, rate) via stack(). Adding a rule adds
+    one counter to the same pass. This is the constraint-audit layer
+    over the single-column profiles of dq_profile_orders (C11) and the
+    FK audit (C62)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    aggs = [F.count(F.lit(1)).alias("n_checked")] + [
+        F.count(F.when(F.expr(pred), 1)).alias(f"v_{name}")
+        for name, pred in _DQ_RULES
+    ]
+    agg = j.agg(*aggs)
+    stack_expr = "stack({n}, {pairs}) AS (rule_name, n_violations)".format(
+        n=len(_DQ_RULES),
+        pairs=", ".join(f"'{name}', v_{name}" for name, _ in _DQ_RULES),
+    )
+    return agg.select("n_checked", F.expr(stack_expr)).select(
+        "rule_name",
+        F.col("n_checked").cast("long"),
+        F.col("n_violations").cast("long"),
+        F.round(
+            F.col("n_violations").cast("double") / F.col("n_checked"), 6
+        ).alias("violation_rate"),
+    )
