@@ -545,3 +545,105 @@ def dq_cross_field_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_violations").cast("double") / F.col("n_checked"), 6
         ).alias("violation_rate"),
     )
+
+
+# --------------------------------------------------------------------------
+# C224 — Gopher-style quality gates (rule ensemble over token statistics)
+# --------------------------------------------------------------------------
+_GOPHER_STOP = ("the", "a")  # corpus stopwords (synthetic vocab)
+_G_MIN_TOK, _G_MAX_TOK = 20, 80
+_G_MIN_MEAN, _G_MAX_MEAN = 3.0, 10.0
+_G_MIN_STOP = 2
+_G_MAX_TOP_SHARE = 0.12
+
+_GOPHER_ORACLE = f"""
+WITH tok AS (
+  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+  FROM documents
+),
+tc AS (
+  SELECT doc_id, tok, COUNT(*) AS cnt
+  FROM tok WHERE tok <> '' GROUP BY doc_id, tok
+),
+d AS (
+  SELECT doc_id,
+         CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+         CAST(SUM(CAST(LENGTH(tok) AS BIGINT) * cnt) AS BIGINT) AS n_chars_tok,
+         CAST(COALESCE(SUM(cnt) FILTER (
+             WHERE tok IN {str(tuple(_GOPHER_STOP))}), 0) AS BIGINT) AS n_stop,
+         CAST(MAX(cnt) AS BIGINT) AS top_cnt
+  FROM tc GROUP BY doc_id
+),
+g AS (
+  SELECT doc_id, n_tokens, n_stop,
+         ROUND(CAST(n_chars_tok AS DOUBLE) / n_tokens, 6) AS mean_tok_len,
+         ROUND(CAST(top_cnt AS DOUBLE) / n_tokens, 6) AS top_share,
+         (n_tokens BETWEEN {_G_MIN_TOK} AND {_G_MAX_TOK}) AS g_length,
+         (CAST(n_chars_tok AS DOUBLE) / n_tokens >= {_G_MIN_MEAN}
+          AND CAST(n_chars_tok AS DOUBLE) / n_tokens <= {_G_MAX_MEAN})
+           AS g_mean_len,
+         (n_stop >= {_G_MIN_STOP}) AS g_stopwords,
+         (CAST(top_cnt AS DOUBLE) / n_tokens <= {_G_MAX_TOP_SHARE})
+           AS g_repetition
+  FROM d
+)
+SELECT doc_id, n_tokens, mean_tok_len, n_stop, top_share,
+       g_length, g_mean_len, g_stopwords, g_repetition,
+       (g_length AND g_mean_len AND g_stopwords AND g_repetition)
+         AS passes_all
+FROM g
+"""
+
+
+@workload("text_gopher_quality_gates", oracle=_GOPHER_ORACLE)
+def text_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOPHER-STYLE QUALITY GATES (Rae et al. 2021's rule-ensemble
+    document filter, the standard pre-training curation stage): per-doc
+    token-length band, mean-token-length band, minimum stopword count,
+    and top-token repetition share — each surfaced as its own boolean
+    gate plus the conjunction, so downstream curation can report WHICH
+    rule rejected a document, not just that one did. Two-level exact-int
+    aggregation ((doc, token) counts -> per-doc stats, the same shuffle
+    key chain), two ROUND(_,6) divisions of exact ints — no double
+    summation anywhere. Complements the single-signal filters C20
+    (repetition) and B4 quality scoring."""
+    from sample_data_pipeline_project_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    tc = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    stats = tc.groupBy("doc_id").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.sum(F.length("tok").cast("long") * F.col("cnt"))
+        .cast("long")
+        .alias("n_chars_tok"),
+        F.coalesce(
+            F.sum(F.when(F.col("tok").isin(*_GOPHER_STOP), F.col("cnt"))),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("n_stop"),
+        F.max("cnt").cast("long").alias("top_cnt"),
+    )
+    mean_len = F.col("n_chars_tok").cast("double") / F.col("n_tokens")
+    top_share = F.col("top_cnt").cast("double") / F.col("n_tokens")
+    g_length = F.col("n_tokens").between(_G_MIN_TOK, _G_MAX_TOK)
+    g_mean = (mean_len >= _G_MIN_MEAN) & (mean_len <= _G_MAX_MEAN)
+    g_stop = F.col("n_stop") >= _G_MIN_STOP
+    g_rep = top_share <= _G_MAX_TOP_SHARE
+    return stats.select(
+        "doc_id",
+        "n_tokens",
+        F.round(mean_len, 6).alias("mean_tok_len"),
+        "n_stop",
+        F.round(top_share, 6).alias("top_share"),
+        g_length.alias("g_length"),
+        g_mean.alias("g_mean_len"),
+        g_stop.alias("g_stopwords"),
+        g_rep.alias("g_repetition"),
+        (g_length & g_mean & g_stop & g_rep).alias("passes_all"),
+    )
