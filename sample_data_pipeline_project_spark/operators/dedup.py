@@ -439,44 +439,87 @@ def minhash_lsh_candidates(
     candidate near-dup pairs (B2). Returns distinct unordered pairs.
 
     The band join is an equi-join on the band hash — at scale only
-    colliding docs shuffle to the same reducer; no quadratic blow-up."""
+    colliding docs shuffle to the same reducer; no quadratic blow-up.
+
+    Pair dedup is the FIRST-COLLIDING-BAND rule, not a distinct(): a
+    pair colliding in several bands is emitted only from the join row
+    whose band_idx is its minimal colliding band — a row-wise filter
+    over each side's (tiny, bands-length) band-hash array. A distinct()
+    here would re-shuffle the full candidate-pair set, which is the
+    single largest intermediate of the whole dedup pipeline (76M rows at
+    sf1, measured in SCALING.md); the filter removes that exchange
+    entirely while producing the identical pair set. The band-hash array
+    rides the (corpus-sized, pair-free) join INPUT, so the payload cost
+    is bands x 32 bytes per banded row — noise next to the avoided
+    pair-sized shuffle."""
     if num_hashes % bands:
         raise ValueError("num_hashes must be divisible by bands")
     # Both join sides read the signature table; cache so the token explode
     # + k-way min aggregation runs once (see jaccard_pairs_prefix note).
     sig = minhash_signatures(docs, num_hashes, id_col, text_col).cache()
-    banded = _band_explode(sig, num_hashes, bands, id_col)
-    a = banded.select(F.col(id_col).alias("a"), "band_idx", "band_hash")
-    b = banded.select(F.col(id_col).alias("b"), "band_idx", "band_hash")
+    banded = _band_explode(sig, num_hashes, bands, id_col, keep_all=True)
+    a = banded.select(
+        F.col(id_col).alias("a"),
+        "band_idx",
+        "band_hash",
+        *[F.col(f"h{j}").alias(f"a_h{j}") for j in range(bands - 1)],
+    )
+    b = banded.select(
+        F.col(id_col).alias("b"),
+        "band_idx",
+        "band_hash",
+        *[F.col(f"h{j}").alias(f"b_h{j}") for j in range(bands - 1)],
+    )
+    # Scalar (codegen-friendly, no higher-order boxing) form of "this
+    # pair already collided at a lower band". Only bands-1 hash columns
+    # ride each side: the last band's hash can never be an EARLIER
+    # collision, and band j's own hash is the join key.
+    earlier = F.lit(False)
+    for j in range(bands - 1):
+        earlier = earlier | (
+            (F.col("band_idx") > j) & (F.col(f"a_h{j}") == F.col(f"b_h{j}"))
+        )
     return (
         a.join(b, ["band_idx", "band_hash"])
         .filter(F.col("a") < F.col("b"))
+        .filter(~earlier)
         .select("a", "b")
-        .distinct()
     )
 
 
 def _band_explode(
-    sig: DataFrame, num_hashes: int, bands: int, id_col: str
+    sig: DataFrame, num_hashes: int, bands: int, id_col: str, keep_all: bool = False
 ) -> DataFrame:
     """(id, band_idx, band_hash) rows: each band of r = k/bands signature
-    values hashed to one key — the LSH bucket id."""
+    values hashed to one key — the LSH bucket id. With `keep_all`, each
+    row additionally carries h0..h{bands-2}, the lower bands' hashes as
+    SCALAR columns (for the first-colliding-band pair-dedup filter —
+    scalar so the filter stays inside whole-stage codegen)."""
     r = num_hashes // bands
-    band_cols = [
-        F.struct(
-            F.lit(bi).alias("band_idx"),
-            F.md5(
-                F.concat_ws(",", *[F.col(f"mh_{bi * r + j}") for j in range(r)])
-            ).alias("band_hash"),
+    hash_cols = [
+        F.md5(
+            F.concat_ws(",", *[F.col(f"mh_{bi * r + j}") for j in range(r)])
         )
         for bi in range(bands)
     ]
-    return sig.select(
-        F.col(id_col), F.explode(F.array(*band_cols)).alias("bk")
-    ).select(
+    band_cols = [
+        F.struct(F.lit(bi).alias("band_idx"), h.alias("band_hash"))
+        for bi, h in enumerate(hash_cols)
+    ]
+    base = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*band_cols)).alias("bk"),
+        *(
+            [h.alias(f"h{j}") for j, h in enumerate(hash_cols[: bands - 1])]
+            if keep_all
+            else []
+        ),
+    )
+    return base.select(
         id_col,
         F.col("bk.band_idx").alias("band_idx"),
         F.col("bk.band_hash").alias("band_hash"),
+        *([f"h{j}" for j in range(bands - 1)] if keep_all else []),
     )
 
 
