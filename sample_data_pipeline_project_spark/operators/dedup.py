@@ -414,12 +414,16 @@ def minhash_signatures(
     num_hashes: int,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram_n: int | None = None,
 ) -> DataFrame:
     """Per-doc MinHash signature: for seed i, min over the token set of
     md5(i || '|' || token). md5-hex min (lexicographic) is a valid minwise
     hash and is byte-identical in any engine. One explode + one grouped
-    aggregate with `num_hashes` MIN columns — a single shuffle."""
-    toks = token_sets(docs, id_col, text_col)
+    aggregate with `num_hashes` MIN columns — a single shuffle.
+    `ngram_n` switches the set unit from single tokens to word n-gram
+    shingles — the 100 TB configuration: shingles decorrelate documents
+    that merely share vocabulary, collapsing band-collision rates."""
+    toks = token_sets(docs, id_col, text_col, ngram_n)
     mins = [
         F.min(F.md5(F.concat(F.lit(f"{i}|"), F.col("tok")))).alias(f"mh_{i}")
         for i in range(num_hashes)
@@ -433,6 +437,7 @@ def minhash_lsh_candidates(
     bands: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
+    ngram_n: int | None = None,
 ) -> DataFrame:
     """LSH banding over MinHash signatures: hash each band of r = k/bands
     signature values; docs colliding on any (band_idx, band_hash) are
@@ -456,7 +461,7 @@ def minhash_lsh_candidates(
         raise ValueError("num_hashes must be divisible by bands")
     # Both join sides read the signature table; cache so the token explode
     # + k-way min aggregation runs once (see jaccard_pairs_prefix note).
-    sig = minhash_signatures(docs, num_hashes, id_col, text_col).cache()
+    sig = minhash_signatures(docs, num_hashes, id_col, text_col, ngram_n).cache()
     banded = _band_explode(sig, num_hashes, bands, id_col, keep_all=True)
     a = banded.select(
         F.col(id_col).alias("a"),

@@ -76,7 +76,11 @@ _BANDS = 4
 _R = _NUM_HASHES // _BANDS
 
 
-def _duck_minhash_oracle(extra_where: str = "") -> str:
+def _duck_minhash_oracle(extra_where: str = "", toks_select: str | None = None) -> str:
+    """`toks_select` overrides the token-set CTE body (e.g. n-gram
+    shingles instead of unigram tokens); default is the unigram set."""
+    if toks_select is None:
+        toks_select = f"SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents"
     mins = ",\n         ".join(
         f"MIN(md5('{i}|' || tok)) AS mh_{i}" for i in range(_NUM_HASHES)
     )
@@ -89,7 +93,7 @@ def _duck_minhash_oracle(extra_where: str = "") -> str:
     )
     return f"""
 WITH toks AS (
-  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM documents
+  {toks_select}
 ),
 sig AS (
   SELECT doc_id,
@@ -266,6 +270,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     engine-portable so the oracle reproduces signatures exactly."""
     d = load_table(spark, sf_dir, "documents")
     return minhash_lsh_candidates(d, _NUM_HASHES, _BANDS)
+
+
+_MH_NGRAM_N = 3
+
+# DuckDB twin of word trigram shingles over the whitespace token list.
+_DUCK_TRIGRAMS = (
+    "list_distinct(list_transform("
+    "range(1, greatest(len(toks) - 2, 0) + 1), "
+    "i -> array_to_string(toks[i:i+2], ' ')))"
+)
+
+_MH_NGRAM_TOKS = f"""SELECT doc_id, unnest({_DUCK_TRIGRAMS}) AS tok
+  FROM (SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS toks
+        FROM documents)"""
+
+
+@workload(
+    "dedup_minhash_lsh_ngram",
+    oracle=_duck_minhash_oracle(toks_select=_MH_NGRAM_TOKS),
+)
+def dedup_minhash_lsh_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B2/C225 — MinHash-LSH over word TRIGRAM shingles: the 100 TB
+    configuration of dedup_minhash_lsh. Unigram token sets make any two
+    documents sharing vocabulary near-dup candidates (on this corpus
+    ~60% of all pairs collide in some band — see SCALING.md); shingles
+    are order-sensitive, so only genuinely overlapping text collides
+    and the candidate volume collapses. Identical operator and banding,
+    ngram_n=3."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_candidates(d, _NUM_HASHES, _BANDS, ngram_n=_MH_NGRAM_N)
 
 
 # --------------------------------------------------------------------------
