@@ -291,7 +291,7 @@ _MH_NGRAM_TOKS = f"""SELECT doc_id, unnest({_DUCK_TRIGRAMS}) AS tok
     oracle=_duck_minhash_oracle(toks_select=_MH_NGRAM_TOKS),
 )
 def dedup_minhash_lsh_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """B2/C225 — MinHash-LSH over word TRIGRAM shingles: the 100 TB
+    """B2/C217 — MinHash-LSH over word TRIGRAM shingles: the 100 TB
     configuration of dedup_minhash_lsh. Unigram token sets make any two
     documents sharing vocabulary near-dup candidates (on this corpus
     ~60% of all pairs collide in some band — see SCALING.md); shingles

@@ -225,6 +225,10 @@ _BNLJ_ALLOWLIST: set[str] = {
     "stats_lift_gains_deciles",
     # same 1-row n/dims crossjoins as the allowlisted chi-square (C93)
     "stats_cramers_v_type_dow",
+    # round-6 additions: the funnel's final report crossjoins three
+    # 1-row stage-count aggregates; matryoshka broadcasts the 1-row
+    # query vector into the coarse scan (same shape as sim_topk_*)
+    "events_funnel_timebound", "sim_matryoshka_two_stage",
 }
 
 
