@@ -647,3 +647,202 @@ def text_gopher_quality_gates(spark: SparkSession, sf_dir: str) -> DataFrame:
         g_rep.alias("g_repetition"),
         (g_length & g_mean & g_stop & g_rep).alias("passes_all"),
     )
+
+
+# --------------------------------------------------------------------------
+# C218 — correlated LATERAL subquery (per-row dependent top-n)
+# --------------------------------------------------------------------------
+_LATERAL_ORACLE = """
+SELECT n.n_nationkey AS nationkey, t.c_custkey AS custkey,
+       t.c_acctbal AS acctbal
+FROM nation n,
+LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+         WHERE c.c_nationkey = n.n_nationkey
+         ORDER BY c_acctbal DESC, c_custkey LIMIT 2) t
+"""
+
+
+@workload("join_lateral_topn_per_nation", oracle=_LATERAL_ORACLE)
+def join_lateral_topn_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORRELATED LATERAL SUBQUERY: per nation, its top-2 customers by
+    balance, written as `FROM nation, LATERAL (... WHERE correlated
+    ORDER BY ... LIMIT 2)` — the per-row dependent-subquery surface
+    (distinct from the UDTF lateral of C-chunking and from the window
+    row_number form of window_topn_per_nation: this one exercises
+    Catalyst's DecorrelateInnerQuery path, which rewrites the lateral
+    into a ranked join rather than executing per-row). Deterministic
+    via the (acctbal DESC, custkey) tiebreak."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("nation")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_LATERAL_ORACLE)
+
+
+# --------------------------------------------------------------------------
+# C219 — SLO burn rate (multi-window error-budget alerting)
+# --------------------------------------------------------------------------
+_SLO_BUDGET = 0.25   # error-share budget
+_SLO_LONG_H = 6      # long window, hours
+
+_SLO_ORACLE = f"""
+WITH hourly AS (
+  SELECT date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                   date_trunc('hour', ts)) AS hr,
+         COUNT(*) AS n_total,
+         COUNT(*) FILTER (WHERE event_type = 'error') AS n_err
+  FROM events GROUP BY 1
+),
+targets AS (
+  SELECT h.hr + r.range AS t_hr, h.n_total, h.n_err
+  FROM hourly h CROSS JOIN range({_SLO_LONG_H}) r
+),
+rolled AS (
+  SELECT h.hr, h.n_total, h.n_err,
+         CAST(SUM(t.n_total) AS BIGINT) AS n_total_6h,
+         CAST(SUM(t.n_err) AS BIGINT) AS n_err_6h
+  FROM hourly h JOIN targets t ON t.t_hr = h.hr
+  GROUP BY h.hr, h.n_total, h.n_err
+)
+SELECT CAST(hr AS BIGINT) AS hr,
+       CAST(n_total AS BIGINT) AS n_total,
+       CAST(n_err AS BIGINT) AS n_err,
+       n_total_6h, n_err_6h,
+       ROUND(CAST(n_err AS DOUBLE) / n_total / {_SLO_BUDGET}, 6)
+         AS burn_short,
+       ROUND(CAST(n_err_6h AS DOUBLE) / n_total_6h / {_SLO_BUDGET}, 6)
+         AS burn_long,
+       (CAST(n_err AS DOUBLE) / n_total > {_SLO_BUDGET}
+        AND CAST(n_err_6h AS DOUBLE) / n_total_6h > {_SLO_BUDGET})
+         AS is_burning
+FROM rolled
+"""
+
+
+@workload("events_slo_burn_rate", oracle=_SLO_ORACLE)
+def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MULTI-WINDOW SLO BURN-RATE alerting (the Google SRE workbook
+    pattern): per hour, the short-window (1h) and long-window (6h
+    trailing) error-share burn rates against a fixed budget, alerting
+    only when BOTH windows burn — short-only is noise, long-only is
+    stale. The 6h trailing sum is an EQUI-join: each hour's counts
+    explode to the 6 future hours they cover (sequence + explode), so
+    there is no global-ordered window (the single-partition plan class
+    this engine bans) and no range join; the hourly table is bounded by
+    the time span, not the event volume."""
+    from sample_data_pipeline_project_spark.functions.timeops import (
+        ensure_ts_ntz,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    hours = F.unix_micros(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp")
+    ) / F.lit(3600_000_000)
+    hourly = (
+        ev.select(
+            hours.cast("long").alias("hr"),
+            F.col("event_type"),
+        )
+        .groupBy("hr")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count(F.when(F.col("event_type") == "error", 1)).alias("n_err"),
+        )
+    )
+    targets = hourly.select(
+        F.explode(
+            F.sequence(F.col("hr"), F.col("hr") + (_SLO_LONG_H - 1))
+        ).alias("t_hr"),
+        F.col("n_total").alias("t_total"),
+        F.col("n_err").alias("t_err"),
+    )
+    rolled = (
+        hourly.join(targets, hourly["hr"] == targets["t_hr"])
+        .groupBy("hr", "n_total", "n_err")
+        .agg(
+            F.sum("t_total").cast("long").alias("n_total_6h"),
+            F.sum("t_err").cast("long").alias("n_err_6h"),
+        )
+    )
+    rate_s = F.col("n_err").cast("double") / F.col("n_total")
+    rate_l = F.col("n_err_6h").cast("double") / F.col("n_total_6h")
+    return rolled.select(
+        F.col("hr").cast("long"),
+        F.col("n_total").cast("long"),
+        F.col("n_err").cast("long"),
+        "n_total_6h",
+        "n_err_6h",
+        F.round(rate_s / _SLO_BUDGET, 6).alias("burn_short"),
+        F.round(rate_l / _SLO_BUDGET, 6).alias("burn_long"),
+        ((rate_s > _SLO_BUDGET) & (rate_l > _SLO_BUDGET)).alias("is_burning"),
+    )
+
+
+# --------------------------------------------------------------------------
+# C220 — cohort retention triangle (weekly)
+# --------------------------------------------------------------------------
+_RETENTION_ORACLE = """
+WITH firsts AS (
+  SELECT user_id,
+         date_diff('day', DATE '1970-01-01', MIN(CAST(ts AS DATE))) // 7
+           AS cohort_week
+  FROM events GROUP BY user_id
+),
+activity AS (
+  SELECT DISTINCT e.user_id,
+         date_diff('day', DATE '1970-01-01', CAST(e.ts AS DATE)) // 7
+           AS act_week
+  FROM events e
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY 1
+),
+cells AS (
+  SELECT f.cohort_week, a.act_week - f.cohort_week AS week_n,
+         COUNT(DISTINCT a.user_id) AS n_active
+  FROM firsts f JOIN activity a ON a.user_id = f.user_id
+  GROUP BY 1, 2
+)
+SELECT CAST(c.cohort_week AS BIGINT) AS cohort_week,
+       CAST(c.week_n AS BIGINT) AS week_n,
+       CAST(c.n_active AS BIGINT) AS n_active,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       ROUND(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) AS retention
+FROM cells c JOIN sizes s ON s.cohort_week = c.cohort_week
+"""
+
+
+@workload("events_retention_matrix", oracle=_RETENTION_ORACLE)
+def events_retention_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COHORT RETENTION TRIANGLE: users cohorted by first-active week
+    (epoch-week buckets — calendar-truncation-free, so no Monday-start
+    engine divergence), each later week's retained share of the cohort —
+    the table every growth dashboard renders. All weeks are nonnegative
+    integer day-quotients (floor == truncate, so Spark div and DuckDB //
+    agree); one shuffle on user_id for the cohort join, then a keyed
+    aggregate per (cohort, week)."""
+    ev = load_table(spark, sf_dir, "events")
+    day_num = F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+    week = F.floor(day_num / 7).cast("long")
+    firsts = ev.groupBy("user_id").agg(F.min(week).alias("cohort_week"))
+    activity = ev.select(
+        "user_id", week.alias("act_week")
+    ).distinct()
+    sizes = firsts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).alias("cohort_size")
+    )
+    cells = (
+        firsts.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.col("act_week") - F.col("cohort_week")).alias("week_n"),
+        )
+        .agg(F.count_distinct(F.col("user_id")).alias("n_active"))
+    )
+    return cells.join(sizes, "cohort_week").select(
+        F.col("cohort_week").cast("long"),
+        F.col("week_n").cast("long"),
+        F.col("n_active").cast("long"),
+        F.col("cohort_size").cast("long"),
+        F.round(
+            F.col("n_active").cast("double") / F.col("cohort_size"), 6
+        ).alias("retention"),
+    )
