@@ -1,13 +1,14 @@
 """Multimodal columns: image/audio/video as opaque BINARY + typed metadata.
 
 The Spark-side design is the real thing — explicit schemas, Arrow-batched
-`mapInPandas` operators, partition-friendly shapes. Only the codec layer is
-stubbed: this environment ships no image/audio libraries, so `decode_image`
-raises `NotImplementedError` unless a PIL-compatible decoder is installed,
-and the feature/resize/frame ops run on DETERMINISTIC FAKE RASTERS decoded
-from the payload bytes (payload byte i = pixel i of a row-major grayscale
-grid, sized by the metadata). Swapping `_fake_raster` for a real
-`PIL.Image.open` is the only change needed on a cluster with codecs.
+`mapInPandas` operators, partition-friendly shapes. The codec layer ships a
+pure-stdlib PNG decoder (`_decode_png_stdlib`: zlib inflate, all five PNG
+filters, color types 0/2/3/4/6), so `decode_image` executes with zero
+third-party image libraries; when Pillow IS installed it is preferred and
+the two paths are byte-identical (fixed-point ITU-R 601-2 luma). The
+feature/resize/frame ops additionally accept DETERMINISTIC FAKE RASTERS
+decoded from raw payload bytes (payload byte i = pixel i of a row-major
+grayscale grid, sized by the metadata) for codec-free pipeline tests.
 
 Scale notes:
   - Payload bytes never pass through the JVM<->Python boundary row-by-row:

@@ -507,18 +507,27 @@ def _band_explode(
         )
         for bi in range(bands)
     ]
+    # Project each band md5 to a NAMED COLUMN first, then build the
+    # exploded struct array from those columns: Catalyst does not share
+    # subexpressions across an explode, so referencing the raw md5
+    # expression both inside the struct array and as the keep_all
+    # ride-along scalar would compute each digest twice per row. (The
+    # two projections stay separate — CollapseProject only inlines
+    # cheap, single-referenced aliases, and md5 is neither.)
+    hashed = sig.select(
+        F.col(id_col),
+        *[h.alias(f"h{bi}") for bi, h in enumerate(hash_cols)],
+    )
     band_cols = [
-        F.struct(F.lit(bi).alias("band_idx"), h.alias("band_hash"))
-        for bi, h in enumerate(hash_cols)
+        F.struct(
+            F.lit(bi).alias("band_idx"), F.col(f"h{bi}").alias("band_hash")
+        )
+        for bi in range(bands)
     ]
-    base = sig.select(
+    base = hashed.select(
         F.col(id_col),
         F.explode(F.array(*band_cols)).alias("bk"),
-        *(
-            [h.alias(f"h{j}") for j, h in enumerate(hash_cols[: bands - 1])]
-            if keep_all
-            else []
-        ),
+        *([f"h{j}" for j in range(bands - 1)] if keep_all else []),
     )
     return base.select(
         id_col,

@@ -64,8 +64,15 @@ def events_pivot_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col(t), F.lit(0)).cast("long").alias(f"n_{t}")
         for t in _EVENT_TYPES
     ]
-    total = sum(F.coalesce(F.col(t), F.lit(0)) for t in _EVENT_TYPES)
-    return wide.select("user_id", *cols, total.cast("long").alias("n_total"))
+    # n_total is a pre-pivot COUNT(*) joined back in, NOT the sum of the
+    # pivoted cells: an event_type outside the literal pivot list would
+    # silently vanish from a cell-sum but must still count toward the
+    # user's total (matching the oracle's unconditional COUNT(*)). Both
+    # sides are user-grained aggregates sharing the user_id shuffle key.
+    totals = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_total")
+    )
+    return wide.join(totals, "user_id").select("user_id", *cols, "n_total")
 
 
 # --------------------------------------------------------------------------
@@ -367,8 +374,6 @@ _MRL_M = 16       # coarse prefix dimensions
 _MRL_CAND = 50    # stage-1 candidate pool
 _MRL_K = 10       # final top-k
 _MRL_Q = 0        # query vector id
-
-_MRL_ORACLE: str
 
 
 def _mrl_oracle() -> str:
@@ -728,10 +733,6 @@ def events_slo_burn_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     there is no global-ordered window (the single-partition plan class
     this engine bans) and no range join; the hourly table is bounded by
     the time span, not the event volume."""
-    from sample_data_pipeline_project_spark.functions.timeops import (
-        ensure_ts_ntz,
-    )
-
     ev = load_table(spark, sf_dir, "events")
     hours = F.unix_micros(
         F.date_trunc("hour", F.col("ts")).cast("timestamp")

@@ -38,6 +38,14 @@ import numpy as np
 sys.path.insert(0, "/root/repo")
 
 
+# Widening coercions (NaN==NULL, midnight-timestamp==DATE) are justified
+# by observed driver behavior but mask two real divergence classes; count
+# each firing so the per-workload report can SAY a coercion carried the
+# match instead of letting the masked class disappear silently
+# (ADVICE r6). Reset around each workload's pair of canon_frame calls.
+_COERCIONS: dict[str, int] = {"nan_as_null": 0, "midnight_ts_as_date": 0}
+
+
 def canon_value(v) -> str:
     """Canonical string for one cell. Must agree for the same logical value
     across Spark-toPandas and DuckDB-.df() scalar repertoires (numpy
@@ -55,6 +63,7 @@ def canon_value(v) -> str:
             # boolean arrives as None from Spark-toPandas but as NaN from
             # DuckDB-.df(), and the driver's factorize maps both to the
             # same NA sentinel. NULL-vs-NaN is unobservable at the gate.
+            _COERCIONS["nan_as_null"] += 1
             return "NULL"
         return repr(f)
     if isinstance(v, (int, np.integer)):
@@ -67,6 +76,7 @@ def canon_value(v) -> str:
         # them as equal (driver-green history on DATE-emitting
         # workloads), so midnight timestamps canonicalize date-only.
         if (v.hour, v.minute, v.second, v.microsecond) == (0, 0, 0, 0):
+            _COERCIONS["midnight_ts_as_date"] += 1
             return v.date().isoformat()
         return v.isoformat()
     if isinstance(v, dt.date):
@@ -189,6 +199,8 @@ def main() -> int:
             failures.append(name)
             continue
         t2 = time.time()
+        for k in _COERCIONS:
+            _COERCIONS[k] = 0
         try:
             sn, sc, sh = canon_frame(spdf)
         except DriverCanonError as exc:
@@ -202,8 +214,10 @@ def main() -> int:
             failures.append(name)
             continue
         status = "ok" if (sn, sc, sh) == (dn, dc, dh) else "FAIL"
+        fired = {k: n for k, n in _COERCIONS.items() if n}
+        note = f"  [coerced: {fired}]" if fired else ""
         print(
-            f"{status:5} {name}: spark {sn} rows {t1-t0:.1f}s | duck {dn} rows {t2-t1:.1f}s"
+            f"{status:5} {name}: spark {sn} rows {t1-t0:.1f}s | duck {dn} rows {t2-t1:.1f}s{note}"
         )
         if status == "FAIL":
             failures.append(name)
