@@ -8,6 +8,15 @@ line: {"metric": ..., "value": total_sec, "unit": "sec",
 Each query is forced with a `noop` format write (full execution on the
 executors, no driver-side collect skew). A warmup query first absorbs
 one-time JVM/codegen startup so per-query numbers reflect steady state.
+
+PROTOCOL (round 7+): every query additionally gets WARM-RUN timing —
+`SPARK_GRAFT_BENCH_WARMUP` untimed warm-up executions (default 1) per
+query, then the median of `SPARK_GRAFT_BENCH_RUNS` timed executions
+(default 1). This kills the first-touch JIT/session-noise mover class
+that burned re-timing effort in rounds 4-6 (see BENCH-NOTES.md): r<=6
+totals were cold-ish single-shot numbers and are NOT comparable with
+r7+ totals. Caches are cleared between every execution, so warm-up
+carries JIT/codegen/page-cache state only, never cached data.
 """
 
 from __future__ import annotations
@@ -79,21 +88,35 @@ def main() -> int:
             print(f"bench: warmup {warm_name} skipped: {exc}", file=sys.stderr)
     spark.catalog.clearCache()
 
+    import statistics
+
+    n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+
+    def run_once(w) -> float:
+        t0 = time.perf_counter()
+        w.fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        elapsed = time.perf_counter() - t0
+        # Workloads cache intermediates (signature tables etc.); drop them
+        # between every execution so each run is timed in isolation —
+        # retained caches would both steal unified memory from later
+        # shuffles and let a warm-up run hand cached DATA to the timed
+        # run (we want warm JIT/codegen state only).
+        spark.catalog.clearCache()
+        return elapsed
+
     timings: dict[str, float] = {}
     for name, w in sorted(workloads.items()):
-        t0 = time.perf_counter()
         try:
-            df = w.fn(spark, sf_dir)
-            df.write.format("noop").mode("overwrite").save()
-            timings[name] = round(time.perf_counter() - t0, 3)
+            for _ in range(n_warmup):
+                run_once(w)
+            samples = [run_once(w) for _ in range(n_runs)]
+            timings[name] = round(statistics.median(samples), 3)
             print(f"bench: {name} {timings[name]}s", file=sys.stderr)
         except Exception as exc:  # a failed query is a visible outlier, not a crash
             timings[name] = -1.0
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
-        # Workloads cache intermediates (signature tables etc.); drop them so
-        # each query is timed in isolation — retained caches from earlier
-        # queries steal unified memory from later shuffles and skew timings.
-        spark.catalog.clearCache()
+            spark.catalog.clearCache()
 
     total = round(sum(t for t in timings.values() if t >= 0), 3)
     failed = sorted(n for n, t in timings.items() if t < 0)

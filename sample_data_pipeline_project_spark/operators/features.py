@@ -97,3 +97,100 @@ def recent_history(
         seq.alias("recent_event_ids"),
         F.count(F.lit(1)).cast("long").alias("n_recent"),
     )
+
+
+def embedding_transforms(
+    embeddings: DataFrame,
+    clip: float = 0.25,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    as_array: bool = True,
+) -> DataFrame:
+    """TYPED twin of the C59 array-HOF workload (`scalar_array_hof_funcs`):
+    per-vector element-wise transforms plus their scalar folds, all
+    JVM-side codegen HOFs, pure projection (zero shuffle at any scale).
+
+    With `as_array=True` (engine API) the result carries the TYPED
+    intermediate arrays an ML pipeline actually wants —
+    `abs_values array<double>`, `positives array<float>` (the filtered
+    subsequence, element type preserved), `clipped_values array<double>`
+    — alongside the scalar folds. With `as_array=False` only the scalar
+    folds remain: exactly the registered workload's gate-safe shape, and
+    the SAME plan minus the three array projections, so the
+    oracle-verified arithmetic is what the typed API runs."""
+    absd = f"transform({vec_col}, x -> abs(CAST(x AS DOUBLE)))"
+    clipd = (
+        f"transform({vec_col}, x -> LEAST(GREATEST(CAST(x AS DOUBLE),"
+        f" -{clip!r}), {clip!r}))"
+    )
+    cols = [
+        F.col(id_col),
+        F.expr(f"CAST(size({vec_col}) AS BIGINT)").alias("dim"),
+        F.expr(
+            f"CAST(size(filter({vec_col}, x -> x > 0)) AS BIGINT)"
+        ).alias("n_pos"),
+        F.expr(
+            f"aggregate({absd}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("l1_norm"),
+        F.expr(
+            f"aggregate({absd}, CAST(0.0 AS DOUBLE),"
+            " (acc, v) -> CASE WHEN v > acc THEN v ELSE acc END)"
+        ).alias("max_abs"),
+        F.expr(
+            f"aggregate({clipd}, CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        ).alias("clipped_sum"),
+    ]
+    if as_array:
+        cols += [
+            F.expr(absd).alias("abs_values"),
+            F.expr(f"filter({vec_col}, x -> x > 0)").alias("positives"),
+            F.expr(clipd).alias("clipped_values"),
+        ]
+    return embeddings.select(*cols)
+
+
+def event_type_share_map(
+    events: DataFrame,
+    min_share: float = 0.25,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    as_map: bool = True,
+) -> DataFrame:
+    """TYPED twin of the C100 map-HOF workload (`scalar_map_hof_funcs`):
+    per-user dominant event types. With `as_map=True` (engine API) the
+    result is one row per user carrying the real
+    `map<string, struct<n_type bigint, share double>>` column
+    (`dominant`) a feature store would persist; with `as_map=False` the
+    map is exploded to the registered workload's gate-safe row shape
+    (user_id, event_type, n_type, share). Both shapes share the plan up
+    to the final entries-explode: one keyed shuffle into the per-user
+    map build, map HOFs all JVM-side."""
+    cnt = events.groupBy(user_col, type_col).agg(
+        F.count(F.lit(1)).alias("n_type")
+    )
+    m = cnt.groupBy(user_col).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(type_col, "n_type"))
+        ).alias("type_counts")
+    )
+    with_share = m.select(
+        user_col,
+        F.expr(
+            "map_filter("
+            "  transform_values(type_counts,"
+            "    (k, v) -> struct(CAST(v AS BIGINT) AS n_type,"
+            "      CAST(v AS DOUBLE) / CAST(aggregate(map_values(type_counts),"
+            "        0L, (acc, x) -> acc + x) AS DOUBLE) AS share)),"
+            f"  (k, v) -> v.share >= {min_share!r})"
+        ).alias("dominant"),
+    )
+    if as_map:
+        return with_share
+    return with_share.select(
+        user_col, F.explode(F.map_entries("dominant")).alias("e")
+    ).select(
+        user_col,
+        F.col("e.key").alias(type_col),
+        F.col("e.value.n_type").alias("n_type"),
+        F.col("e.value.share").alias("share"),
+    )

@@ -35,12 +35,20 @@ def topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_vec_col: str = "q_emb",
+    with_vector: bool = False,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast the 1-row query, score every corpus
-    vector JVM-side, take the global top-k (deterministic id tiebreak)."""
+    vector JVM-side, take the global top-k (deterministic id tiebreak).
+    `with_vector=True` carries the matched corpus embedding through as a
+    TYPED `array<float>` payload column (rerank/serving wants the vector
+    back, not just the id) — it rides the same TakeOrderedAndProject, so
+    the plan shape is unchanged: per-partition heap, driver merge of
+    k-row heads, never a global sort."""
+    payload = [F.col(vec_col)] if with_vector else []
     scored = corpus.crossJoin(F.broadcast(query)).select(
         F.col(id_col),
         cosine(vec_col, query_vec_col).alias("cosine_sim"),
+        *payload,
     )
     return scored.orderBy(F.col("cosine_sim").desc(), F.col(id_col).asc()).limit(k)
 
@@ -384,6 +392,7 @@ def batch_topk_cosine(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    with_vector: bool = False,
 ) -> DataFrame:
     """EXACT top-k per query for a BATCH of query vectors in one corpus
     scan — the online-serving shape (Q queries amortize one pass) and the
@@ -400,7 +409,13 @@ def batch_topk_cosine(
     exact score therefore loses nothing, making the two-stage top-k
     exact rather than approximately-recalled. Final merge: a per-query
     window over the surviving candidates (bounded rows per query), never
-    a global sort. Returns (query_id, vec_id, cosine_sim, rank)."""
+    a global sort. Returns (query_id, vec_id, cosine_sim, rank).
+
+    `with_vector=True` re-attaches the matched corpus embedding as a
+    TYPED `array<float>` column: the (Q*k)-row result is BROADCAST back
+    against one corpus scan (BHJ — the corpus side never shuffles), so
+    the Q x N score path stays payload-free and only the k winners ever
+    carry vector bytes through an exchange."""
     qrows = queries.select(query_id_col, vec_col).collect()
     q_ids = [r[0] for r in qrows]
     q_mat = np.array([r[1] for r in qrows], dtype=np.float64)
@@ -441,8 +456,13 @@ def batch_topk_cosine(
     w = Window.partitionBy(query_id_col).orderBy(
         F.col("cosine_sim").desc(), F.col(id_col).asc()
     )
-    return (
+    res = (
         cand.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
         .select(query_id_col, id_col, "cosine_sim", F.col("rank").cast("long"))
+    )
+    if not with_vector:
+        return res
+    return corpus.select(id_col, vec_col).join(F.broadcast(res), id_col).select(
+        query_id_col, id_col, "cosine_sim", "rank", vec_col
     )

@@ -79,6 +79,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round4n,
         analytics_round4o,
         analytics_round6,
+        analytics_round7,
         asof_queries,
         curation_queries,
         dedup_queries,

@@ -70,3 +70,136 @@ def test_recent_history_typed_schema_and_roundtrip(spark):
     }
     assert got == want
     assert all(n <= 3 for _, n in got.values())
+
+
+def _float_array(dtype) -> bool:
+    return isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType, T.FloatType
+    )
+
+
+def _double_array(dtype) -> bool:
+    return isinstance(dtype, T.ArrayType) and isinstance(
+        dtype.elementType, T.DoubleType
+    )
+
+
+def test_embedding_transforms_typed_schema_and_roundtrip(spark):
+    from sample_data_pipeline_project_spark.operators.features import (
+        embedding_transforms,
+    )
+
+    e = load_table(spark, _SF, "embeddings")
+    typed = embedding_transforms(e, as_array=True)
+    schema = dict((f.name, f.dataType) for f in typed.schema.fields)
+    assert _double_array(schema["abs_values"])
+    assert _float_array(schema["positives"])  # element type preserved
+    assert _double_array(schema["clipped_values"])
+
+    # scalar columns == the registered C59 workload (same plan minus
+    # the array projections)
+    wl = load_all()["scalar_array_hof_funcs"].fn(spark, _SF)
+    scalar_cols = ["dim", "n_pos", "l1_norm", "max_abs", "clipped_sum"]
+    got = {r["vec_id"]: tuple(r[c] for c in scalar_cols) for r in typed.collect()}
+    want = {r["vec_id"]: tuple(r[c] for c in scalar_cols) for r in wl.collect()}
+    assert got == want
+
+    # typed arrays re-fold to the scalar columns (strict left fold)
+    for r in typed.limit(20).collect():
+        assert len(r["abs_values"]) == r["dim"]
+        assert len(r["positives"]) == r["n_pos"]
+        acc = 0.0
+        for v in r["abs_values"]:
+            acc += v
+        assert acc == r["l1_norm"]
+        acc = 0.0
+        for v in r["clipped_values"]:
+            assert -0.25 <= v <= 0.25
+            acc += v
+        assert acc == r["clipped_sum"]
+
+
+def test_event_type_share_map_typed_schema_and_roundtrip(spark):
+    from sample_data_pipeline_project_spark.operators.features import (
+        event_type_share_map,
+    )
+
+    ev = load_table(spark, _SF, "events")
+    typed = event_type_share_map(ev, as_map=True)
+    schema = dict((f.name, f.dataType) for f in typed.schema.fields)
+    mt = schema["dominant"]
+    assert isinstance(mt, T.MapType) and isinstance(mt.keyType, T.StringType)
+    assert isinstance(mt.valueType, T.StructType)
+    assert [f.name for f in mt.valueType.fields] == ["n_type", "share"]
+
+    # exploding the typed map reproduces the registered C100 workload
+    wl = load_all()["scalar_map_hof_funcs"].fn(spark, _SF)
+    want = {
+        (r["user_id"], r["event_type"]): (r["n_type"], r["share"])
+        for r in wl.collect()
+    }
+    got = {}
+    for r in typed.collect():
+        for etype, v in (r["dominant"] or {}).items():
+            got[(r["user_id"], etype)] = (v["n_type"], v["share"])
+    assert got == want
+    # every retained share clears the threshold
+    assert all(s >= 0.25 for _, s in got.values())
+
+
+def test_topk_cosine_with_vector_payload(spark):
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        topk_cosine,
+    )
+
+    emb = load_table(spark, _SF, "embeddings")
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_emb")
+    )
+    corpus = emb.filter(F.col("vec_id") != 0)
+    plain = topk_cosine(corpus, q, 5)
+    typed = topk_cosine(corpus, q, 5, with_vector=True)
+    assert _float_array(
+        dict((f.name, f.dataType) for f in typed.schema.fields)["embedding"]
+    )
+    # identical ranking, and the payload is the corpus vector verbatim
+    assert [(r["vec_id"], r["cosine_sim"]) for r in plain.collect()] == [
+        (r["vec_id"], r["cosine_sim"]) for r in typed.collect()
+    ]
+    src = {r["vec_id"]: r["embedding"] for r in typed.collect()}
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in corpus.filter(F.col("vec_id").isin(list(src))).collect()
+    }
+    assert src == orig
+
+
+def test_batch_topk_cosine_with_vector_payload(spark):
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        batch_topk_cosine,
+    )
+
+    emb = load_table(spark, _SF, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 97 == 0).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding")
+    )
+    plain = batch_topk_cosine(emb, queries, 3)
+    typed = batch_topk_cosine(emb, queries, 3, with_vector=True)
+    assert _float_array(
+        dict((f.name, f.dataType) for f in typed.schema.fields)["embedding"]
+    )
+    key = lambda r: (r["query_id"], r["rank"])  # noqa: E731
+    p = {key(r): (r["vec_id"], r["cosine_sim"]) for r in plain.collect()}
+    trows = typed.collect()
+    t = {key(r): (r["vec_id"], r["cosine_sim"]) for r in trows}
+    assert p == t
+    ids = sorted({r["vec_id"] for r in trows})
+    orig = {
+        r["vec_id"]: r["embedding"]
+        for r in emb.filter(F.col("vec_id").isin(ids)).collect()
+    }
+    assert all(r["embedding"] == orig[r["vec_id"]] for r in trows)

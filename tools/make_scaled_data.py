@@ -26,7 +26,10 @@ constant (what a real 10x corpus looks like), rather than exploding:
 Output is NOT registered testdata and NOT committed (gitignored); it
 exists so tools/scale_probe.py can measure t(sf1)/t(sf0.1) slopes.
 
-Usage: python tools/make_scaled_data.py [out_dir] [factor]
+Usage: python tools/make_scaled_data.py [out_dir] [factor] [table ...]
+(table subset optional — e.g. `... .scaledata/sf10 100 documents` builds
+the second-decade corpus for the dedup families only, skipping the
+tables those probes never read)
 """
 
 from __future__ import annotations
@@ -43,6 +46,7 @@ SRC = Path("/root/testdata/sf0.1")
 def main() -> int:
     out = Path(sys.argv[1] if len(sys.argv) > 1 else "/root/repo/.scaledata/sf1")
     factor = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    only = set(sys.argv[3:])  # empty = all tables
     out.mkdir(parents=True, exist_ok=True)
 
     import duckdb
@@ -79,6 +83,8 @@ def main() -> int:
 
     copies = ["region", "nation", "customer", "supplier", "part"]
     for t in copies:
+        if only and t not in only:
+            continue
         shutil.copyfile(SRC / f"{t}.parquet", out / f"{t}.parquet")
         print(f"copied {t}")
 
@@ -123,6 +129,8 @@ def main() -> int:
         """,
     }
     for t, q in jobs.items():
+        if only and t not in only:
+            continue
         con.execute(
             f"COPY ({q}) TO '{out}/{t}.parquet' (FORMAT PARQUET)"
         )

@@ -11,20 +11,25 @@ planning, state-store bootstrap) healthy slopes land well UNDER 10x.
 A slope meaningfully ABOVE 10x means super-linear work (quadratic
 candidate growth, per-round lineage blowup) and fails the probe.
 
-Usage: python tools/scale_slopes.py [runs_per_point]
+Usage: python tools/scale_slopes.py [runs_per_point] [workload ...]
+(workload names optional — default is the PROBE list below. The two
+scale points default to sf0.1 -> sf1 and can be overridden with
+SPARK_GRAFT_SLOPE_A / SPARK_GRAFT_SLOPE_B, e.g. the second-decade
+sf1 -> sf10 probe of the LSH families.)
 Prints one markdown table + one JSON line (consumed into SCALING.md).
 """
 
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
 
 sys.path.insert(0, "/root/repo")
 
-SF01 = "/root/testdata/sf0.1"
-SF1 = "/root/repo/.scaledata/sf1"
+SF01 = os.environ.get("SPARK_GRAFT_SLOPE_A", "/root/testdata/sf0.1")
+SF1 = os.environ.get("SPARK_GRAFT_SLOPE_B", "/root/repo/.scaledata/sf1")
 
 # The 12 heaviest families by bench cost and 100 TB risk profile.
 PROBE = [
@@ -52,6 +57,7 @@ PROBE = [
 
 def main() -> int:
     runs = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    probe = sys.argv[2:] or PROBE
 
     from sample_data_pipeline_project_spark.engine import get_spark
     from sample_data_pipeline_project_spark.workloads import load_all
@@ -67,7 +73,7 @@ def main() -> int:
         ).save()
 
     results: dict[str, list[float]] = {}
-    for name in PROBE:
+    for name in probe:
         per_sf = []
         for sf in (SF01, SF1):
             ts = []
