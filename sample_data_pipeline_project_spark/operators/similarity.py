@@ -466,3 +466,160 @@ def batch_topk_cosine(
     return corpus.select(id_col, vec_col).join(F.broadcast(res), id_col).select(
         query_id_col, id_col, "cosine_sim", "rank", vec_col
     )
+
+
+def knn_mutual_edges(
+    corpus: DataFrame,
+    d: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    num_blocks: int | None = None,
+    local_slack: int = 8,
+) -> DataFrame:
+    """MUTUAL k-NN similarity graph: undirected edges (a < b, exact
+    cosine_sim) where EACH endpoint ranks the other within its top-`d`
+    neighbors at cosine >= `threshold` (exact-cosine rank, ties by
+    neighbor id). Mutuality makes the degree bound HARD: deg(v) <= d,
+    so wedge counts downstream (Adamic-Adar, clustering coefficient)
+    are O(N * d^2) — linear in corpus size.
+
+    Why this operator exists (round-7 scale finding): a fixed-threshold
+    similarity graph has edge count Theta(density * N^2) — measured on
+    the embeddings corpus at threshold 0.3: 14,922 edges at sf0.1 ->
+    1,524,018 at sf1 (102x for 10x vectors), wedges 472,910 ->
+    467,599,654 (~1000x). No wedge-join cleverness survives that input
+    growth; the graph CONSTRUCTION is what must be degree-bounded.
+
+    Plan shape (all stages bounded):
+      1. blocked scan (same tagging as neardup_cosine_pairs_blocked):
+         each block-pair group BLAS-preselects each row's local top
+         (d + local_slack) candidates above threshold-margin, then
+         RE-SCORES just those with the strict left-to-right cumsum fold
+         (the batch_topk_cosine parity trick — bit-identical to the JVM
+         aggregate() and the DuckDB oracle) and emits them WITH the
+         exact score. Candidate volume is O(N * (d + slack) * B); no
+         vector ever re-joins and no JVM fold stage exists, because the
+         exact score left the UDF with the pair;
+      2. per-src window rank over the <= B*(d+slack) candidates each
+         vertex has (partitioned by vertex — no global window) -> the
+         directed exact top-d lists;
+      3. self-join on the reversed pair -> mutual edges.
+
+    BLAS preselection only PRUNES; every kept score is exact. The slack
+    absorbs the ~1e-15 BLAS-vs-fold disagreement at the preselection
+    cutoff: a true top-d neighbor is excluded only if > d + slack
+    in-group candidates sit within BLAS error of the cutoff —
+    pathological for real embeddings (the PQ refine stage documents the
+    same contract).
+
+    `num_blocks=None` sizes B from the corpus (~2,500 vectors per
+    block, clamped to [4, 16] here; at cluster scale pick
+    B ~ sqrt(#reducers)). B is a pure parallelism knob — each block-pair
+    group's local top-k is a superset of the global top-d restricted to
+    that group at ANY B, so the result is B-invariant; what B tunes is
+    group count (B*(B+1)/2 tasks) versus per-group matmul size. The
+    one-row count() that sizes it is parquet-metadata cheap."""
+    spark = corpus.sparkSession
+    margin = 1e-6
+    k_local = d + local_slack
+    if num_blocks is None:
+        n = corpus.count()
+        num_blocks = max(4, min(16, (n + 2499) // 2500))
+    pairs_meta = [
+        (i, j) for i in range(num_blocks) for j in range(i, num_blocks)
+    ]
+    pairs_df = spark.createDataFrame(pairs_meta, "pa int, pb int")
+    v = corpus.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(vec_col).alias("vec"),
+        F.pmod(F.hash(F.col(id_col)), F.lit(num_blocks)).alias("blk"),
+    )
+    side_a = v.join(pairs_df, v.blk == pairs_df.pa).select(
+        "pa", "pb", "vid", "vec", F.lit("a").alias("side")
+    )
+    side_b = v.join(pairs_df, v.blk == pairs_df.pb).select(
+        "pa", "pb", "vid", "vec", F.lit("b").alias("side")
+    )
+    tagged = side_a.unionByName(side_b)
+
+    def local_topd(key, pdf):
+        import numpy as np
+
+        empty = pd.DataFrame(
+            {
+                "src": pd.Series([], dtype="int64"),
+                "dst": pd.Series([], dtype="int64"),
+                "cosine_sim": pd.Series([], dtype="float64"),
+            }
+        )
+        pa, pb = key
+        rows_a = pdf[pdf["side"] == "a"]
+        rows_b = pdf[pdf["side"] == "b"]
+        if rows_a.empty or rows_b.empty:
+            return empty
+        ma = np.stack(rows_a["vec"].to_numpy()).astype("float64")
+        mb = np.stack(rows_b["vec"].to_numpy()).astype("float64")
+        # exact norms: strict left-to-right cumsum fold (JVM/oracle parity)
+        na = np.sqrt(np.cumsum(ma * ma, axis=1)[:, -1])
+        nb = np.sqrt(np.cumsum(mb * mb, axis=1)[:, -1])
+        ids_a = rows_a["vid"].to_numpy()
+        ids_b = rows_b["vid"].to_numpy()
+        sims = (ma / na[:, None]) @ (mb / nb[:, None]).T  # approx, prune only
+        out_src, out_dst, out_sim = [], [], []
+
+        def emit(ids_src, ids_dst, msrc, mdst, nsrc, ndst, s):
+            # BLAS-preselect per-row local top-k_local above threshold,
+            # then re-score the selection with the exact cumsum fold.
+            # Self-matches (diagonal groups) masked out.
+            same = ids_src[:, None] == ids_dst[None, :]
+            s = np.where(same, -np.inf, s)
+            k = min(k_local, s.shape[1])
+            sel = np.argpartition(-s, k - 1, axis=1)[:, :k]  # (n_src, k)
+            prods = mdst[sel] * msrc[:, None, :]  # (n_src, k, dim)
+            dots = np.cumsum(prods, axis=2)[:, :, -1]
+            denom = nsrc[:, None] * ndst[sel]
+            with np.errstate(invalid="ignore", divide="ignore"):
+                exact = np.where(denom != 0, dots / denom, -np.inf)
+            rows = np.repeat(np.arange(s.shape[0]), k)
+            cols = sel.ravel()
+            approx_ok = s[rows, cols] >= threshold - margin
+            exact_ok = (exact.ravel() >= threshold) & approx_ok
+            out_src.append(ids_src[rows[exact_ok]])
+            out_dst.append(ids_dst[cols[exact_ok]])
+            out_sim.append(exact.ravel()[exact_ok])
+
+        emit(ids_a, ids_b, ma, mb, na, nb, sims)
+        if pa != pb:  # diagonal group already covers both directions
+            emit(ids_b, ids_a, mb, ma, nb, na, sims.T)
+        if not out_src:
+            return empty
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(out_src),
+                "dst": np.concatenate(out_dst),
+                "cosine_sim": np.concatenate(out_sim),
+            }
+        )
+
+    cand = tagged.groupBy("pa", "pb").applyInPandas(
+        local_topd, "src long, dst long, cosine_sim double"
+    )
+    # a directed pair lives in exactly one block-pair group (diagonal
+    # groups cover both directions once), so no dedup is needed; the
+    # per-src window merges each vertex's <= B * k_local candidates.
+    w = Window.partitionBy("src").orderBy(
+        F.col("cosine_sim").desc(), F.col("dst").asc()
+    )
+    directed = (
+        cand.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= d)
+        .select("src", "dst", "cosine_sim")
+    )
+    fwd = directed.filter(F.col("src") < F.col("dst")).select(
+        F.col("src").alias("a"), F.col("dst").alias("b"), "cosine_sim"
+    )
+    rev = directed.filter(F.col("src") > F.col("dst")).select(
+        F.col("dst").alias("a"), F.col("src").alias("b")
+    )
+    return fwd.join(rev, ["a", "b"]).select("a", "b", "cosine_sim")

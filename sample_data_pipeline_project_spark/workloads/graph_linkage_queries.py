@@ -296,13 +296,26 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _AA_THRESHOLD = 0.3
 _AA_TOP_K = 20
+_AA_DEGREE = 10  # mutual-kNN degree bound: deg(v) <= 10, wedges O(N*d^2)
 
 _AA_ORACLE = f"""
-WITH p AS (
-  SELECT a.vec_id AS a, b.vec_id AS b
+WITH allp AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         {duck_cosine('a.embedding', 'b.embedding')} AS c
   FROM embeddings a
-  JOIN embeddings b ON a.vec_id < b.vec_id
-  WHERE {duck_cosine('a.embedding', 'b.embedding')} >= {_AA_THRESHOLD}
+  JOIN embeddings b ON a.vec_id != b.vec_id
+),
+thr AS (SELECT src, dst, c FROM allp WHERE c >= {_AA_THRESHOLD}),
+knn AS (
+  SELECT src, dst,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn
+  FROM thr
+),
+kept AS (SELECT src, dst FROM knn WHERE rn <= {_AA_DEGREE}),
+p AS (
+  SELECT k1.src AS a, k1.dst AS b
+  FROM kept k1 JOIN kept k2 ON k1.src = k2.dst AND k1.dst = k2.src
+  WHERE k1.src < k1.dst
 ),
 sym AS (
   SELECT a AS src, b AS dst FROM p
@@ -340,19 +353,33 @@ FROM ranked WHERE rnk <= {_AA_TOP_K}
 
 @workload("graph_adamic_adar", oracle=_AA_ORACLE)
 def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LINK PREDICTION by Adamic-Adar affinity: for non-adjacent vertex
-    pairs of the near-dup graph, AA(u,v) = sum over common neighbors w of
-    1/ln(deg(w)) — rare shared neighbors say more than hub neighbors (the
-    missed-duplicate screen: high-AA non-edges are pairs the threshold
-    probably cut too early). Each wedge term is pre-scaled to an exact
-    BIGINT (ROUND(1e9/ln(deg))) so the per-pair SUM is order-independent
-    int64 arithmetic; wedge centers have deg >= 2 by construction, so
-    ln() never hits zero. Existing edges leave via an anti-join; top-{k}
-    rides TakeOrderedAndProject + the bounded k x k rank join (C15
-    pattern — no global window over the candidate-pair table)."""
+    """LINK PREDICTION by Adamic-Adar affinity over the MUTUAL k-NN
+    similarity graph: AA(u,v) = sum over common neighbors w of
+    1/ln(deg(w)) for non-adjacent pairs — rare shared neighbors say more
+    than hub neighbors (the missed-duplicate screen: high-AA non-edges
+    are pairs the graph construction probably cut too early). Each wedge
+    term is pre-scaled to an exact BIGINT (ROUND(1e9/ln(deg))) so the
+    per-pair SUM is order-independent int64 arithmetic; wedge centers
+    have deg >= 2 by construction, so ln() never hits zero. Existing
+    edges leave via an anti-join; top-{k} rides TakeOrderedAndProject +
+    the bounded k x k rank join (C15 pattern — no global window over
+    the candidate-pair table).
+
+    WHY mutual k-NN and not the raw threshold graph (round-7 scale
+    finding, SCALING.md): a fixed-threshold cosine graph has
+    Theta(density * N^2) edges — measured 102x edge growth and ~1000x
+    wedge growth for 10x vectors, which put this workload at a 31x
+    runtime slope. The degree bound (deg <= {d}) makes wedge volume
+    O(N * d^2): linear in corpus size, which is also the formulation
+    link-prediction systems actually run (AA over unbounded-degree hubs
+    is dominated by its own 1/ln(deg) down-weighting anyway)."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges,
+    )
+
     emb = load_table(spark, sf_dir, "embeddings")
     p = (
-        neardup_cosine_pairs_blocked(emb, _AA_THRESHOLD)
+        knn_mutual_edges(emb, _AA_DEGREE, _AA_THRESHOLD)
         .select("a", "b")
         .localCheckpoint(eager=True)
     )

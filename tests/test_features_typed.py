@@ -203,3 +203,43 @@ def test_batch_topk_cosine_with_vector_payload(spark):
         for r in emb.filter(F.col("vec_id").isin(ids)).collect()
     }
     assert all(r["embedding"] == orig[r["vec_id"]] for r in trows)
+
+
+def test_knn_mutual_edges_invariants(spark):
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges,
+        neardup_cosine_pairs,
+    )
+
+    emb = load_table(spark, _SF, "embeddings")
+    d = 3
+    edges = knn_mutual_edges(emb, d, 0.2).collect()
+    # unordered, no self loops
+    assert all(r["a"] < r["b"] for r in edges)
+    # HARD degree bound: mutual-kNN degree can never exceed d
+    deg: dict[int, int] = {}
+    for r in edges:
+        deg[r["a"]] = deg.get(r["a"], 0) + 1
+        deg[r["b"]] = deg.get(r["b"], 0) + 1
+    assert deg and max(deg.values()) <= d
+    # exact scores: every edge's cosine matches the quadratic baseline
+    base = {
+        (r["a"], r["b"]): r["cosine_sim"]
+        for r in neardup_cosine_pairs(emb, 0.2).collect()
+    }
+    assert all(base[(r["a"], r["b"])] == r["cosine_sim"] for r in edges)
+    # mutuality: recompute top-d lists from the full exact pair set and
+    # check every edge is ranked <= d from BOTH endpoints
+    import collections
+
+    nbrs = collections.defaultdict(list)
+    for (a, b), s in base.items():
+        nbrs[a].append((-s, b))
+        nbrs[b].append((-s, a))
+    topd = {
+        v: {x for _, x in sorted(lst)[:d]} for v, lst in nbrs.items()
+    }
+    for r in edges:
+        assert r["b"] in topd[r["a"]] and r["a"] in topd[r["b"]]

@@ -11,9 +11,18 @@ constant (what a real 10x corpus looks like), rather than exploding:
   so near-dup pair counts grow ~linearly with corpus size — replicating
   text verbatim would grow candidate pairs quadratically, which is not
   what 10x more real documents does.
-- embeddings: vec_id shifted; each replica's vectors rotate by a
-  per-replica deterministic scale on one stripe of dimensions, keeping
-  magnitude (and thus IVF cluster geometry) comparable.
+- embeddings: vec_id shifted; replica r>0 applies a per-replica
+  DETERMINISTIC SIGN-FLIP pattern (flip dimension i iff
+  hash(r*dim + i) is odd) plus a mild magnitude drift. The sign flip
+  is an orthogonal transform applied to EVERY vector of the replica,
+  so intra-replica cosine geometry (near-dup clusters, IVF structure)
+  is preserved EXACTLY, while cross-replica cosines collapse to
+  ~N(0, 1/d) noise — near-dup pair counts therefore grow ~linearly
+  with corpus size. (Round 7 found the previous uniform per-replica
+  scale was cosine-INVARIANT: every replica was an exact cosine-dup
+  of its base, so pair counts grew ~quadratically — 100x for 10x data
+  — which inflated graph_adamic_adar's measured slope to 31.9x. That
+  is not what 10x more real embeddings does.)
 - events: event_id shifted; user_id shifted per replica (10x keys, the
   dimension streaming state actually scales in); ts unchanged (same
   wall-clock span, 10x density).
@@ -102,8 +111,14 @@ def main() -> int:
         """,
         "embeddings": f"""
             SELECT e.vec_id + r.range * {shifts[('embeddings','vec_id')]} AS vec_id,
-                   list_transform(e.embedding,
-                       x -> CAST(x * (1.0 + 0.013 * r.range) AS FLOAT)) AS embedding,
+                   list_transform(
+                       list_zip(e.embedding,
+                                range(1, len(e.embedding) + 1)),
+                       z -> CAST(z[1] * (1.0 + 0.013 * r.range)
+                                 * (CASE WHEN r.range > 0
+                                          AND (hash(r.range * 1024 + z[2]) & 1) = 1
+                                         THEN -1 ELSE 1 END)
+                             AS FLOAT)) AS embedding,
                    e.label
             FROM embeddings e CROSS JOIN {rng} r
         """,

@@ -66,11 +66,20 @@ def main() -> int:
     spark.sparkContext.setLogLevel("ERROR")
     wl = load_all()
 
-    # warm the JVM/python workers once per scale dir
+    # warm the JVM/python workers once per scale dir; fall back to the
+    # first probed workload on table-subset dirs (e.g. the sf10
+    # documents-only decade has no lineitem for tpch_q1)
     for sf in (SF01, SF1):
-        wl["tpch_q1_pricing_summary"].fn(spark, sf).write.format("noop").mode(
-            "overwrite"
-        ).save()
+        for warm_name in ("tpch_q1_pricing_summary", probe[0]):
+            try:
+                wl[warm_name].fn(spark, sf).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                break
+            except Exception as exc:  # noqa: BLE001
+                print(f"warmup {warm_name} @ {sf} skipped: {exc}",
+                      file=sys.stderr)
+        spark.catalog.clearCache()
 
     results: dict[str, list[float]] = {}
     for name in probe:
