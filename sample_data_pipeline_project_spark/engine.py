@@ -28,6 +28,16 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    # Start every AQE shuffle WIDE and let coalescing shrink it: with a
+    # flat 32, one decade of data growth put 22M-row sort/agg tasks on a
+    # shared 8g heap and OOM'd (er_blocking_quality at sf10, round 7 —
+    # 96M truth pairs through 32 fat tasks). At 256 initial partitions
+    # the same workload completes in 196s: per-task memory is bounded by
+    # partition width, and AQE's coalescer still collapses small stages
+    # to ~32 tasks, so short queries pay nothing. This is the canonical
+    # "size shuffle partitions to fit executor memory" knob, decided at
+    # runtime per-stage instead of statically per-session.
+    "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep planner stats honest on raw parquet dirs.

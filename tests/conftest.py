@@ -17,7 +17,14 @@ def spark():
     s = get_spark(
         app_name="sdpp-tests",
         master="local[4]",
-        extra_conf={"spark.sql.shuffle.partitions": "4"},
+        extra_conf={
+            "spark.sql.shuffle.partitions": "4",
+            # tests run toy data on local[4]: the engine's wide
+            # 256-initial-partition AQE default (a memory guard for
+            # decade-scale shuffles) would only add task-launch
+            # overhead here
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "4",
+        },
     )
     s.sparkContext.setLogLevel("ERROR")
     yield s
