@@ -142,3 +142,59 @@ def join_skew_aqe_certified(spark: SparkSession, sf_dir: str) -> DataFrame:
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+# --------------------------------------------------------------------------
+# C222 — mutual k-NN similarity-graph construction (the degree-bounded
+# graph the round-7 scale fix built for Adamic-Adar, as its own surface)
+# --------------------------------------------------------------------------
+_KNN_D = 5
+_KNN_THRESHOLD = 0.3
+
+
+def _knn_oracle() -> str:
+    from sample_data_pipeline_project_spark.functions.vectors import (
+        duck_cosine,
+    )
+
+    cos = duck_cosine("a.embedding", "b.embedding")
+    return f"""
+WITH allp AS (
+  SELECT a.vec_id AS src, b.vec_id AS dst, {cos} AS c
+  FROM embeddings a
+  JOIN embeddings b ON a.vec_id != b.vec_id
+),
+thr AS (SELECT src, dst, c FROM allp WHERE c >= {_KNN_THRESHOLD}),
+knn AS (
+  SELECT src, dst, c,
+         ROW_NUMBER() OVER (PARTITION BY src ORDER BY c DESC, dst ASC) AS rn
+  FROM thr
+),
+kept AS (SELECT src, dst, c FROM knn WHERE rn <= {_KNN_D})
+SELECT CAST(k1.src AS BIGINT) AS a, CAST(k1.dst AS BIGINT) AS b,
+       k1.c AS cosine_sim
+FROM kept k1 JOIN kept k2 ON k1.src = k2.dst AND k1.dst = k2.src
+WHERE k1.src < k1.dst
+"""
+
+
+@workload("graph_knn_mutual_edges", oracle=_knn_oracle())
+def graph_knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-NN similarity-graph construction (C222) — the
+    degree-bounded graph operator the round-7 scale work built
+    (operators/similarity.py:knn_mutual_edges), registered as its own
+    oracled surface: undirected edges where EACH endpoint ranks the
+    other in its exact-cosine top-{d}, deg(v) <= {d} HARD. This is the
+    scale-correct input for every wedge-shaped downstream (Adamic-Adar
+    C140, clustering coefficient C88, components): a fixed-threshold
+    graph's edges grow Theta(density * N^2) (measured: 102x for 10x
+    vectors, SCALING.md), a mutual-kNN graph's grow O(N * d). The
+    blocked construction emits exact cumsum-fold scores from the BLAS
+    preselection (no vector re-join), so the oracle value-hashes every
+    edge's cosine, not just the pair ids."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_mutual_edges(emb, _KNN_D, _KNN_THRESHOLD)
