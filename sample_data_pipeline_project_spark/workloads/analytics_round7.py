@@ -198,3 +198,98 @@ def graph_knn_mutual_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return knn_mutual_edges(emb, _KNN_D, _KNN_THRESHOLD)
+
+
+# --------------------------------------------------------------------------
+# C223 — bucketed CO-LOCATED join certification (exchange-free fact-fact)
+# --------------------------------------------------------------------------
+_BKT_N = 8
+
+_BKT_ORACLE = """
+SELECT o.o_orderpriority,
+       CAST(COUNT(*) AS BIGINT) AS n_items,
+       CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+       CAST(SUM(CAST(CAST(l.l_extendedprice AS DECIMAL(18,2)) * 100
+                AS BIGINT)) AS BIGINT) AS rev_cents
+FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+GROUP BY o.o_orderpriority
+"""
+
+_BKT_CONFS = {
+    # the cert is about the SHUFFLE join path: a broadcast would skip
+    # the exchange question entirely
+    "spark.sql.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold": "-1",
+    "spark.sql.sources.bucketing.enabled": "true",
+}
+
+
+@workload("join_bucketed_colocated", oracle=_BKT_ORACLE)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BUCKETED co-located fact-fact join certified end to end (C223):
+    orders and lineitem are written as bucketed tables (bucketBy {n} on
+    the join key, sortBy for merge-ready runs), and the workload
+    HARD-FAILS if the join plan contains ANY shuffle exchange — the
+    write-time layout must satisfy the join's distribution requirement
+    so neither fact table reshuffles at read time. At 100 TB this is
+    THE fact-fact join strategy: the brief's 'bucketing for co-located
+    joins' as a certified plan fact rather than advice (the same
+    hard-fail pattern as C187 PartitionFilters / C202 DPP / C221 skew).
+    Both tables use the SAME bucket count, so bucket i joins bucket i
+    with zero movement; the rollup result is oracle-hashed against the
+    plain (layout-free) join, certifying the layout changes the PLAN,
+    never the answer. Tables are pid-scoped under the gitignored
+    warehouse (the scratch_dir convention)."""
+    import os
+
+    from sample_data_pipeline_project_spark.plans.introspect import (
+        exchange_count,
+    )
+
+    pid = os.getpid()
+    to, tl = f"bkt_orders_{pid}", f"bkt_lineitem_{pid}"
+    old = {k: spark.conf.get(k, None) for k in _BKT_CONFS}
+    try:
+        for k, v in _BKT_CONFS.items():
+            spark.conf.set(k, v)
+        o = load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_orderpriority"
+        )
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_quantity", "l_extendedprice"
+        )
+        o.write.bucketBy(_BKT_N, "o_orderkey").sortBy("o_orderkey").mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(to)
+        li.write.bucketBy(_BKT_N, "l_orderkey").sortBy("l_orderkey").mode(
+            "overwrite"
+        ).format("parquet").saveAsTable(tl)
+        bo, bl = spark.table(to), spark.table(tl)
+        joined = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        nx = exchange_count(joined)
+        if nx != 0:
+            raise AssertionError(
+                f"bucketed co-located join planned {nx} shuffle "
+                "exchange(s); the write-time bucket layout must satisfy "
+                "the join distribution. Plan:\n"
+                + joined._jdf.queryExecution().executedPlan().toString()
+            )
+        return joined.groupBy("o_orderpriority").agg(
+            F.count(F.lit(1)).cast("long").alias("n_items"),
+            F.sum(F.col("l_quantity").cast("long"))
+            .cast("long")
+            .alias("sum_qty"),
+            F.sum(
+                (F.col("l_extendedprice").cast("decimal(18,2)") * 100).cast(
+                    "long"
+                )
+            )
+            .cast("long")
+            .alias("rev_cents"),
+        )
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
