@@ -80,7 +80,20 @@ def get_spark(
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Hygiene: reap warehouse scratch left by DEAD processes (per-pid
+    # scratch dirs and pid-scoped bucketed tables — see
+    # sources/scratch.py:reap_dead_scratch). Safe on a live session:
+    # only entries whose pid no longer exists are touched.
+    try:
+        from sample_data_pipeline_project_spark.sources.scratch import (
+            reap_dead_scratch,
+        )
+
+        reap_dead_scratch()
+    except Exception:
+        pass
+    return spark
 
 
 def stop_spark() -> None:

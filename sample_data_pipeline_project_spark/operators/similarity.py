@@ -476,6 +476,7 @@ def knn_mutual_edges(
     vec_col: str = "embedding",
     num_blocks: int | None = None,
     local_slack: int = 8,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """MUTUAL k-NN similarity graph: undirected edges (a < b, exact
     cosine_sim) where EACH endpoint ranks the other within its top-`d`
@@ -506,25 +507,33 @@ def knn_mutual_edges(
          directed exact top-d lists;
       3. self-join on the reversed pair -> mutual edges.
 
-    BLAS preselection only PRUNES; every kept score is exact. The slack
-    absorbs the ~1e-15 BLAS-vs-fold disagreement at the preselection
-    cutoff: a true top-d neighbor is excluded only if > d + slack
-    in-group candidates sit within BLAS error of the cutoff —
-    pathological for real embeddings (the PQ refine stage documents the
-    same contract).
+    BLAS preselection only PRUNES; every kept score is exact, and the
+    selection is UNCONDITIONALLY complete: if the k_local-th approx
+    score still clears threshold - margin (selection saturated — more
+    thresholded candidates exist than the slack window holds), the row
+    WIDENS to every candidate above threshold - margin and exact-scores
+    them all, so no true top-d neighbor can be dropped by BLAS-vs-fold
+    disagreement at the cutoff. The slack only tunes how often the
+    widened (denser) path runs; on a degenerate corpus where most rows
+    saturate, per-group cost approaches exact all-pairs within the
+    group — the intrinsic price of exact thresholds on dense data.
 
     `num_blocks=None` sizes B from the corpus (~2,500 vectors per
     block, clamped to [4, 16] here; at cluster scale pick
     B ~ sqrt(#reducers)). B is a pure parallelism knob — each block-pair
     group's local top-k is a superset of the global top-d restricted to
     that group at ANY B, so the result is B-invariant; what B tunes is
-    group count (B*(B+1)/2 tasks) versus per-group matmul size. The
-    one-row count() that sizes it is parquet-metadata cheap."""
+    group count (B*(B+1)/2 tasks) versus per-group matmul size. Sizing
+    needs a row count: pass `n_rows` if the caller already knows it
+    (or the corpus is a derived plan, where `corpus.count()` is a full
+    materialization that would re-run per invocation); when omitted it
+    is computed once here — cheap for a raw parquet scan (footer
+    metadata), a real job for anything derived."""
     spark = corpus.sparkSession
     margin = 1e-6
     k_local = d + local_slack
     if num_blocks is None:
-        n = corpus.count()
+        n = corpus.count() if n_rows is None else n_rows
         num_blocks = max(4, min(16, (n + 2499) // 2500))
     pairs_meta = [
         (i, j) for i in range(num_blocks) for j in range(i, num_blocks)
@@ -574,20 +583,43 @@ def knn_mutual_edges(
             # Self-matches (diagonal groups) masked out.
             same = ids_src[:, None] == ids_dst[None, :]
             s = np.where(same, -np.inf, s)
-            k = min(k_local, s.shape[1])
+            n_src, n_cand = s.shape
+            k = min(k_local, n_cand)
             sel = np.argpartition(-s, k - 1, axis=1)[:, :k]  # (n_src, k)
-            prods = mdst[sel] * msrc[:, None, :]  # (n_src, k, dim)
-            dots = np.cumsum(prods, axis=2)[:, :, -1]
-            denom = nsrc[:, None] * ndst[sel]
+            # SATURATION GUARD: if a row's k-th (weakest selected) approx
+            # score still clears threshold - margin, candidates OUTSIDE
+            # the selection may clear the exact threshold too — widen
+            # that row to every candidate above threshold - margin so the
+            # preselection can never drop a true top-d neighbor (the
+            # docstring's completeness contract; without this, exactness
+            # rested on slack absorbing BLAS near-ties at the cutoff).
+            if k < n_cand:
+                cut = s[np.arange(n_src)[:, None], sel].min(axis=1)
+                sat = cut >= threshold - margin
+            else:
+                sat = np.zeros(n_src, dtype=bool)
+            rows = np.repeat(np.arange(n_src), k)
+            cols = sel.ravel()
+            unsat = ~sat[rows]
+            rows, cols = rows[unsat], cols[unsat]
+            if sat.any():
+                wr, wc = np.nonzero(s[sat] >= threshold - margin)
+                rows = np.concatenate([rows, np.flatnonzero(sat)[wr]])
+                cols = np.concatenate([cols, wc])
+            approx_ok = s[rows, cols] >= threshold - margin
+            rows, cols = rows[approx_ok], cols[approx_ok]
+            # exact score for every surviving candidate: the same strict
+            # left-to-right cumsum fold as before, now over the flat
+            # (pair, dim) gather instead of a fixed (row, k, dim) cube.
+            prods = msrc[rows] * mdst[cols]
+            dots = np.cumsum(prods, axis=1)[:, -1]
+            denom = nsrc[rows] * ndst[cols]
             with np.errstate(invalid="ignore", divide="ignore"):
                 exact = np.where(denom != 0, dots / denom, -np.inf)
-            rows = np.repeat(np.arange(s.shape[0]), k)
-            cols = sel.ravel()
-            approx_ok = s[rows, cols] >= threshold - margin
-            exact_ok = (exact.ravel() >= threshold) & approx_ok
+            exact_ok = exact >= threshold
             out_src.append(ids_src[rows[exact_ok]])
             out_dst.append(ids_dst[cols[exact_ok]])
-            out_sim.append(exact.ravel()[exact_ok])
+            out_sim.append(exact[exact_ok])
 
         emit(ids_a, ids_b, ma, mb, na, nb, sims)
         if pa != pb:  # diagonal group already covers both directions

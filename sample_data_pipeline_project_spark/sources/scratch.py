@@ -33,3 +33,45 @@ def scratch_dir(name: str) -> str:
     shutil.rmtree(p, ignore_errors=True)
     p.parent.mkdir(parents=True, exist_ok=True)
     return str(p)
+
+
+def _pid_alive(pid: int) -> bool:
+    try:
+        os.kill(pid, 0)
+    except ProcessLookupError:
+        return False
+    except PermissionError:
+        return True
+    return True
+
+
+def reap_dead_scratch() -> list[str]:
+    """Delete warehouse entries left behind by DEAD processes.
+
+    Every per-process artifact this package writes under spark-warehouse
+    carries a trailing ``-<pid>`` (scratch_dir) or ``_<pid>`` (pid-scoped
+    saveAsTable names like C223's bkt_orders_<pid>). A process cannot
+    always clean up after itself — C223's returned DataFrame lazily
+    reads its bucketed tables, so dropping them in a `finally` would
+    break the caller — so instead each new session (and C223 itself at
+    entry) reaps entries whose pid no longer exists. The liveness check
+    keeps a CONCURRENT gate/bench/test process's tables intact; a
+    recycled pid merely defers that entry to a later reap.
+    """
+    import re
+
+    repo_root = Path(__file__).resolve().parents[2]
+    wh = repo_root / "spark-warehouse"
+    reaped: list[str] = []
+    if not wh.is_dir():
+        return reaped
+    for child in wh.iterdir():
+        m = re.search(r"[-_](\d+)$", child.name)
+        if not m:
+            continue
+        pid = int(m.group(1))
+        if pid == os.getpid() or _pid_alive(pid):
+            continue
+        shutil.rmtree(child, ignore_errors=True)
+        reaped.append(child.name)
+    return reaped

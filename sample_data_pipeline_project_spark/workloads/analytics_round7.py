@@ -245,7 +245,16 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_data_pipeline_project_spark.plans.introspect import (
         exchange_count,
     )
+    from sample_data_pipeline_project_spark.sources.scratch import (
+        reap_dead_scratch,
+    )
 
+    # The returned DataFrame lazily reads the bucketed tables, so this
+    # workload cannot drop them in `finally`; instead, reap at ENTRY any
+    # bkt_* (and other per-pid scratch) left by processes that no longer
+    # exist — otherwise every distinct gate/bench pid leaks two full
+    # bucketed copies of orders+lineitem into the warehouse forever.
+    reap_dead_scratch()
     pid = os.getpid()
     to, tl = f"bkt_orders_{pid}", f"bkt_lineitem_{pid}"
     old = {k: spark.conf.get(k, None) for k in _BKT_CONFS}

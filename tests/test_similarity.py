@@ -239,3 +239,66 @@ def test_batch_topk_matches_single_query_operator(spark):
         ).collect()
         for rank, r in enumerate(single, start=1):
             assert got[(q, rank)] == (r["vec_id"], r["cosine_sim"])
+
+
+def test_knn_mutual_edges_exact_under_cutoff_ties(spark):
+    """Adversarial saturation fixture (round-8 ADVICE): three hubs of 30
+    scaled copies each — every hub-internal cosine is an EXACT tie at
+    1.0, so each row has ~29 candidates tied at the preselection cutoff,
+    far more than d + local_slack can hold. The saturation guard must
+    widen those rows (select every candidate above threshold - margin)
+    or BLAS tie-ordering silently drops true top-d neighbors. Oracle =
+    numpy brute force with the identical cumsum fold and (score desc,
+    id asc) tie-break; asserted under BOTH a zero-slack config (forces
+    widening on every hub row) and the default slack."""
+    import numpy as np
+
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges,
+    )
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(3, 8))
+    rows, mats = [], []
+    vid = 0
+    for h in range(3):
+        for r in range(30):
+            v = (base[h] * 2.0 ** ((r % 5) - 2)).astype(np.float32)
+            rows.append((vid, [float(x) for x in v]))
+            mats.append(v.astype(np.float64))
+            vid += 1
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    m = np.stack(mats)
+    ids = [r[0] for r in rows]
+
+    d, threshold = 2, 0.99
+    # brute-force oracle with the operator's exact arithmetic: cumsum
+    # fold for dots and norms, score = dot / (na * nb)
+    dots = np.cumsum(m[:, None, :] * m[None, :, :], axis=2)[:, :, -1]
+    norms = np.sqrt(np.cumsum(m * m, axis=1)[:, -1])
+    cos = dots / (norms[:, None] * norms[None, :])
+    top: dict[int, set[int]] = {}
+    for i, a in enumerate(ids):
+        cand = [
+            (cos[i, j], ids[j])
+            for j in range(len(ids))
+            if j != i and cos[i, j] >= threshold
+        ]
+        cand.sort(key=lambda t: (-t[0], t[1]))
+        top[a] = {b for _, b in cand[:d]}
+    expected = {
+        (ids[i], ids[j]): cos[i, j]
+        for i in range(len(ids))
+        for j in range(len(ids))
+        if ids[i] < ids[j] and ids[j] in top[ids[i]] and ids[i] in top[ids[j]]
+    }
+    assert expected, "fixture must produce mutual edges"
+
+    for slack in (0, 8):
+        got = {
+            (r["a"], r["b"]): r["cosine_sim"]
+            for r in knn_mutual_edges(
+                emb, d, threshold, num_blocks=2, local_slack=slack
+            ).collect()
+        }
+        assert got == expected
