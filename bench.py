@@ -11,12 +11,18 @@ one-time JVM/codegen startup so per-query numbers reflect steady state.
 
 PROTOCOL (round 7+): every query additionally gets WARM-RUN timing —
 `SPARK_GRAFT_BENCH_WARMUP` untimed warm-up executions (default 1) per
-query, then the median of `SPARK_GRAFT_BENCH_RUNS` timed executions
-(default 1). This kills the first-touch JIT/session-noise mover class
-that burned re-timing effort in rounds 4-6 (see BENCH-NOTES.md): r<=6
-totals were cold-ish single-shot numbers and are NOT comparable with
-r7+ totals. Caches are cleared between every execution, so warm-up
-carries JIT/codegen/page-cache state only, never cached data.
+query, then the median of `SPARK_GRAFT_BENCH_RUNS` timed executions.
+This kills the first-touch JIT/session-noise mover class that burned
+re-timing effort in rounds 4-6 (see BENCH-NOTES.md): r<=6 totals were
+cold-ish single-shot numbers and are NOT comparable with r7+ totals.
+Caches are cleared between every execution, so warm-up carries
+JIT/codegen/page-cache state only, never cached data.
+
+Round 8+: RUNS defaults to 3 (a median of one is not a median — two
+back-to-back r7 full runs at identical HEAD differed 1.46x from
+session drift alone), and BENCH_DETAIL.json carries a per-query
+`spread` map {name: [min, median, max]} so cross-round movers are
+adjudicated by overlapping spreads instead of standalone re-times.
 """
 
 from __future__ import annotations
@@ -91,7 +97,7 @@ def main() -> int:
     import statistics
 
     n_warmup = int(os.environ.get("SPARK_GRAFT_BENCH_WARMUP", "1"))
-    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "1")))
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     def run_once(w) -> float:
         t0 = time.perf_counter()
@@ -106,15 +112,26 @@ def main() -> int:
         return elapsed
 
     timings: dict[str, float] = {}
+    spreads: dict[str, list[float]] = {}
     for name, w in sorted(workloads.items()):
         try:
             for _ in range(n_warmup):
                 run_once(w)
             samples = [run_once(w) for _ in range(n_runs)]
             timings[name] = round(statistics.median(samples), 3)
-            print(f"bench: {name} {timings[name]}s", file=sys.stderr)
+            spreads[name] = [
+                round(min(samples), 3),
+                timings[name],
+                round(max(samples), 3),
+            ]
+            print(
+                f"bench: {name} {timings[name]}s "
+                f"[{spreads[name][0]}..{spreads[name][2]}]",
+                file=sys.stderr,
+            )
         except Exception as exc:  # a failed query is a visible outlier, not a crash
             timings[name] = -1.0
+            spreads[name] = [-1.0, -1.0, -1.0]
             print(f"bench: {name} FAILED: {exc}", file=sys.stderr)
             spark.catalog.clearCache()
 
@@ -132,6 +149,12 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # per-query [min, median, max] over the timed runs: the
+                # committed evidence that lets a mover be adjudicated by
+                # overlapping spreads instead of a standalone re-time
+                "spread": spreads,
+                "runs": n_runs,
+                "warmup": n_warmup,
                 "sf": sf,
             },
             fh,
