@@ -80,6 +80,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round4o,
         analytics_round6,
         analytics_round7,
+        analytics_round8,
         asof_queries,
         curation_queries,
         dedup_queries,

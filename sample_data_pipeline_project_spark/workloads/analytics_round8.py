@@ -1,0 +1,265 @@
+"""Round-8 workloads.
+
+C224 closes the one `weak` row from the round-7 verdict:
+`er_blocking_quality` (C198) certifies a blocking key with EXACT
+all-pairs Jaccard ground truth — correct, but intrinsically
+Theta(density * N^2); at sf10 its truth stage alone was measured at a
+15.4x slope for 10x data. C224 registers the configuration a 100 TB
+linkage job would actually run: the SAME blocking metrics with the
+truth stage computed on a deterministic md5 DOC sample sized to a fixed
+budget, so certification cost is bounded by the budget (~S^2 pairwise
+work) no matter how large the corpus grows. The exact configuration
+stays registered for sf<=1 audits.
+
+C225 structurally certifies the engine's AQE initial-partition guard
+(engine.py: coalescePartitions.initialPartitionNum=256) — the round-7
+OOM fix — so a future conf regression fails a gate instead of
+resurfacing as a decade-scale OOM.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from sample_data_pipeline_project_spark.functions.text import (
+    md5_prefix_uint32_sql,
+)
+from sample_data_pipeline_project_spark.sources.catalog import load_table
+from sample_data_pipeline_project_spark.workloads import workload
+
+# --------------------------------------------------------------------------
+# C224 — ER blocking quality, sampled-truth configuration
+# --------------------------------------------------------------------------
+_BLK_THRESHOLD = 0.9
+_BLK_WIDTH = 32  # same blocking key as the exact configuration (C198)
+# Fixed doc budget for the ground-truth stage: the sample modulus is
+# ceil(n_docs / budget), so ~budget docs survive at ANY corpus size and
+# the exact-Jaccard truth join touches ~budget^2 candidate pairs — a
+# CONSTANT certification cost. This is the scale knob the estimator
+# audit (C145) already uses at the pair level, applied one level
+# earlier (doc level) so candidate GENERATION is bounded too, not just
+# verification.
+_BLK_SAMPLE_BUDGET = 256
+
+_DUCK_TOKS = "list_distinct(string_split_regex(lower(trim(text)), '\\s+'))"
+_SAMP_U32 = md5_prefix_uint32_sql("CAST(doc_id AS STRING)")
+
+_BLK_S_EXPRS = {
+    "reduction_ratio": (
+        "1.0 - CAST(candidate_pairs AS DOUBLE) / CAST(total_pairs AS DOUBLE)"
+    ),
+    "pair_recall": (
+        "CASE WHEN n_truth = 0 THEN NULL "
+        "ELSE CAST(n_captured AS DOUBLE) / CAST(n_truth AS DOUBLE) END"
+    ),
+}
+
+_BLK_S_ORACLE = f"""
+WITH nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+par AS (
+  SELECT n_docs,
+         CAST((n_docs + {_BLK_SAMPLE_BUDGET - 1}) // {_BLK_SAMPLE_BUDGET}
+              AS BIGINT) AS smod
+  FROM nn
+),
+blocks AS (
+  SELECT doc_id, lang || '|' || CAST(n_chars // {_BLK_WIDTH} AS STRING) AS blk
+  FROM documents
+),
+cand AS (
+  SELECT CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+  FROM (SELECT blk, CAST(COUNT(*) AS BIGINT) AS c FROM blocks GROUP BY blk)
+),
+samp AS (
+  SELECT d.doc_id, d.text
+  FROM documents d, par
+  WHERE ({_SAMP_U32}) % par.smod = 0
+),
+ns AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs_sampled FROM samp),
+toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKS}) AS tok FROM samp
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_tok FROM toks GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a, b.doc_id AS b, COUNT(*) AS shared
+  FROM toks a JOIN toks b ON a.tok = b.tok AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+),
+truth AS (
+  SELECT s.a, s.b
+  FROM shared s
+  JOIN sizes sa ON s.a = sa.doc_id
+  JOIN sizes sb ON s.b = sb.doc_id
+  WHERE CAST(s.shared AS DOUBLE) / (sa.n_tok + sb.n_tok - s.shared)
+        >= {_BLK_THRESHOLD}
+),
+cap AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_truth,
+         CAST(COALESCE(SUM(CASE WHEN ba.blk = bb.blk THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS n_captured
+  FROM truth t
+  JOIN blocks ba ON t.a = ba.doc_id
+  JOIN blocks bb ON t.b = bb.doc_id
+),
+wide AS (
+  SELECT par.n_docs,
+         CAST(par.n_docs * (par.n_docs - 1) // 2 AS BIGINT) AS total_pairs,
+         cand.candidate_pairs, par.smod AS sample_mod, ns.n_docs_sampled,
+         cap.n_truth, cap.n_captured
+  FROM par CROSS JOIN cand CROSS JOIN ns CROSS JOIN cap
+)
+SELECT n_docs, total_pairs, candidate_pairs, sample_mod, n_docs_sampled,
+       n_truth, n_captured,
+       {_BLK_S_EXPRS["reduction_ratio"]} AS reduction_ratio,
+       {_BLK_S_EXPRS["pair_recall"]} AS pair_recall
+FROM wide
+"""
+
+
+@workload("er_blocking_quality_sampled", oracle=_BLK_S_ORACLE)
+def er_blocking_quality_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-strategy evaluation with SAMPLED ground truth (C224) —
+    the configuration that survives 100 TB. Identical blocking key and
+    metrics to `er_blocking_quality` (C198): REDUCTION RATIO from exact
+    per-block candidate counts (one linear grouped aggregate over the
+    FULL corpus), PAIR RECALL from exact prefix-filtered Jaccard truth
+    — but the truth stage runs on a deterministic md5 doc sample of
+    ~256 documents (modulus ceil(N/256), stated identically in the
+    oracle), so the quadratic stage is bounded by the budget at any
+    corpus size. Recall over a uniform doc sample is an unbiased
+    estimate of corpus pair recall (every truth pair survives with the
+    same probability); the committed sample modulus and sampled-doc
+    count ride in the output so the audit is self-describing. The exact
+    configuration (C198) remains registered for sf<=1, where full truth
+    is affordable; this one is the decade-scale certification — the
+    round-7 verdict's one `weak` row, closed by running the same
+    pattern the estimator audit (C145) already certifies."""
+    from sample_data_pipeline_project_spark.operators.dedup import (
+        jaccard_pairs_prefix,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    smod = (n_docs + _BLK_SAMPLE_BUDGET - 1) // _BLK_SAMPLE_BUDGET
+    blocks = d.select(
+        "doc_id",
+        F.concat_ws(
+            "|",
+            F.col("lang"),
+            F.expr(f"n_chars div {_BLK_WIDTH}").cast("string"),
+        ).alias("blk"),
+    )
+    cand = int(
+        blocks.groupBy("blk")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(F.sum(F.expr("c * (c - 1) div 2")).cast("long"))
+        .first()[0]
+    )
+    samp = d.filter(F.expr(f"({_SAMP_U32}) % {smod} = 0"))
+    n_sampled = samp.count()
+    truth = jaccard_pairs_prefix(samp, _BLK_THRESHOLD).select("a", "b")
+    ba = blocks.select(F.col("doc_id").alias("a"), F.col("blk").alias("blk_a"))
+    bb = blocks.select(F.col("doc_id").alias("b"), F.col("blk").alias("blk_b"))
+    cap = (
+        truth.join(ba, "a")
+        .join(bb, "b")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_truth"),
+            F.coalesce(
+                F.sum(
+                    F.when(F.col("blk_a") == F.col("blk_b"), 1).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("long")
+            .alias("n_captured"),
+        )
+    )
+    wide = cap.select(
+        F.lit(int(n_docs)).cast("long").alias("n_docs"),
+        F.lit(int(n_docs * (n_docs - 1) // 2))
+        .cast("long")
+        .alias("total_pairs"),
+        F.lit(cand).cast("long").alias("candidate_pairs"),
+        F.lit(int(smod)).cast("long").alias("sample_mod"),
+        F.lit(int(n_sampled)).cast("long").alias("n_docs_sampled"),
+        "n_truth",
+        "n_captured",
+    )
+    return wide.select(
+        "n_docs",
+        "total_pairs",
+        "candidate_pairs",
+        "sample_mod",
+        "n_docs_sampled",
+        "n_truth",
+        "n_captured",
+        F.expr(_BLK_S_EXPRS["reduction_ratio"]).alias("reduction_ratio"),
+        F.expr(_BLK_S_EXPRS["pair_recall"]).alias("pair_recall"),
+    )
+
+# --------------------------------------------------------------------------
+# C225 — AQE wide-start / coalesce-back certification (the round-7 OOM
+# guard as a hard-fail plan fact instead of an unpinned engine default)
+# --------------------------------------------------------------------------
+_AQE_ORACLE = """
+SELECT l_returnflag,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@workload("agg_aqe_wide_start_coalesce", oracle=_AQE_ORACLE)
+def agg_aqe_wide_start_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AQE WIDE-START shuffle certification (C225): the round-7 sf10
+    probe OOM'd `er_blocking_quality` because a decade of data growth
+    pushed 22M-row tasks through a statically-narrow shuffle; the fix
+    is the engine default
+    `spark.sql.adaptive.coalescePartitions.initialPartitionNum` —
+    shuffles START wide (per-task memory bounded by partition width)
+    and AQE coalesces small stages back down, so short queries pay
+    nothing. That default was only verified empirically in round 7;
+    this workload pins it STRUCTURALLY, the C187/C202/C221/C223
+    hard-fail pattern: it runs a grouped aggregate and fails unless
+    (a) the configured initial partition number exists and is what the
+    exchange actually hash-partitions to, and (b) the executed adaptive
+    plan coalesced the read back below the wide start. A future conf
+    regression (dropping the guard, or AQE coalescing being disabled)
+    fails this gate instead of resurfacing as an OOM at 100 TB. The
+    3-row rollup is oracle-hashed, certifying the runtime mitigation
+    never changes answers."""
+    import re
+
+    if spark.conf.get("spark.sql.adaptive.enabled", "false") != "true":
+        raise AssertionError("engine contract: AQE must be enabled")
+    # .conf.get raises if the guard conf was dropped entirely — exactly
+    # the regression this cert exists to catch.
+    init = int(
+        spark.conf.get(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum"
+        )
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    out = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.col("l_quantity").cast("long")).cast("long").alias("sum_qty"),
+    )
+    # AQE decisions exist only on an executed plan (the C221 pattern;
+    # the 3-row collect is the certification's cost, and bench counts
+    # the job twice — documented in BENCH-NOTES).
+    out.collect()
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    if not re.search(rf"hashpartitioning\([^)]*,\s*{init}\)", plan):
+        raise AssertionError(
+            f"expected the aggregate exchange to start WIDE at the "
+            f"configured initialPartitionNum={init}; plan:\n" + plan
+        )
+    if "AQEShuffleRead coalesced" not in plan:
+        raise AssertionError(
+            "expected AQE to coalesce the wide shuffle back down at "
+            "this scale (coalesced AQEShuffleRead missing); plan:\n" + plan
+        )
+    return out

@@ -397,3 +397,19 @@ def test_negative_sampling_grid_is_domain_bounded(spark):
     # the grid cross-join and the anti-join may shuffle the small
     # customer-grid side, but at least the brand/part joins broadcast
     assert any("Broadcast" in s for s in strategies), strategies
+
+
+def test_engine_default_pins_wide_aqe_start():
+    """The round-7 OOM guard is an ENGINE DEFAULT (a decade of data
+    growth OOM'd 32 fat tasks; 256 initial partitions bounds per-task
+    memory while AQE coalesces small stages back). C225 certifies the
+    runtime mechanism; this pins the configured value itself so a
+    silent edit to engine._DEFAULTS fails a gate."""
+    from sample_data_pipeline_project_spark.engine import _DEFAULTS
+
+    assert (
+        _DEFAULTS["spark.sql.adaptive.coalescePartitions.initialPartitionNum"]
+        == "256"
+    )
+    assert _DEFAULTS["spark.sql.adaptive.enabled"] == "true"
+    assert _DEFAULTS["spark.sql.adaptive.coalescePartitions.enabled"] == "true"
