@@ -241,6 +241,18 @@ def stream_ledger_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _OOO_DELAY_MIN = 10
 _OOO_BATCHES = 4
+# Scale guard (round 8): a FIXED batch count means per-trigger volume —
+# and therefore buffered state and the single-task staging sorts — grows
+# WITH the corpus (the sf10 probe OOM'd the 8g heap exactly this way: 4
+# triggers x 2.5M rows each). A real stream's trigger cadence is set by
+# arrival rate, not corpus size, so the staging targets ~constant rows
+# per micro-batch and lets the batch COUNT scale with the decade. The
+# flush semantics are batch-count-invariant by construction (ascending
+# value ranges -> nothing arrives below the watermark at ANY split;
+# terminal availableNow batch flushes start_ts <= max - delay), which
+# tests/test_streaming.py pins by running the same data at two widths.
+_OOO_ROWS_PER_BATCH = 250_000
+_OOO_MAX_BATCHES = 64
 
 
 @workload(
@@ -306,9 +318,16 @@ def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # value-range micro-batches: bucket bounds from collected min/max
     # epoch micros (deterministic arithmetic, no sampling, no window)
     us = F.expr("unix_micros(CAST(query_window_start_ts AS TIMESTAMP))")
-    mn, mx = (int(x) for x in runs.agg(F.min(us), F.max(us)).first())
+    mn, mx, n_runs = (
+        int(x)
+        for x in runs.agg(F.min(us), F.max(us), F.count(F.lit(1))).first()
+    )
     span = (mx - mn) if mx > mn else 1
-    nb = _OOO_BATCHES
+    # constant rows per trigger; see _OOO_ROWS_PER_BATCH note
+    nb = max(
+        _OOO_BATCHES,
+        min(_OOO_MAX_BATCHES, -(-n_runs // _OOO_ROWS_PER_BATCH)),
+    )
     bucketed = runs.withColumn(
         "__bkt",
         F.least(F.lit(nb - 1), F.floor((us - F.lit(mn)) * nb / F.lit(span))).cast(

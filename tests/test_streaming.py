@@ -119,3 +119,26 @@ def test_stream_minhash_dedup_equals_one_shot(spark, tmp_path):
         ).collect()
     }
     assert streamed == one_shot and len(streamed) > 0
+
+
+def test_ooo_gaps_batch_width_invariant(spark, monkeypatch):
+    """Round-8 scale guard: stream_ledger_gaps_ooo's staging targets
+    constant rows per micro-batch, so the batch COUNT scales with the
+    corpus. The flushed gap set must be identical at any split width
+    (ascending value ranges mean no row ever arrives below the
+    watermark; the terminal availableNow batch flushes everything up to
+    max - delay). Pin it: same data, default width (nb=4) vs forced
+    10-batch staging -> identical rows."""
+    from sample_data_pipeline_project_spark.workloads import (
+        streaming_queries as sq,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    base = sorted(
+        map(tuple, sq.stream_ledger_gaps_ooo(spark, sf).collect())
+    )
+    monkeypatch.setattr(sq, "_OOO_ROWS_PER_BATCH", 100)  # 1000 runs -> nb=10
+    wide = sorted(
+        map(tuple, sq.stream_ledger_gaps_ooo(spark, sf).collect())
+    )
+    assert base and base == wide
