@@ -236,11 +236,37 @@ def run_stream_to_table(
     fixed per-batch cost (snapshot, commit, file IO) dwarfs row work on
     moderate key counts — 32 stores vs 8 was 16.4s vs 3.5s on the test
     corpus. Size it to key cardinality / executor count on a real cluster
-    (the value is fixed at first start by the checkpoint, by design)."""
+    (the value is fixed at first start by the checkpoint, by design).
+
+    SINK CHOICE (round-8 scale fix): append-mode output volume is
+    data-scale-bound (the OOO gap stream emits ~0.95 rows per input row),
+    and a MEMORY sink materializes every result row on the driver — at
+    the sf10 decade that was ~9.5M JVM rows on the shared 8g heap, an
+    OOM found by the probe. Append streams therefore land in a
+    per-process parquet FILE sink (executor-side, spill-free) and return
+    as a lazy batch scan; complete-mode aggregates stay on the memory
+    sink, whose size is the (bounded) aggregate state, not the data."""
     spark = stream_df.sparkSession
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
+        if output_mode == "append":
+            from sample_data_pipeline_project_spark.sources.scratch import (
+                scratch_dir,
+            )
+
+            root = scratch_dir(f"stream_sink_{uuid.uuid4().hex[:8]}")
+            q = (
+                stream_df.writeStream.format("parquet")
+                .option("path", f"{root}/data")
+                .option("checkpointLocation", f"{root}/ckpt")
+                .outputMode("append")
+                .trigger(availableNow=True)
+                .start()
+            )
+            q.awaitTermination()
+            q.stop()
+            return spark.read.schema(stream_df.schema).parquet(f"{root}/data")
         name = f"stream_out_{uuid.uuid4().hex[:8]}"
         q = (
             stream_df.writeStream.format("memory")

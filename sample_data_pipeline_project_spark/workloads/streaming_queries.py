@@ -337,22 +337,21 @@ def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absolute, anchored at the repo, per-process (sources/scratch.py)
     stage_root = scratch_dir("ooo_stage")
     stage = f"{stage_root}/{uuid.uuid4().hex[:8]}"
-    # Materialize the bucketed runs ONCE, partitioned by bucket, so the
-    # per-bucket staging jobs read only their own bucket directory
-    # instead of re-scanning the full events table nb times.
-    staged_src = f"{stage_root}/src"
-    bucketed.write.partitionBy("__bkt").mode("overwrite").parquet(staged_src)
-    cols = [c for c in runs.columns]
     for b in range(nb):
         # repartition(1) + sortWithinPartitions, NOT orderBy + coalesce:
-        # coalesce(1) would collapse the WHOLE upstream job (scan, derive,
-        # sort) into a single task — at the sf10 decade that one task held
-        # the full bucket plus scan and OOM'd the heap. The explicit
-        # 1-reducer shuffle keeps the scan parallel and bounds the sort
-        # task at one bucket (~constant rows by construction above).
+        # coalesce(1) collapses the WHOLE upstream job (scan, derive,
+        # sort) into a single task — at the sf10 decade that one task
+        # held the full events scan plus the sort and OOM'd the heap.
+        # The explicit 1-reducer shuffle keeps the scan parallel and
+        # bounds the sort task at one ~constant-size bucket. Each bucket
+        # job re-scans the (columnar, pushdown-pruned) events table —
+        # nb linear scans, the deliberate price of one-file-per-trigger
+        # staging; a partitionBy write would read once but fan out to
+        # nb concurrent parquet writers per task (128 MB buffers each),
+        # which is its own decade-scale OOM.
         (
-            spark.read.parquet(f"{staged_src}/__bkt={b}")
-            .select(*cols)
+            bucketed.filter(F.col("__bkt") == b)
+            .drop("__bkt")
             .repartition(1)
             .sortWithinPartitions(F.md5(F.col("run_id").cast("string")))
             .write.mode("append")
