@@ -76,7 +76,7 @@ def neardup_cosine_pairs_blocked(
     threshold: float,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
-    num_blocks: int = 4,
+    num_blocks: int | None = None,
 ) -> DataFrame:
     """Exact cosine near-dup pairs via BLOCKED MATMUL filter-verify: same
     output as `neardup_cosine_pairs`, without the row-at-a-time quadratic
@@ -97,7 +97,12 @@ def neardup_cosine_pairs_blocked(
     B*(B+1)/2 block-pair groups pays a fixed Arrow-dispatch cost, so B
     trades parallelism against overhead: on the bench corpus B=8's 36
     groups ran 6.6s where B=4's 10 groups run 1.7s for the same output —
-    raise B with corpus size, not ahead of it.
+    raise B with corpus size, not ahead of it. `num_blocks=None`
+    (default) enforces exactly that: B = ceil(n / 2500) clamped to
+    [4, 256], so a group's similarity matrix stays ~50 MB at any corpus
+    size — a FIXED default B=4 meant 20 GB per-task matrices at 200k
+    vectors (found by the round-8 sf10 probe: python worker OOM). The
+    result is B-invariant, so the sizing count never changes answers.
 
     Stage 2 (verify): join the (few) candidates back to the vectors and
     recompute the cosine with the deterministic JVM left-fold
@@ -107,6 +112,9 @@ def neardup_cosine_pairs_blocked(
     """
     spark = corpus.sparkSession
     margin = 1e-6
+    if num_blocks is None:
+        n = corpus.count()
+        num_blocks = max(4, min(256, (n + 2499) // 2500))
     pairs_meta = [
         (i, j) for i in range(num_blocks) for j in range(i, num_blocks)
     ]
