@@ -229,6 +229,10 @@ _BNLJ_ALLOWLIST: set[str] = {
     # 1-row stage-count aggregates; matryoshka broadcasts the 1-row
     # query vector into the coarse scan (same shape as sim_topk_*)
     "events_funnel_timebound", "sim_matryoshka_two_stage",
+    # round-8 additions: the IVF mutual-kNN certification reports
+    # crossjoin 1-row aggregates (degree bound / bit-exact flag / edge
+    # counts) — the same bounded-broadcast shape as the other certs
+    "graph_knn_mutual_edges_ivf", "graph_knn_mutual_edges_ivf_recall",
 }
 
 
