@@ -33,6 +33,33 @@ from pyspark.sql.window import Window
 from sample_data_pipeline_project_spark.operators.kmeans import _sq_l2
 
 
+def _unit_normalized(
+    df: DataFrame, vec_col: str, out_col: str | None = None
+) -> DataFrame:
+    """Replace `vec_col` with its unit-normalized array<double> twin.
+
+    WHY (round-8 defect, found by the sf0.1 oracle gate): PQ/ADC ranks
+    candidates by squared L2 to the quantized vector, but the engine's
+    search semantics are COSINE. On unnormalized vectors the two
+    orderings disagree in proportion to norm spread — measured at sf0.1
+    the ADC ordering was near-uninformative (recall@10 of the exact
+    cosine top-10 inside the top-100 ADC candidates: 0/10), while the
+    sf0.01 gate happened to pass. On the unit sphere
+    |q - v|^2 = |q|^2 + 1 - 2 q.v, monotone in cosine for any fixed
+    query, so L2-quantizing the NORMALIZED corpus makes ADC order agree
+    with cosine order — the standard practice for cosine/IP metrics.
+    Zero-norm vectors map to NULL (no direction; they sort after every
+    real candidate via asc_nulls_last and can never be cosine matches)."""
+    out = out_col or vec_col
+    nrm = f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    return df.withColumn(
+        out,
+        F.expr(
+            f"CASE WHEN {nrm} > 0 THEN transform({vec_col}, x -> CAST(x AS DOUBLE) / {nrm}) END"
+        ),
+    )
+
+
 def _subvectors(df: DataFrame, m: int, dim: int, vec_col: str) -> DataFrame:
     """Long form (.., sub_id, subvec): vector split into m contiguous
     slices of dim/m elements. dim must divide evenly by m."""
@@ -201,11 +228,18 @@ def pq_adc_topk(
         topk_cosine,
     )
 
+    # Quantize the UNIT-NORMALIZED corpus (see _unit_normalized: on the
+    # sphere, ADC's L2 order IS the cosine order); the exact re-rank
+    # below still runs on the ORIGINAL vectors, so final semantics are
+    # unchanged — only candidate quality improves.
+    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col)
     codebooks = pq_fit(
-        corpus, m, k_codes, dim, max_iters, id_col, vec_col, train_sample_mod
+        unit, m, k_codes, dim, max_iters, id_col, vec_col, train_sample_mod
     )
-    codes = pq_encode(corpus, codebooks, m, dim, id_col, vec_col)
-    # Query distance table: exact q-subvector to centroid distances.
+    codes = pq_encode(unit, codebooks, m, dim, id_col, vec_col)
+    # Query distance table: exact q-subvector to centroid distances
+    # (query normalization is unnecessary: |q| is constant across
+    # candidates, so it shifts every ADC distance equally).
     qsubs = _subvectors(
         query.select(F.col("q_emb").alias("__qv")), m, dim, "__qv"
     ).select("sub_id", F.col("subvec").alias("q_sub"))
@@ -220,7 +254,7 @@ def pq_adc_topk(
         .agg(F.sum("qd2").alias("adc_d2"))
     )
     cand_ids = (
-        adc.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        adc.orderBy(F.asc_nulls_last("adc_d2"), F.col(id_col).asc())
         .limit(refine)
         .select(id_col)
     )
@@ -267,15 +301,26 @@ def ivfpq_topk(
         topk_cosine,
     )
 
-    coarse = kmeans_fit(corpus, k_coarse, max_iters, id_col, vec_col)
-    assigned = assign_clusters(corpus, coarse, id_col, vec_col).select(
+    # The whole quantization pipeline (coarse lists, residuals, PQ)
+    # runs in the UNIT-NORMALIZED space so L2 structure agrees with the
+    # cosine search metric (see _unit_normalized); the exact re-rank at
+    # the end still reads the ORIGINAL vectors.
+    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col)
+    nq = "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
+    uquery = query.select(
+        F.expr(
+            f"CASE WHEN {nq} > 0 THEN transform(q_emb, x -> CAST(x AS DOUBLE) / {nq}) ELSE q_emb END"
+        ).alias("q_emb")
+    )
+    coarse = kmeans_fit(unit, k_coarse, max_iters, id_col, vec_col)
+    assigned = assign_clusters(unit, coarse, id_col, vec_col).select(
         id_col, "cluster"
     )
     sub = F.expr(
         f"zip_with({vec_col}, c_vec, (x, y) -> CAST(x AS DOUBLE) - y)"
     )
     residuals = (
-        corpus.join(assigned, id_col)
+        unit.join(assigned, id_col)
         .join(F.broadcast(coarse), "cluster")
         .select(id_col, "cluster", sub.alias("__res"))
     )
@@ -286,9 +331,9 @@ def ivfpq_topk(
     codes = pq_encode(residuals, codebooks, m, dim, id_col, "__res").join(
         assigned, id_col
     )
-    # Probe the nprobe coarse lists nearest the query.
+    # Probe the nprobe coarse lists nearest the (normalized) query.
     probe = (
-        coarse.crossJoin(F.broadcast(query))
+        coarse.crossJoin(F.broadcast(uquery))
         .select("cluster", "c_vec", _sq_l2("c_vec", "q_emb").alias("d"))
         .orderBy(F.col("d").asc(), F.col("cluster").asc())
         .limit(nprobe)
@@ -296,7 +341,7 @@ def ivfpq_topk(
     )
     # Per-list query residual, then the (cluster, sub_id, code) lookup
     # table: nprobe * m * k_codes rows.
-    qres = probe.crossJoin(F.broadcast(query)).select(
+    qres = probe.crossJoin(F.broadcast(uquery)).select(
         "cluster",
         F.expr(
             "zip_with(q_emb, c_vec, (x, y) -> CAST(x AS DOUBLE) - y)"
@@ -318,7 +363,7 @@ def ivfpq_topk(
         .agg(F.sum("qd2").alias("adc_d2"))
     )
     cand_ids = (
-        adc.orderBy(F.col("adc_d2").asc(), F.col(id_col).asc())
+        adc.orderBy(F.asc_nulls_last("adc_d2"), F.col(id_col).asc())
         .limit(refine)
         .select(id_col)
     )

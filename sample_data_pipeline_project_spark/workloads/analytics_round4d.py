@@ -47,8 +47,18 @@ _B1_EXPR = (
     " - CAST(sx_tr AS DOUBLE) * CAST(sx_tr AS DOUBLE))"
 )
 _B0_EXPR = "(CAST(sy_tr AS DOUBLE) - b1 * CAST(sx_tr AS DOUBLE)) / CAST(n_tr AS DOUBLE)"
+# syy (cents^2 sums) exceeds 2^53 at sf >= 0.1, and DECIMAL -> DOUBLE
+# conversion above 2^53 is NOT identically rounded across engines (the
+# round-8 sf0.1 gate caught a 1-ulp divergence in exactly this cast).
+# Each pipeline therefore ships syy as TWO exact int64 halves
+# (hi = syy div 2^32, lo = syy mod 2^32 — both < 2^53, so their DOUBLE
+# casts are exact) and the shared formula reassembles them with one
+# IEEE multiply-add both engines execute identically.
+_SYY_DBL = (
+    "(CAST(syy_te_hi AS DOUBLE) * 4294967296.0 + CAST(syy_te_lo AS DOUBLE))"
+)
 _SSE_EXPR = (
-    "CAST(syy_te AS DOUBLE) - 2 * b0 * CAST(sy_te AS DOUBLE)"
+    f"{_SYY_DBL} - 2 * b0 * CAST(sy_te AS DOUBLE)"
     " - 2 * b1 * CAST(sxy_te AS DOUBLE) + CAST(n_te AS DOUBLE) * b0 * b0"
     " + 2 * b0 * b1 * CAST(sx_te AS DOUBLE) + b1 * b1 * CAST(sxx_te AS DOUBLE)"
 )
@@ -73,7 +83,10 @@ per_fold AS (
          CAST(SUM(y) AS BIGINT) AS sy,
          CAST(SUM(x * y) AS BIGINT) AS sxy,
          CAST(SUM(x * x) AS BIGINT) AS sxx,
-         CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS DECIMAL(38,0)) AS syy
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS HUGEINT)
+              // 4294967296 AS BIGINT) AS syy_hi,
+         CAST(CAST(SUM(CAST(y AS DECIMAL(38,0)) * y) AS HUGEINT)
+              % 4294967296 AS BIGINT) AS syy_lo
   FROM xy GROUP BY fold
 ),
 tot AS (
@@ -87,7 +100,7 @@ tot AS (
 split AS (
   SELECT fold,
          n AS n_te, sx AS sx_te, sy AS sy_te, sxy AS sxy_te,
-         sxx AS sxx_te, syy AS syy_te,
+         sxx AS sxx_te, syy_hi AS syy_te_hi, syy_lo AS syy_te_lo,
          n_all - n AS n_tr, sx_all - sx AS sx_tr, sy_all - sy AS sy_tr,
          sxy_all - sxy AS sxy_tr, sxx_all - sxx AS sxx_tr
   FROM per_fold CROSS JOIN tot
@@ -125,15 +138,24 @@ def ml_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("y"),
         )
     )
-    per_fold = xy.groupBy("fold").agg(
-        F.count(F.lit(1)).cast("long").alias("n"),
-        F.sum("x").cast("long").alias("sx"),
-        F.sum("y").cast("long").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
-        F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
-        .cast("decimal(38,0)")
-        .alias("syy"),
+    per_fold = (
+        xy.groupBy("fold")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("y").cast("decimal(38,0)") * F.col("y"))
+            .cast("decimal(38,0)")
+            .alias("syy"),
+        )
+        # two exact int64 halves — see the _SYY_DBL note above
+        .withColumn(
+            "syy_hi", F.expr("CAST(syy div 4294967296 AS BIGINT)")
+        )
+        .withColumn("syy_lo", F.expr("CAST(syy % 4294967296 AS BIGINT)"))
+        .drop("syy")
     )
     tot = per_fold.agg(
         F.sum("n").cast("long").alias("n_all"),
@@ -149,7 +171,8 @@ def ml_kfold_cv_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sy").alias("sy_te"),
         F.col("sxy").alias("sxy_te"),
         F.col("sxx").alias("sxx_te"),
-        F.col("syy").alias("syy_te"),
+        F.col("syy_hi").alias("syy_te_hi"),
+        F.col("syy_lo").alias("syy_te_lo"),
         (F.col("n_all") - F.col("n")).alias("n_tr"),
         (F.col("sx_all") - F.col("sx")).alias("sx_tr"),
         (F.col("sy_all") - F.col("sy")).alias("sy_tr"),
