@@ -231,8 +231,15 @@ def pq_adc_topk(
     # Quantize the UNIT-NORMALIZED corpus (see _unit_normalized: on the
     # sphere, ADC's L2 order IS the cosine order); the exact re-rank
     # below still runs on the ORIGINAL vectors, so final semantics are
-    # unchanged — only candidate quality improves.
-    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col)
+    # unchanged — only candidate quality improves. Zero-norm vectors
+    # (NULL after normalization) are excluded from quantization AND the
+    # candidate pool: a NULL among kmeans/PQ's lowest-id init vectors
+    # would yield a NULL centroid that NULLS-FIRST assignment windows
+    # rank ahead of every real one, collapsing the codebook — and a
+    # zero vector can never be a cosine match anyway.
+    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col).filter(
+        F.col(vec_col).isNotNull()
+    )
     codebooks = pq_fit(
         unit, m, k_codes, dim, max_iters, id_col, vec_col, train_sample_mod
     )
@@ -304,8 +311,13 @@ def ivfpq_topk(
     # The whole quantization pipeline (coarse lists, residuals, PQ)
     # runs in the UNIT-NORMALIZED space so L2 structure agrees with the
     # cosine search metric (see _unit_normalized); the exact re-rank at
-    # the end still reads the ORIGINAL vectors.
-    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col)
+    # the end still reads the ORIGINAL vectors. Zero-norm vectors are
+    # dropped (NULL after normalization): one NULL in the deterministic
+    # lowest-id kmeans/PQ init makes a NULL centroid that NULLS-FIRST
+    # assignment ranks first, collapsing the coarse quantizer.
+    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col).filter(
+        F.col(vec_col).isNotNull()
+    )
     nq = "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     uquery = query.select(
         F.expr(

@@ -793,8 +793,13 @@ def knn_mutual_edges_ivf(
             )
             yield out
 
+    # Carry the caller's actual column types through the Arrow schemas
+    # (the exact builder does): a corpus keyed by int or string would
+    # otherwise fail or silently coerce at the hardcoded `long`.
+    id_t = corpus.schema[id_col].dataType.simpleString()
+    vec_t = corpus.schema[vec_col].dataType.simpleString()
     assigned = corpus.select(id_col, vec_col).mapInPandas(
-        assign, f"cell int, {id_col} long, {vec_col} array<float>"
+        assign, f"cell int, {id_col} {id_t}, {vec_col} {vec_t}"
     )
 
     _CHUNK = 4096  # source-side rows per matmul: bounds task memory on
@@ -803,8 +808,8 @@ def knn_mutual_edges_ivf(
     def cell_topd(key, pdf):
         empty = pd.DataFrame(
             {
-                "src": pd.Series([], dtype="int64"),
-                "dst": pd.Series([], dtype="int64"),
+                "src": pd.Series([], dtype=pdf[id_col].dtype),
+                "dst": pd.Series([], dtype=pdf[id_col].dtype),
                 "cosine_sim": pd.Series([], dtype="float64"),
             }
         )
@@ -837,7 +842,7 @@ def knn_mutual_edges_ivf(
         )
 
     cand = assigned.groupBy("cell").applyInPandas(
-        cell_topd, "src long, dst long, cosine_sim double"
+        cell_topd, f"src {id_t}, dst {id_t}, cosine_sim double"
     )
     # a pair co-probed into several cells appears once per shared cell
     # with a BIT-IDENTICAL exact score; collapse before ranking

@@ -49,14 +49,20 @@ def reap_dead_scratch() -> list[str]:
     """Delete warehouse entries left behind by DEAD processes.
 
     Every per-process artifact this package writes under spark-warehouse
-    carries a trailing ``-<pid>`` (scratch_dir) or ``_<pid>`` (pid-scoped
-    saveAsTable names like C223's bkt_orders_<pid>). A process cannot
-    always clean up after itself — C223's returned DataFrame lazily
-    reads its bucketed tables, so dropping them in a `finally` would
-    break the caller — so instead each new session (and C223 itself at
-    entry) reaps entries whose pid no longer exists. The liveness check
-    keeps a CONCURRENT gate/bench/test process's tables intact; a
-    recycled pid merely defers that entry to a later reap.
+    carries a trailing ``-<pid>`` (scratch_dir) or is a ``bkt_*_<pid>``
+    saveAsTable name (C223). A process cannot always clean up after
+    itself — C223's returned DataFrame lazily reads its bucketed tables,
+    so dropping them in a `finally` would break the caller — so instead
+    each new session (and C223 itself at entry) reaps entries whose pid
+    no longer exists. The liveness check keeps a CONCURRENT
+    gate/bench/test process's tables intact; a recycled pid merely
+    defers that entry to a later reap.
+
+    The match is restricted to exactly those two conventions: a broad
+    ``[-_](\\d+)$`` would also capture PERSISTENT shared tables whose
+    name ends in digits (e.g. ``orders_bucketed_sf0_25`` parses as
+    pid 25), and would delete them out from under a concurrent reader
+    whenever that number happens not to be a live pid.
     """
     import re
 
@@ -66,7 +72,9 @@ def reap_dead_scratch() -> list[str]:
     if not wh.is_dir():
         return reaped
     for child in wh.iterdir():
-        m = re.search(r"[-_](\d+)$", child.name)
+        m = re.search(r"-(\d+)$", child.name) or re.match(
+            r"^bkt_.*_(\d+)$", child.name
+        )
         if not m:
             continue
         pid = int(m.group(1))

@@ -21,6 +21,7 @@ Scale notes:
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -266,6 +267,11 @@ def run_stream_to_table(
             )
             q.awaitTermination()
             q.stop()
+            # An availableNow stream over an EMPTY source may execute no
+            # batch at all, leaving the data dir uncreated; the memory
+            # sink returned an empty table in that case, so match it
+            # rather than raising PATH_NOT_FOUND.
+            os.makedirs(f"{root}/data", exist_ok=True)
             return spark.read.schema(stream_df.schema).parquet(f"{root}/data")
         name = f"stream_out_{uuid.uuid4().hex[:8]}"
         q = (

@@ -138,3 +138,35 @@ def test_ivfpq_recall_with_pruning(spark):
     got = {r["vec_id"] for r in approx.collect()}
     assert len(got) == _K
     assert len(got & exact) / _K >= 0.2, got & exact
+
+
+def test_zero_norm_vector_does_not_collapse_codebooks(spark):
+    """A zero-norm vector at the LOWEST id normalizes to NULL; unless it
+    is filtered before training, it lands in the deterministic
+    lowest-id kmeans/PQ init, the NULL centroid's distances are NULL,
+    and NULLS-FIRST assignment windows rank it first — silently
+    collapsing the quantizer. Pin: search quality survives and the zero
+    vector is never a candidate (no cosine direction)."""
+    from sample_data_pipeline_project_spark.operators.pq import ivfpq_topk
+
+    corpus, q = _corpus_query(spark)
+    poisoned = corpus.select("vec_id", "embedding").unionByName(
+        spark.createDataFrame(
+            [(-1, [0.0] * _DIM)], "vec_id long, embedding array<double>"
+        ).select("vec_id", F.col("embedding").cast("array<float>"))
+    )
+    exact = {r["vec_id"] for r in topk_cosine(corpus, q, _K).collect()}
+    adc = pq_adc_topk(
+        poisoned, q, _M, _KC, _DIM, top_k=_K, refine=10 * _K,
+        train_sample_mod=1,
+    ).collect()
+    got = {r["vec_id"] for r in adc}
+    assert len(got) == _K and -1 not in got
+    assert len(got & exact) / _K >= 0.5, got & exact
+    ivf = ivfpq_topk(
+        poisoned, q, k_coarse=8, nprobe=2, m=_M, k_codes=_KC, dim=_DIM,
+        top_k=_K, refine=10 * _K, max_iters=2, train_sample_mod=1,
+    ).collect()
+    got2 = {r["vec_id"] for r in ivf}
+    assert len(got2) == _K and -1 not in got2
+    assert len(got2 & exact) / _K >= 0.2, got2 & exact

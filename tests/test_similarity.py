@@ -337,3 +337,45 @@ def test_knn_mutual_edges_ivf_structure_and_recall(spark):
     exact = {(r["a"], r["b"]) for r in knn_mutual_edges(emb, d, threshold).collect()}
     found = {(r["a"], r["b"]) for r in approx}
     assert len(found & exact) >= 0.5 * len(exact)
+
+
+def test_knn_mutual_edges_ivf_carries_id_type(spark):
+    """The Arrow schemas must derive from the caller's id column (like
+    the exact builder), not hardcode `long`: an int-keyed corpus must
+    produce the identical edge set (the md5 sample and Lloyd init read
+    CAST(id AS STRING) / sorted ids, both unchanged by the cast), and a
+    string-keyed corpus must still satisfy the structural contract."""
+    import collections
+
+    from pyspark.sql import functions as F
+
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges_ivf,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d, threshold = 5, 0.3
+    emb = load_table(spark, sf, "embeddings")
+    base = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in knn_mutual_edges_ivf(emb, d, threshold, nprobe=4).collect()
+    }
+    as_int = emb.withColumn("vec_id", F.col("vec_id").cast("int"))
+    got_int = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in knn_mutual_edges_ivf(as_int, d, threshold, nprobe=4).collect()
+    }
+    assert got_int == base
+    # String ids: different sample/init order, so only the structural
+    # contract is pinned — runs, a < b, hard degree bound.
+    as_str = emb.withColumn(
+        "vec_id", F.format_string("id%06d", F.col("vec_id"))
+    )
+    rows = knn_mutual_edges_ivf(as_str, d, threshold, nprobe=4).collect()
+    assert rows and all(r["a"] < r["b"] for r in rows)
+    deg = collections.Counter()
+    for r in rows:
+        deg[r["a"]] += 1
+        deg[r["b"]] += 1
+    assert max(deg.values()) <= d

@@ -142,3 +142,19 @@ def test_ooo_gaps_batch_width_invariant(spark, monkeypatch):
         map(tuple, sq.stream_ledger_gaps_ooo(spark, sf).collect())
     )
     assert base and base == wide
+
+
+def test_run_stream_to_table_append_empty_source(spark, tmp_path):
+    """An availableNow stream over a source with NO files executes no
+    batch, so the file sink never creates its data directory; the
+    append path must return an empty table (like the memory sink did),
+    not raise PATH_NOT_FOUND."""
+    src = tmp_path / "empty_src"
+    src.mkdir()
+    stream = (
+        spark.readStream.schema("event_id long, user_id long")
+        .parquet(str(src))
+    )
+    got = run_stream_to_table(stream, "append")
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == ["event_id", "user_id"]

@@ -87,3 +87,46 @@ def test_spark_allocation_matches_reference(spark):
     }
     want = dict(zip([f"s{i}" for i in range(len(shares))], _hamilton(shares, total)))
     assert got == want
+
+
+def test_reap_dead_scratch_spares_shared_bucketed_tables():
+    """The reaper must only match the package's actual per-pid naming
+    conventions (`<name>-<pid>`, `bkt_*_<pid>`): a broad trailing-digits
+    match would parse persistent shared tables like
+    `orders_bucketed_sf0_25` as pid 25 and delete them out from under a
+    concurrent gate/bench reader whenever 25 is not a live pid."""
+    import os
+    from pathlib import Path
+
+    from sample_data_pipeline_project_spark.sources.scratch import (
+        _pid_alive,
+        reap_dead_scratch,
+    )
+
+    wh = Path(__file__).resolve().parents[1] / "spark-warehouse"
+    wh.mkdir(exist_ok=True)
+    # A pid that is certainly dead: walk down from a huge value.
+    dead = next(p for p in range(2_000_000, 1_900_000, -1) if not _pid_alive(p))
+    keep = [
+        wh / f"orders_bucketed_sf0_{dead}",  # shared table, digit tail
+        wh / "lineitem_bucketed_sf0_001",  # the real shared-name shape
+        wh / f"plain_table_{dead}",  # _pid tail but NOT a bkt_* name
+    ]
+    reap = [
+        wh / f"unit_scratch-{dead}",  # scratch_dir convention
+        wh / f"bkt_orders_{dead}",  # C223 convention
+    ]
+    for p in keep + reap:
+        p.mkdir(exist_ok=True)
+    try:
+        reaped = set(reap_dead_scratch())
+        for p in keep:
+            assert p.is_dir(), f"reaper deleted shared entry {p.name}"
+            assert p.name not in reaped
+        for p in reap:
+            assert not p.exists(), f"reaper spared dead-pid entry {p.name}"
+            assert p.name in reaped
+    finally:
+        for p in keep + reap:
+            if p.is_dir() and not any(p.iterdir()):
+                p.rmdir()
