@@ -754,13 +754,20 @@ def knn_mutual_edges_ivf(
     X = np.array([list(r[vec_col]) for r in sample], dtype=np.float64)
     k = max(1, min(k_clusters, len(X)))
     C = X[:k].copy()
+    # CHUNKED assignment: the full (n_sample x k) distance matrix grows
+    # as sqrt(N) * sqrt(N) = N (k ~ sqrt(nprobe*N), sample ~
+    # train_per_cluster * k) — at the sf100 decade that is ~173k x 3.5k
+    # doubles = 4.8 GB PER ITERATION on the driver, and at 10^9 vectors
+    # it would be terabytes. Chunking X bounds peak memory at
+    # chunk x k doubles (~200 MB) with identical argmin results.
+    xn = (X * X).sum(axis=1)
     for _ in range(iters):
-        d2 = (
-            (X * X).sum(axis=1)[:, None]
-            - 2.0 * (X @ C.T)
-            + (C * C).sum(axis=1)[None, :]
-        )
-        a = np.argmin(d2, axis=1)  # ties -> lowest cluster id
+        cn = (C * C).sum(axis=1)
+        a = np.empty(len(X), dtype=np.int64)
+        for lo in range(0, len(X), 8192):
+            hi = min(lo + 8192, len(X))
+            d2 = xn[lo:hi, None] - 2.0 * (X[lo:hi] @ C.T) + cn[None, :]
+            a[lo:hi] = np.argmin(d2, axis=1)  # ties -> lowest cluster id
         for j in range(k):
             mask = a == j
             if mask.any():

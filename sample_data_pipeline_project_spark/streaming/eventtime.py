@@ -606,6 +606,8 @@ def debounce_stateful(events: DataFrame) -> DataFrame:
     assumed chronological per key."""
     import pandas as pd
 
+    import numpy as np
+
     def update(key, pdf_iter, state: GroupState):
         last_us = state.get[0] if state.exists else None
         pdfs = [p for p in pdf_iter if len(p)]
@@ -614,16 +616,20 @@ def debounce_stateful(events: DataFrame) -> DataFrame:
                 ["ts", "event_id"], kind="mergesort"
             )
             us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
-            dropped = []
-            for cur in us:
-                dropped.append(
-                    1
-                    if last_us is not None
-                    and cur - last_us <= _DEBOUNCE_GAP_US
-                    else 0
-                )
-                last_us = int(cur)
-            state.update((int(last_us),))
+            # "previous ROW" (not previous-kept) semantics: each row
+            # compares against the row before it, so the whole batch is
+            # one vectorized shift + compare — no recurrence. The
+            # Python per-row loop this replaces was the sf10 decade's
+            # dominant cost (10M interpreter iterations per batch).
+            prev = np.empty(len(us), dtype="int64")
+            prev[1:] = us[:-1]
+            if last_us is None:
+                # no predecessor: make the first diff exceed the gap
+                prev[0] = us[0] - _DEBOUNCE_GAP_US - 1
+            else:
+                prev[0] = last_us
+            dropped = (us - prev <= _DEBOUNCE_GAP_US).astype("int64")
+            state.update((int(us[-1]),))
             yield pd.DataFrame(
                 {
                     "event_id": pdf["event_id"].to_numpy(),

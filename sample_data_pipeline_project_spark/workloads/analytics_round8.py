@@ -270,9 +270,33 @@ def agg_aqe_wide_start_coalesce(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 _KNN_D = 5
 _KNN_THRESHOLD = 0.3
-_KNN_NPROBE = 4
-_KNN_RECALL_FLOOR = 0.5
-_KNN_PRECISION_FLOOR = 0.5
+# nprobe=6 (round 9): the round-8 nprobe=4 config was scale-UNSTABLE —
+# measured recall/precision decayed 0.83/0.92 (sf0.01) -> 0.66/0.67
+# (sf0.1) because K grows ~sqrt(N) so co-probe probability falls at
+# fixed nprobe. nprobe=6 is scale-stable across every measured gate
+# scale (see RECALL_CERT.json: 0.93/0.97 sf0.001, 0.97/0.98 sf0.01,
+# 0.83/0.84 sf0.1) at identical wall cost at bench scale; the compute
+# model stays ~N^1.5 (nprobe enters as a constant ~(6/4)^1.5 = 1.8x).
+_KNN_NPROBE = 6
+# Per-scale certification floors, pinned ~0.08 under the measured
+# values committed in RECALL_CERT.json — tight enough that a silent
+# regression to the nprobe=4-class quality (0.66 recall at sf0.1)
+# FAILS the gate, loose enough to survive testdata regeneration.
+# Unmeasured scales (decade probes) fall back to the conservative 0.5.
+_KNN_FLOORS = {
+    "sf0.001": (0.85, 0.90),
+    "sf0.01": (0.85, 0.90),
+    "sf0.1": (0.75, 0.75),
+}
+_KNN_FLOOR_DEFAULT = (0.5, 0.5)
+
+
+def _knn_floors(sf_dir: str) -> tuple[float, float]:
+    import os
+
+    return _KNN_FLOORS.get(
+        os.path.basename(sf_dir.rstrip("/")), _KNN_FLOOR_DEFAULT
+    )
 
 
 @workload(
@@ -288,7 +312,8 @@ def graph_knn_mutual_edges_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     sf1->sf10 decade (the quadratic-regime onset); this configuration
     trains a coarse quantizer on a deterministic md5 sample
     (driver-side numpy Lloyd — the bounded-by-design collect), lands
-    each vector in its 4 nearest cells via one Arrow-batched pass, and
+    each vector in its `_KNN_NPROBE` nearest cells via one
+    Arrow-batched pass, and
     scores only co-probed candidates with the SAME saturation-guarded
     exact-fold rescore, making compute ~N^1.5 d. Candidate ids depend
     on trained centroids, so (the kmeans-IVF oracle pattern) the hashed
@@ -358,18 +383,22 @@ def graph_knn_mutual_edges_ivf_recall(
     """RECALL certification for the IVF mutual-kNN builder (C227):
     computes BOTH graphs — C222's exact edges (value-hashed: the oracle
     recomputes the exact graph and its count must match) and C226's
-    IVF-preselected edges — and certifies recall >= 0.5 and precision
-    >= 0.5 on the id-pair overlap (measured at nprobe=4: recall 0.83,
-    precision 0.92 at sf0.01; the floors are regeneration-safe). This
-    row intentionally carries the quadratic exact baseline, so it
-    certifies at gate/bench scale while the solo C226 row is the one
-    to slope-probe and run at decade scale."""
+    IVF-preselected edges — and certifies recall/precision on the
+    id-pair overlap against PER-SCALE floors (_KNN_FLOORS, pinned ~0.08
+    under the measured values committed in RECALL_CERT.json: at
+    nprobe=6, recall/precision 0.93/0.97 sf0.001, 0.97/0.98 sf0.01,
+    0.83/0.84 sf0.1). The round-8 flat 0.5 floor left a silent 40%
+    recall regression inside the gate; these floors fail it. This row
+    intentionally carries the quadratic exact baseline, so it certifies
+    at gate/bench scale while the solo C226 row is the one to
+    slope-probe and run at decade scale."""
     from sample_data_pipeline_project_spark.operators.similarity import (
         knn_mutual_edges,
         knn_mutual_edges_ivf,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    recall_floor, precision_floor = _knn_floors(sf_dir)
     exact = knn_mutual_edges(emb, _KNN_D, _KNN_THRESHOLD).select("a", "b")
     approx = knn_mutual_edges_ivf(
         emb, _KNN_D, _KNN_THRESHOLD, nprobe=_KNN_NPROBE
@@ -383,11 +412,11 @@ def graph_knn_mutual_edges_ivf_recall(
             F.col("n_exact").cast("long").alias("n_exact_edges"),
             (
                 F.col("n_hits")
-                >= F.lit(_KNN_RECALL_FLOOR) * F.col("n_exact")
+                >= F.lit(recall_floor) * F.col("n_exact")
             ).alias("recall_ok"),
             (
                 F.col("n_hits")
-                >= F.lit(_KNN_PRECISION_FLOOR) * F.col("n_approx")
+                >= F.lit(precision_floor) * F.col("n_approx")
             ).alias("precision_ok"),
         )
     )

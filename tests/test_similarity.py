@@ -308,7 +308,8 @@ def test_knn_mutual_edges_ivf_structure_and_recall(spark):
     """C226 id-level pins at sf0.001: every IVF-preselected edge is a
     genuine exact-threshold pair with a bit-identical score, the degree
     bound holds HARD, and recall vs the exact mutual-kNN graph clears
-    the certified floor (measured ~0.83 at nprobe=4)."""
+    the certified floor (nprobe=6, the registered config: measured
+    0.93 at sf0.001 — see RECALL_CERT.json)."""
     import collections
 
     from sample_data_pipeline_project_spark.operators.similarity import (
@@ -321,7 +322,7 @@ def test_knn_mutual_edges_ivf_structure_and_recall(spark):
     sf = "/root/testdata/sf0.001"
     d, threshold = 5, 0.3
     emb = load_table(spark, sf, "embeddings")
-    approx = knn_mutual_edges_ivf(emb, d, threshold, nprobe=4).collect()
+    approx = knn_mutual_edges_ivf(emb, d, threshold, nprobe=6).collect()
     assert approx and all(r["a"] < r["b"] for r in approx)
     base = {
         (r["a"], r["b"]): r["cosine_sim"]
@@ -336,7 +337,7 @@ def test_knn_mutual_edges_ivf_structure_and_recall(spark):
     assert max(deg.values()) <= d
     exact = {(r["a"], r["b"]) for r in knn_mutual_edges(emb, d, threshold).collect()}
     found = {(r["a"], r["b"]) for r in approx}
-    assert len(found & exact) >= 0.5 * len(exact)
+    assert len(found & exact) >= 0.85 * len(exact)
 
 
 def test_knn_mutual_edges_ivf_carries_id_type(spark):
