@@ -21,7 +21,12 @@ not at driver sampling time. The value hash itself stays
 order-insensitive (sorted canonical lines, md5), computed from the same
 pandas frames.
 
-Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+Usage: python tools/check_oracle.py [--json OUT.json] [sf_dir] [query_name ...]
+
+``--json OUT.json`` additionally writes a driver-shaped artifact (one
+object per workload with rows/schema/hash match booleans, row counts and
+the error string) so a full local sweep — e.g. the sf0.1 run that is
+verify step 5 — is committable and auditable without re-running Spark.
 """
 
 from __future__ import annotations
@@ -146,8 +151,14 @@ def canon_lines(pdf) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    argv = sys.argv[1:]
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
+    only = set(argv[1:])
 
     import duckdb
 
@@ -164,6 +175,27 @@ def main() -> int:
 
     registry = load_all()
     failures = []
+    # driver-shaped per-workload report (CORRECTNESS_r{N}.json schema)
+    report: dict[str, dict] = {}
+
+    def record(
+        name,
+        rows_match=False,
+        schema_match=False,
+        hash_match=False,
+        spark_rows=None,
+        oracle_rows=None,
+        err=None,
+    ):
+        report[name] = {
+            "rows_match": rows_match,
+            "schema_match": schema_match,
+            "hash_match": hash_match,
+            "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows,
+            "err": err,
+        }
+
     for name, w in sorted(registry.items()):
         if only and name not in only:
             continue
@@ -174,10 +206,17 @@ def main() -> int:
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {exc}")
             failures.append(name)
+            record(name, err=f"spark error: {exc}")
             continue
         t1 = time.time()
         if w.oracle is None:
             print(f"skip  {name}: no oracle ({len(spdf)} rows, {t1-t0:.1f}s)")
+            record(
+                name,
+                rows_match=len(spdf) >= 0,
+                spark_rows=len(spdf),
+                err="no oracle (rows-only check)",
+            )
             continue
         try:
             rel = con.sql(w.oracle)
@@ -192,11 +231,13 @@ def main() -> int:
             if bad:
                 print(f"FAIL  {name}: oracle HUGEINT column(s) {bad} — add CAST(... AS BIGINT)")
                 failures.append(name)
+                record(name, spark_rows=len(spdf), err=f"oracle HUGEINT column(s) {bad}")
                 continue
             dpdf = rel.df()
         except Exception as exc:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {exc}")
             failures.append(name)
+            record(name, spark_rows=len(spdf), err=f"duckdb error: {exc}")
             continue
         t2 = time.time()
         for k in _COERCIONS:
@@ -206,13 +247,25 @@ def main() -> int:
         except DriverCanonError as exc:
             print(f"FAIL  {name}: spark side not driver-canonicalizable: {exc}")
             failures.append(name)
+            record(name, spark_rows=len(spdf), oracle_rows=len(dpdf),
+                   err=f"spark side not driver-canonicalizable: {exc}")
             continue
         try:
             dn, dc, dh = canon_frame(dpdf)
         except DriverCanonError as exc:
             print(f"FAIL  {name}: oracle side not driver-canonicalizable: {exc}")
             failures.append(name)
+            record(name, spark_rows=len(spdf), oracle_rows=len(dpdf),
+                   err=f"oracle side not driver-canonicalizable: {exc}")
             continue
+        record(
+            name,
+            rows_match=sn == dn,
+            schema_match=sc == dc,
+            hash_match=sh == dh,
+            spark_rows=sn,
+            oracle_rows=dn,
+        )
         status = "ok" if (sn, sc, sh) == (dn, dc, dh) else "FAIL"
         fired = {k: n for k, n in _COERCIONS.items() if n}
         note = f"  [coerced: {fired}]" if fired else ""
@@ -232,6 +285,13 @@ def main() -> int:
                 for a, b in diffs:
                     print(f"      spark: {a}\n      duck : {b}")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    if json_out:
+        import json
+
+        with open(json_out, "w") as fh:
+            json.dump(report, fh, indent=2, sort_keys=True)
+            fh.write("\n")
+        print(f"wrote {json_out} ({len(report)} workloads)")
     return 1 if failures else 0
 
 
