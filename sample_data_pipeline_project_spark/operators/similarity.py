@@ -779,14 +779,24 @@ def knn_mutual_edges_ivf(
     def assign(batches):
         Cm = bc.value
         cn = (Cm * Cm).sum(axis=1)
+        # bound the (rows x K) distance block: K grows ~sqrt(N), so a
+        # whole Arrow batch (10k rows) against an sf1000-scale codebook
+        # is a GB-class allocation; 2048-row blocks keep it <~200 MB at
+        # any decade with identical argpartition results
+        blk = 2048
         for pdf in batches:
             if pdf.empty:
                 continue
             V = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            d2 = (
-                (V * V).sum(axis=1)[:, None] - 2.0 * (V @ Cm.T) + cn[None, :]
-            )
-            sel = np.argpartition(d2, p - 1, axis=1)[:, :p]
+            sel = np.empty((len(V), p), dtype=np.int64)
+            for lo in range(0, len(V), blk):
+                hi = min(lo + blk, len(V))
+                d2 = (
+                    (V[lo:hi] * V[lo:hi]).sum(axis=1)[:, None]
+                    - 2.0 * (V[lo:hi] @ Cm.T)
+                    + cn[None, :]
+                )
+                sel[lo:hi] = np.argpartition(d2, p - 1, axis=1)[:, :p]
             out = pd.DataFrame(
                 {
                     "cell": sel.ravel().astype("int32"),
@@ -809,8 +819,15 @@ def knn_mutual_edges_ivf(
         assign, f"cell int, {id_col} {id_t}, {vec_col} {vec_t}"
     )
 
-    _CHUNK = 4096  # source-side rows per matmul: bounds task memory on
-    # skewed cells (chunk x cell doubles per sims block)
+    # Source-side rows per matmul block, sized by a BYTE budget on the
+    # (chunk x n_cell) sims matrix rather than a fixed row count: the
+    # round-9 sf100 probe killed Python workers exactly here — a fixed
+    # 4096-row chunk against a skewed 215k-row cell is a 7.1 GB float64
+    # block. Same defect class as the round-8 fixed-B blocked matmul:
+    # a constant that silently scales with data. The chunk size only
+    # blocks the loop — preselect+rescore are per-source-row exact over
+    # the FULL cell — so emitted edges are chunk-size-invariant.
+    _SIMS_BUDGET = 64 << 20  # bytes per sims block (x ~3 with temporaries)
 
     def cell_topd(key, pdf):
         empty = pd.DataFrame(
@@ -824,12 +841,13 @@ def knn_mutual_edges_ivf(
             return empty
         M = np.stack(pdf[vec_col].to_numpy()).astype("float64")
         ids = pdf[id_col].to_numpy()
+        chunk = max(16, min(4096, _SIMS_BUDGET // (8 * len(ids))))
         norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
         with np.errstate(invalid="ignore", divide="ignore"):
             Mn = np.where(norms[:, None] != 0, M / norms[:, None], 0.0)
         out_src, out_dst, out_sim = [], [], []
-        for lo in range(0, len(ids), _CHUNK):
-            hi = min(lo + _CHUNK, len(ids))
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
             sims = Mn[lo:hi] @ Mn.T  # approx, prune only
             rs, cs, ex = _preselect_exact_scores(
                 ids[lo:hi], ids, M[lo:hi], M, norms[lo:hi], norms, sims,
@@ -871,3 +889,119 @@ def knn_mutual_edges_ivf(
         F.col("dst").alias("a"), F.col("src").alias("b")
     )
     return fwd.join(rev, ["a", "b"]).select("a", "b", "cosine_sim")
+
+
+# --- binary (sign) quantization + Hamming shortlist (B3 scale path) -------
+# One bit per dimension (sign of the component): 32x less memory than
+# float32 and the candidate scan is XOR + POPCOUNT on packed 32-bit words
+# — the cheapest possible first stage for billion-vector shortlisting.
+# Deterministic (no training), so unlike IVF/PQ the whole two-stage
+# pipeline is value-hashable against a SQL oracle. For random-ish
+# directions P(sign mismatch) = angle/pi (the SimHash bound with
+# axis-aligned hyperplanes), so Hamming distance is a monotone-in-
+# expectation proxy for angular distance; the exact-cosine rerank stage
+# restores exact ordering among the shortlist.
+
+
+def sign_pack_exprs(dim: int, vec_col: str = "embedding") -> list:
+    """Column expressions packing sign bits (component > 0) into int64
+    words of 32 bits each, named w0, w1, ... — 32 bits per word keeps
+    every packed value positive, so the SAME packing is expressible in
+    portable SQL as a SUM of CASE shifts (no signed-overflow trap on
+    bit 63, and DuckDB rejects integer overflow rather than wrapping).
+    JVM-side aggregate() fold; no Python."""
+    words = []
+    for w in range(-(-dim // 32)):
+        lo, hi = 32 * w, min(32 * w + 32, dim)
+        words.append(
+            F.expr(
+                f"aggregate(sequence({lo}, {hi - 1}), 0L, (acc, i) -> "
+                f"acc + IF(element_at({vec_col}, i + 1) > 0D, "
+                f"shiftleft(1L, i - {lo}), 0L))"
+            ).alias(f"w{w}")
+        )
+    return words
+
+
+def duck_sign_pack(dim: int, vec_col: str) -> list[str]:
+    """The DuckDB twin of `sign_pack_exprs`: one SUM-of-CASE-shift SQL
+    string per 32-bit word (same w0, w1, ... naming)."""
+    out = []
+    for w in range(-(-dim // 32)):
+        lo, hi = 32 * w, min(32 * w + 32, dim)
+        terms = " + ".join(
+            f"(CASE WHEN {vec_col}[{i + 1}] > 0 THEN {1 << (i - lo)}::BIGINT "
+            f"ELSE 0::BIGINT END)"
+            for i in range(lo, hi)
+        )
+        out.append(f"({terms}) AS w{w}")
+    return out
+
+
+def hamming_rerank_topk(
+    corpus: DataFrame,
+    dim: int,
+    k: int,
+    shortlist: int,
+    query_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Two-stage ANN: (1) sign-pack the corpus and the queries, take the
+    exact Hamming-distance top-`shortlist` per query (XOR + bit_count on
+    packed words, broadcast query side, per-query window rank — never a
+    global sort); (2) rerank the shortlist by EXACT cosine (the
+    deterministic JVM left-fold) and keep top-`k`. Fully deterministic:
+    both stages tie-break on id, so the result value-hashes against the
+    SQL oracle. Shuffle volume is N rows through the per-query window;
+    at cluster scale the packed words are the only columns scanned in
+    stage 1 (column pruning leaves the float vectors unread until the
+    |queries| * shortlist rerank join)."""
+    n_words = -(-dim // 32)
+    packed = corpus.select(id_col, *sign_pack_exprs(dim, vec_col))
+    q = (
+        packed.filter(F.col(id_col).isin(query_ids))
+        .select(
+            F.col(id_col).alias("query_id"),
+            *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)],
+        )
+    )
+    ham = " + ".join(
+        f"bit_count(w{w} ^ qw{w})" for w in range(n_words)
+    )
+    scored = (
+        packed.crossJoin(F.broadcast(q))
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select("query_id", id_col, F.expr(ham).cast("int").alias("hamming_dist"))
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("hamming_dist").asc(), F.col(id_col).asc()
+    )
+    short = (
+        scored.withColumn("rn", F.row_number().over(w_short))
+        .filter(F.col("rn") <= shortlist)
+        .drop("rn")
+    )
+    vecs = corpus.select(id_col, vec_col)
+    qvecs = corpus.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_emb")
+    ).filter(F.col("query_id").isin(query_ids))
+    from sample_data_pipeline_project_spark.functions.vectors import cosine
+
+    reranked = (
+        short.join(vecs, id_col)
+        .join(F.broadcast(qvecs), "query_id")
+        .select(
+            "query_id",
+            id_col,
+            "hamming_dist",
+            cosine(vec_col, "q_emb").alias("cosine_sim"),
+        )
+    )
+    w_k = Window.partitionBy("query_id").orderBy(
+        F.col("cosine_sim").desc(), F.col(id_col).asc()
+    )
+    return (
+        reranked.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+    )

@@ -81,6 +81,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round6,
         analytics_round7,
         analytics_round8,
+        analytics_round9,
         asof_queries,
         curation_queries,
         dedup_queries,

@@ -233,6 +233,10 @@ _BNLJ_ALLOWLIST: set[str] = {
     # crossjoin 1-row aggregates (degree bound / bit-exact flag / edge
     # counts) — the same bounded-broadcast shape as the other certs
     "graph_knn_mutual_edges_ivf", "graph_knn_mutual_edges_ivf_recall",
+    # round-9 addition: the binary-quantization ANN broadcasts the
+    # 4-row packed query table into the word scan (same bounded shape
+    # as sim_topk_* / sim_matryoshka_two_stage)
+    "sim_hamming_rerank_topk",
 }
 
 
