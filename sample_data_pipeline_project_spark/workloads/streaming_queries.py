@@ -5,6 +5,8 @@ engine is exactly "incremental result == batch result".
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -251,7 +253,7 @@ _OOO_BATCHES = 4
 # value ranges -> nothing arrives below the watermark at ANY split;
 # terminal availableNow batch flushes start_ts <= max - delay), which
 # tests/test_streaming.py pins by running the same data at two widths.
-_OOO_ROWS_PER_BATCH = 250_000
+_OOO_ROWS_PER_BATCH = int(os.environ.get("SPARK_GRAFT_OOO_ROWS_PER_BATCH", 250_000))
 _OOO_MAX_BATCHES = 64
 
 
@@ -337,20 +339,35 @@ def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absolute, anchored at the repo, per-process (sources/scratch.py)
     stage_root = scratch_dir("ooo_stage")
     stage = f"{stage_root}/{uuid.uuid4().hex[:8]}"
+    # PRE-STAGE (round 9): materialize the derived ledger ONCE, hash-
+    # partitioned so every task holds exactly ONE bucket (one open
+    # parquet writer per task — the naive partitionBy fan-out of nb
+    # concurrent 128 MB writer buffers per task is its own decade-scale
+    # OOM, and was why round 8 re-scanned events nb times instead). The
+    # per-bucket staging jobs below then read a partition-PRUNED slice
+    # of this compact table rather than re-deriving the full events
+    # scan: at the sf10 decade that converts ~40 scans of 10M events
+    # into 1 scan + 40 reads of ~250k-row slices.
+    pre = f"{stage_root}/{uuid.uuid4().hex[:8]}_pre"
+    (
+        bucketed.repartition(nb, F.col("__bkt"))
+        .write.mode("overwrite")
+        .partitionBy("__bkt")
+        .parquet(pre)
+    )
+    staged = spark.read.parquet(pre)
     for b in range(nb):
         # repartition(1) + sortWithinPartitions, NOT orderBy + coalesce:
-        # coalesce(1) collapses the WHOLE upstream job (scan, derive,
-        # sort) into a single task — at the sf10 decade that one task
-        # held the full events scan plus the sort and OOM'd the heap.
-        # The explicit 1-reducer shuffle keeps the scan parallel and
-        # bounds the sort task at one ~constant-size bucket. Each bucket
-        # job re-scans the (columnar, pushdown-pruned) events table —
-        # nb linear scans, the deliberate price of one-file-per-trigger
-        # staging; a partitionBy write would read once but fan out to
-        # nb concurrent parquet writers per task (128 MB buffers each),
-        # which is its own decade-scale OOM.
+        # coalesce(1) collapses the WHOLE upstream job (read + sort)
+        # into a single task — at the sf10 decade that one task held the
+        # full scan plus the sort and OOM'd the heap. The explicit
+        # 1-reducer shuffle keeps the read parallel and bounds the sort
+        # task at one ~constant-size bucket. Writes stay sequential:
+        # the file stream source orders triggers by file modification
+        # time, and ascending bucket order is what guarantees no row
+        # ever arrives below the watermark.
         (
-            bucketed.filter(F.col("__bkt") == b)
+            staged.filter(F.col("__bkt") == b)
             .drop("__bkt")
             .repartition(1)
             .sortWithinPartitions(F.md5(F.col("run_id").cast("string")))
