@@ -477,19 +477,33 @@ def batch_topk_cosine(
 
 
 def _preselect_exact_scores(
-    ids_src, ids_dst, msrc, mdst, nsrc, ndst, s, k_local, threshold, margin
+    ids_src, ids_dst, msrc, mdst, nsrc, ndst, s, k_local, threshold, margin,
+    saturate=True,
 ):
     """Shared core of the kNN-graph builders: BLAS-preselect each source
     row's local top-`k_local` candidates above `threshold - margin`, then
     re-score the selection with the exact strict left-to-right cumsum
     fold (JVM/oracle parity). Self-matches are masked by id equality.
 
-    SATURATION GUARD: if a row's k-th (weakest selected) approx score
-    still clears threshold - margin, candidates OUTSIDE the selection may
-    clear the exact threshold too — that row WIDENS to every candidate
-    above the margin, so the preselection can never drop a true top-d
-    neighbor (completeness holds unconditionally; slack only tunes how
-    often the denser widened path runs).
+    SATURATION GUARD (`saturate=True`): if a row's k-th (weakest
+    selected) approx score still clears threshold - margin, candidates
+    OUTSIDE the selection may clear the exact threshold too — that row
+    WIDENS to every candidate above the margin, so the preselection can
+    never drop a true top-d neighbor (completeness holds
+    unconditionally; slack only tunes how often the denser widened path
+    runs). The EXACT builder (C222) requires this.
+
+    `saturate=False` caps emission at k_local per source row — the
+    APPROXIMATE (IVF) builder's setting: inside a dense cell the widened
+    path emits ~density * cell_size pairs per row, which the round-9
+    sf100 probe measured as >60 GB of candidate spill from a handful of
+    skewed 100k+-row cells (a DISK death, after the memory death was
+    fixed). Capping bounds the whole candidate stream at
+    N * nprobe * k_local rows — linear in N. The cost is the
+    adversarial corner the guard exists for (>k_local candidates within
+    float-approx margin of each other): top-d-among-candidates can then
+    differ at ties, which is inside the IVF variant's approximate
+    contract and covered by the C227 recall certification.
 
     Returns (row_idx, col_idx, exact_scores) for candidates whose EXACT
     cosine >= threshold; row/col index into ids_src/ids_dst."""
@@ -500,7 +514,7 @@ def _preselect_exact_scores(
     n_src, n_cand = s.shape
     k = min(k_local, n_cand)
     sel = np.argpartition(-s, k - 1, axis=1)[:, :k]  # (n_src, k)
-    if k < n_cand:
+    if k < n_cand and saturate:
         cut = s[np.arange(n_src)[:, None], sel].min(axis=1)
         sat = cut >= threshold - margin
     else:
@@ -851,7 +865,7 @@ def knn_mutual_edges_ivf(
             sims = Mn[lo:hi] @ Mn.T  # approx, prune only
             rs, cs, ex = _preselect_exact_scores(
                 ids[lo:hi], ids, M[lo:hi], M, norms[lo:hi], norms, sims,
-                k_local, threshold, margin,
+                k_local, threshold, margin, saturate=False,
             )
             out_src.append(ids[lo:hi][rs])
             out_dst.append(ids[cs])
