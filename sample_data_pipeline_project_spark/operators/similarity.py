@@ -709,6 +709,7 @@ def knn_mutual_edges_ivf(
     iters: int = 3,
     local_slack: int = 8,
     n_rows: int | None = None,
+    pair_budget: int = 1 << 31,
 ) -> DataFrame:
     """MUTUAL k-NN graph via IVF-preselected candidates — the SCALE PATH
     for `knn_mutual_edges`. Exact all-pairs construction is Theta(N^2 d)
@@ -729,11 +730,16 @@ def knn_mutual_edges_ivf(
       2. ASSIGN: one mapInPandas pass; each vector lands in its `nprobe`
          nearest cells (BLAS distances, float64). Shuffle volume is
          N * nprobe vector copies — the linear replication factor.
-      3. SCORE: per-cell applyInPandas; inside a cell the same
+      3. SCORE: per-(cell, salt) applyInPandas; inside a cell the same
          saturation-guarded preselect + exact cumsum-fold rescore as the
          exact builder (`_preselect_exact_scores`), with the source side
          CHUNKED so per-task memory stays bounded even when a cluster
-         is skewed.
+         is skewed, and — round 10 — cells whose m^2 sims work exceeds
+         `pair_budget` have their SOURCE rows salted across
+         ceil(m^2/pair_budget) sub-tasks (full membership replicated as
+         targets), so quantizer skew cannot serialize a decade's wall
+         on one core while emitted edges stay identical to the unsplit
+         plan.
       4. MERGE: cross-cell duplicates collapse on (src, dst) — scores
          are bit-identical wherever the pair co-occurs — then per-src
          window rank -> directed exact-top-d-among-candidates, mutual
@@ -833,6 +839,98 @@ def knn_mutual_edges_ivf(
         assign, f"cell int, {id_col} {id_t}, {vec_col} {vec_t}"
     )
 
+    # ---- BALANCED SCORING (round-10): split skewed cells' SOURCE rows.
+    # The round-9 sf100 probe proved the candidate stream linear after
+    # the k_local cap, yet the slope stayed 61x vs the ~35x N^1.5
+    # prediction — root cause (SCALING.md round 9): quantizer skew.
+    # Lloyd minimizes distortion, not balance, so at every decade SOME
+    # cell is ~100x median (sf100: one 215k-row cell vs 1.8k median),
+    # and that cell is ONE applyInPandas task folding 215k^2 sims —
+    # ~15 of 42 minutes of wall on a 32-core box. Re-quantizing
+    # oversized cells (the other lever family) would change cell
+    # MEMBERSHIP and hence recall; instead keep membership exactly as
+    # assigned and split the straggler's WORK. Per-cell scoring is
+    # embarrassingly parallel over source rows — each source row's
+    # preselect+rescore reads the full cell but no other source row —
+    # so a cell whose all-pairs sims work m^2 exceeds `pair_budget`
+    # gets its source rows salted across ns = ceil(m^2 / pair_budget)
+    # sub-tasks, with the full membership replicated to each sub-task
+    # as rerank targets (role 't'). Emitted edges are IDENTICAL to the
+    # unsplit plan (every source row still sees every co-probed
+    # candidate, scored by the same exact fold), so the C227 recall
+    # certification holds BY CONSTRUCTION; the cost is the ns target
+    # copies of oversized cells only — sum over oversized of
+    # m_i^2/pair_budget extra rows, i.e. shuffle proportional to the
+    # quadratic work the cell already implied, now spread across the
+    # cluster instead of serialized on one core. Per-task compute is
+    # capped at ~pair_budget sims, so no task can hold a decade's wall
+    # hostage. Cell sizes come from a bounded driver collect (K rows,
+    # K ~ sqrt(nprobe*N) — 3.5k at sf100; the operator already collects
+    # its K-sized training sample by design); the one extra linear
+    # assign pass it triggers costs seconds, the straggler it removes
+    # costs tens of minutes.
+    sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+    oversized = {
+        int(r["cell"]): int(-(-(r["m"] * r["m"]) // pair_budget))
+        for r in sizes.collect()
+        if r["m"] * r["m"] > pair_budget
+    }
+    if oversized:
+        ns_map = F.create_map(
+            *[
+                F.lit(v)
+                for kv in oversized.items()
+                for v in kv
+            ]
+        )
+        base = assigned.withColumn(
+            "__ns",
+            F.coalesce(ns_map[F.col("cell")], F.lit(1)).cast("int"),
+        )
+        whole = base.filter(F.col("__ns") == 1).select(
+            "cell",
+            F.lit(0).alias("salt"),
+            F.lit("b").alias("role"),
+            id_col,
+            vec_col,
+        )
+        big = base.filter(F.col("__ns") > 1)
+        staged = (
+            whole.unionByName(
+                big.select(
+                    "cell",
+                    F.pmod(
+                        F.xxhash64(F.col(id_col).cast("string")),
+                        F.col("__ns"),
+                    ).cast("int").alias("salt"),
+                    F.lit("s").alias("role"),
+                    id_col,
+                    vec_col,
+                )
+            ).unionByName(
+                big.select(
+                    "cell",
+                    F.explode(
+                        F.sequence(F.lit(0), F.col("__ns") - F.lit(1))
+                    ).alias("salt"),
+                    F.lit("t").alias("role"),
+                    id_col,
+                    vec_col,
+                )
+            )
+        )
+    else:
+        # no cell breaches the budget (every gate scale lands here):
+        # single-copy staging, one task per cell, same plan as round 9
+        # modulo the constant role column.
+        staged = assigned.select(
+            "cell",
+            F.lit(0).alias("salt"),
+            F.lit("b").alias("role"),
+            id_col,
+            vec_col,
+        )
+
     # Source-side rows per matmul block, sized by a BYTE budget on the
     # (chunk x n_cell) sims matrix rather than a fixed row count: the
     # round-9 sf100 probe killed Python workers exactly here — a fixed
@@ -851,24 +949,42 @@ def knn_mutual_edges_ivf(
                 "cosine_sim": pd.Series([], dtype="float64"),
             }
         )
-        if len(pdf) < 2:
+        roles = pdf["role"].to_numpy()
+        unsplit = (roles == "b").all()
+        tmask = roles != "s"  # 'b' | 't': rerank targets (full cell)
+        smask = roles != "t"  # 'b' | 's': this sub-task's source rows
+        n_t = int(tmask.sum())
+        n_s = int(smask.sum())
+        if n_t < 1 or n_s < 1 or (n_t + n_s) < 2:
             return empty
-        M = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-        ids = pdf[id_col].to_numpy()
-        chunk = max(16, min(4096, _SIMS_BUDGET // (8 * len(ids))))
-        norms = np.sqrt(np.cumsum(M * M, axis=1)[:, -1])
+        Mt = np.stack(pdf[vec_col].to_numpy()[tmask]).astype("float64")
+        idt = pdf[id_col].to_numpy()[tmask]
+        nt = np.sqrt(np.cumsum(Mt * Mt, axis=1)[:, -1])
         with np.errstate(invalid="ignore", divide="ignore"):
-            Mn = np.where(norms[:, None] != 0, M / norms[:, None], 0.0)
+            Mtn = np.where(nt[:, None] != 0, Mt / nt[:, None], 0.0)
+        if unsplit:
+            Ms, ids, ns_, Msn = Mt, idt, nt, Mtn
+        else:
+            Ms = np.stack(pdf[vec_col].to_numpy()[smask]).astype(
+                "float64"
+            )
+            ids = pdf[id_col].to_numpy()[smask]
+            ns_ = np.sqrt(np.cumsum(Ms * Ms, axis=1)[:, -1])
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Msn = np.where(
+                    ns_[:, None] != 0, Ms / ns_[:, None], 0.0
+                )
+        chunk = max(16, min(4096, _SIMS_BUDGET // (8 * len(idt))))
         out_src, out_dst, out_sim = [], [], []
         for lo in range(0, len(ids), chunk):
             hi = min(lo + chunk, len(ids))
-            sims = Mn[lo:hi] @ Mn.T  # approx, prune only
+            sims = Msn[lo:hi] @ Mtn.T  # approx, prune only
             rs, cs, ex = _preselect_exact_scores(
-                ids[lo:hi], ids, M[lo:hi], M, norms[lo:hi], norms, sims,
+                ids[lo:hi], idt, Ms[lo:hi], Mt, ns_[lo:hi], nt, sims,
                 k_local, threshold, margin, saturate=False,
             )
             out_src.append(ids[lo:hi][rs])
-            out_dst.append(ids[cs])
+            out_dst.append(idt[cs])
             out_sim.append(ex)
         if not out_src:
             return empty
@@ -880,7 +996,7 @@ def knn_mutual_edges_ivf(
             }
         )
 
-    cand = assigned.groupBy("cell").applyInPandas(
+    cand = staged.groupBy("cell", "salt").applyInPandas(
         cell_topd, f"src {id_t}, dst {id_t}, cosine_sim double"
     )
     # a pair co-probed into several cells appears once per shared cell

@@ -380,3 +380,34 @@ def test_knn_mutual_edges_ivf_carries_id_type(spark):
         deg[r["a"]] += 1
         deg[r["b"]] += 1
     assert max(deg.values()) <= d
+
+
+def test_knn_mutual_edges_ivf_balanced_split_identical(spark):
+    """Round-10 quantizer-balance lever: a `pair_budget` small enough to
+    force EVERY cell onto the salted source-split path (full membership
+    replicated as rerank targets) must reproduce the default run's edge
+    set bit-for-bit — the lever re-schedules the straggler cell's work,
+    it must never change WHAT is computed. Pinned at sf0.001 where
+    scores are well-separated (no candidates inside the float margin),
+    so the approximate tie corner of saturate=False cannot fire."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges_ivf,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    sf = "/root/testdata/sf0.001"
+    d, threshold = 5, 0.3
+    emb = load_table(spark, sf, "embeddings")
+    base = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in knn_mutual_edges_ivf(emb, d, threshold, nprobe=6).collect()
+    }
+    assert base
+    # sf0.001 cells hold tens of vectors; budget 64 => ns >= 2 per cell
+    split = {
+        (r["a"], r["b"], r["cosine_sim"])
+        for r in knn_mutual_edges_ivf(
+            emb, d, threshold, nprobe=6, pair_budget=64
+        ).collect()
+    }
+    assert split == base
