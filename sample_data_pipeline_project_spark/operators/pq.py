@@ -36,27 +36,44 @@ from sample_data_pipeline_project_spark.operators.kmeans import _sq_l2
 def _unit_normalized(
     df: DataFrame, vec_col: str, out_col: str | None = None
 ) -> DataFrame:
-    """Replace `vec_col` with its unit-normalized array<double> twin.
+    """Replace `vec_col` with its unit-normalized array<double> twin,
+    DROPPING zero-norm vectors (no direction; they can never be cosine
+    matches, and one NULL among kmeans/PQ's deterministic lowest-id init
+    vectors would make a NULL centroid that NULLS-FIRST assignment
+    windows rank ahead of every real one, collapsing the codebook).
 
-    WHY (round-8 defect, found by the sf0.1 oracle gate): PQ/ADC ranks
-    candidates by squared L2 to the quantized vector, but the engine's
-    search semantics are COSINE. On unnormalized vectors the two
-    orderings disagree in proportion to norm spread — measured at sf0.1
-    the ADC ordering was near-uninformative (recall@10 of the exact
-    cosine top-10 inside the top-100 ADC candidates: 0/10), while the
-    sf0.01 gate happened to pass. On the unit sphere
+    WHY normalize (round-8 defect, found by the sf0.1 oracle gate):
+    PQ/ADC ranks candidates by squared L2 to the quantized vector, but
+    the engine's search semantics are COSINE. On unnormalized vectors
+    the two orderings disagree in proportion to norm spread — measured
+    at sf0.1 the ADC ordering was near-uninformative (recall@10 of the
+    exact cosine top-10 inside the top-100 ADC candidates: 0/10), while
+    the sf0.01 gate happened to pass. On the unit sphere
     |q - v|^2 = |q|^2 + 1 - 2 q.v, monotone in cosine for any fixed
     query, so L2-quantizing the NORMALIZED corpus makes ADC order agree
     with cosine order — the standard practice for cosine/IP metrics.
-    Zero-norm vectors map to NULL (no direction; they sort after every
-    real candidate via asc_nulls_last and can never be cosine matches)."""
+
+    SHAPE (round-10 bench adjudication): the round-9 version dropped
+    zero-norm rows with `.filter(isNotNull(<projected CASE>))` — that
+    predicate re-evaluates the whole normalization expression in a
+    Filter node on top of the Project, and the CASE/transform inlined
+    the norm fold into the lambda body, recomputing the d-element sum
+    for each of the d output elements (O(d^2) per row, twice). This
+    version (a) filters on the RAW norm before projecting — an O(d)
+    pushable predicate — and (b) binds the norm to its own column so
+    the transform divides by a computed value (CollapseProject keeps
+    non-cheap multiply-referenced aliases materialized): O(d) per row,
+    once. Same rows, same values."""
     out = out_col or vec_col
     nrm = f"sqrt(aggregate({vec_col}, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
-    return df.withColumn(
-        out,
-        F.expr(
-            f"CASE WHEN {nrm} > 0 THEN transform({vec_col}, x -> CAST(x AS DOUBLE) / {nrm}) END"
-        ),
+    return (
+        df.filter(F.expr(f"({nrm}) > 0"))
+        .withColumn("__nrm", F.expr(nrm))
+        .withColumn(
+            out,
+            F.expr(f"transform({vec_col}, x -> CAST(x AS DOUBLE) / __nrm)"),
+        )
+        .drop("__nrm")
     )
 
 
@@ -232,14 +249,10 @@ def pq_adc_topk(
     # sphere, ADC's L2 order IS the cosine order); the exact re-rank
     # below still runs on the ORIGINAL vectors, so final semantics are
     # unchanged — only candidate quality improves. Zero-norm vectors
-    # (NULL after normalization) are excluded from quantization AND the
-    # candidate pool: a NULL among kmeans/PQ's lowest-id init vectors
-    # would yield a NULL centroid that NULLS-FIRST assignment windows
-    # rank ahead of every real one, collapsing the codebook — and a
-    # zero vector can never be a cosine match anyway.
-    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col).filter(
-        F.col(vec_col).isNotNull()
-    )
+    # are dropped inside _unit_normalized (raw-norm filter, see its
+    # docstring): they can never be cosine matches, and one NULL
+    # centroid would collapse the codebook under NULLS-FIRST windows.
+    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col)
     codebooks = pq_fit(
         unit, m, k_codes, dim, max_iters, id_col, vec_col, train_sample_mod
     )
@@ -312,12 +325,11 @@ def ivfpq_topk(
     # runs in the UNIT-NORMALIZED space so L2 structure agrees with the
     # cosine search metric (see _unit_normalized); the exact re-rank at
     # the end still reads the ORIGINAL vectors. Zero-norm vectors are
-    # dropped (NULL after normalization): one NULL in the deterministic
-    # lowest-id kmeans/PQ init makes a NULL centroid that NULLS-FIRST
-    # assignment ranks first, collapsing the coarse quantizer.
-    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col).filter(
-        F.col(vec_col).isNotNull()
-    )
+    # dropped inside _unit_normalized (raw-norm filter): one NULL in
+    # the deterministic lowest-id kmeans/PQ init makes a NULL centroid
+    # that NULLS-FIRST assignment ranks first, collapsing the coarse
+    # quantizer.
+    unit = _unit_normalized(corpus.select(id_col, vec_col), vec_col)
     nq = "sqrt(aggregate(q_emb, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"
     uquery = query.select(
         F.expr(

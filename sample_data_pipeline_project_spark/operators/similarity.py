@@ -709,7 +709,7 @@ def knn_mutual_edges_ivf(
     iters: int = 3,
     local_slack: int = 8,
     n_rows: int | None = None,
-    pair_budget: int = 1 << 31,
+    pair_budget: int = 1 << 30,
 ) -> DataFrame:
     """MUTUAL k-NN graph via IVF-preselected candidates — the SCALE PATH
     for `knn_mutual_edges`. Exact all-pairs construction is Theta(N^2 d)

@@ -110,7 +110,7 @@ _STRIDE = 40
 
 _CHUNK_CTE = f"""
 toks AS (
-  SELECT doc_id, {_DUCK_TOKENS} AS t FROM documents
+  SELECT doc_id, COALESCE({_DUCK_TOKENS}, []) AS t FROM documents
 ),
 starts AS (
   SELECT doc_id, t,
@@ -139,9 +139,18 @@ def text_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """C229 — RAG/window chunking: fixed 50-token chunks on a 40-token
     stride (tail chunks shorter; every doc yields >= 1 chunk). JVM-side
     sequence + slice + posexplode — one narrow projection, no shuffle,
-    trivially shard-parallel at 100 TB."""
+    trivially shard-parallel at 100 TB. Token arrays are coalesced to
+    empty on BOTH sides: without it a NULL `text` diverges between the
+    engines (Spark size(slice(NULL,..)) = -1 vs DuckDB
+    len(list_slice(NULL,..)) = NULL), a silent dependence on the
+    generator never emitting NULL text."""
     docs = load_table(spark, sf_dir, "documents")
-    t = docs.select("doc_id", tokens("text").alias("t"))
+    t = docs.select(
+        "doc_id",
+        F.coalesce(
+            tokens("text"), F.expr("CAST(array() AS array<string>)")
+        ).alias("t"),
+    )
     return (
         t.select(
             "doc_id",
@@ -223,8 +232,10 @@ def train_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     past 1 epoch. sqrt is IEEE-correctly-rounded in both engines, so the
     weights value-hash (the whole-corpus normalizer is a |sources|-value
     double sum; rounding at 1e-6 absorbs association order). One grouped
-    aggregate; the normalizer re-enters as a bounded driver scalar
-    (the rollup_share_of_parent pattern), so no global window exists."""
+    aggregate; the normalizer re-enters as a crossJoin of the 1-row
+    total (the rollup_share_of_parent pattern) — fully LAZY, unlike the
+    round-9 version whose construction-time .first() made merely
+    building the query run a Spark job — so no global window exists."""
     docs = load_table(spark, sf_dir, "documents")
     per_source = docs.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -233,14 +244,16 @@ def train_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = per_source.withColumn(
         "raw_w", F.sqrt(F.col("n_tokens").cast("double"))
     )
-    denom = float(w.agg(F.sum("raw_w")).first()[0])
-    return w.select(
+    total = w.agg(F.sum("raw_w").alias("__denom"))
+    return w.crossJoin(F.broadcast(total)).select(
         "source",
         "n_docs",
         "n_tokens",
-        F.round(F.col("raw_w") / F.lit(denom), 6).alias("mix_weight"),
+        F.round(F.col("raw_w") / F.col("__denom"), 6).alias("mix_weight"),
         F.round(
-            F.lit(_MIX_BUDGET) * (F.col("raw_w") / F.lit(denom)) / F.col("n_tokens"),
+            F.lit(_MIX_BUDGET)
+            * (F.col("raw_w") / F.col("__denom"))
+            / F.col("n_tokens"),
             6,
         ).alias("effective_epochs"),
     )

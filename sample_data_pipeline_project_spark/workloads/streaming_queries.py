@@ -339,11 +339,15 @@ def stream_ledger_gaps_ooo(spark: SparkSession, sf_dir: str) -> DataFrame:
     # absolute, anchored at the repo, per-process (sources/scratch.py)
     stage_root = scratch_dir("ooo_stage")
     stage = f"{stage_root}/{uuid.uuid4().hex[:8]}"
-    # PRE-STAGE (round 9): materialize the derived ledger ONCE, hash-
-    # partitioned so every task holds exactly ONE bucket (one open
-    # parquet writer per task — the naive partitionBy fan-out of nb
-    # concurrent 128 MB writer buffers per task is its own decade-scale
-    # OOM, and was why round 8 re-scanned events nb times instead). The
+    # PRE-STAGE (round 9): materialize the derived ledger ONCE,
+    # repartitioned on __bkt so each task holds only the buckets hash-
+    # collided onto it — with nb buckets in nb partitions that is a
+    # BOUNDED handful (expected max ~O(log nb / log log nb), not one;
+    # hash partitioning gives no exact one-writer invariant), i.e. a
+    # few open parquet writers per task instead of the naive
+    # partitionBy fan-out of nb concurrent 128 MB writer buffers per
+    # task, which is its own decade-scale OOM and was why round 8
+    # re-scanned events nb times instead. The
     # per-bucket staging jobs below then read a partition-PRUNED slice
     # of this compact table rather than re-deriving the full events
     # scan: at the sf10 decade that converts ~40 scans of 10M events

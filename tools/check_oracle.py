@@ -155,6 +155,9 @@ def main() -> int:
     json_out = None
     if "--json" in argv:
         i = argv.index("--json")
+        if i + 1 >= len(argv) or argv[i + 1].startswith("--"):
+            print("usage: check_oracle.py [sf_dir] [name ...] [--json PATH]")
+            return 2
         json_out = argv[i + 1]
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
@@ -211,9 +214,13 @@ def main() -> int:
         t1 = time.time()
         if w.oracle is None:
             print(f"skip  {name}: no oracle ({len(spdf)} rows, {t1-t0:.1f}s)")
+            # rows_match=None, NOT True: nothing was compared. A consumer
+            # counting matches must treat null as "rows-only check ran"
+            # (see err), not as a pass — a trivially-true boolean here
+            # overcounted matches for no-oracle workloads.
             record(
                 name,
-                rows_match=len(spdf) >= 0,
+                rows_match=None,
                 spark_rows=len(spdf),
                 err="no oracle (rows-only check)",
             )
