@@ -56,6 +56,20 @@ _DEFAULTS = {
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
 }
 
+# Streaming state-store backend. The default (HDFS-backed) provider keeps
+# every key's state as JVM objects on-heap — at 1M+ distinct keys
+# (stream_debounce at sf10) the store itself becomes the dominant cost
+# and competes with shuffles for the unified heap. RocksDB
+# (rocksdbjni ships with Spark) keeps state off-heap with an on-disk
+# spill path, which is the documented deployment answer for
+# high-key-cardinality stateful queries. Opt-in knob, measured in
+# SCALING.md before being made a default anywhere:
+#   SPARK_GRAFT_STATESTORE=rocksdb
+_ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
 
 def _cpus() -> int:
     env = os.environ.get("SPARK_GRAFT_CPUS")
@@ -78,9 +92,20 @@ def get_spark(
     conf = dict(_DEFAULTS)
     if extra_conf:
         conf.update(extra_conf)
+    if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb":
+        conf["spark.sql.streaming.stateStore.providerClass"] = (
+            _ROCKSDB_PROVIDER
+        )
     for k, v in conf.items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
+    if os.environ.get("SPARK_GRAFT_STATESTORE", "").lower() == "rocksdb":
+        # getOrCreate ignores builder conf on a live session; the provider
+        # is a runtime SQL conf read at stream START, so re-apply it here
+        # to cover the shared-session (pytest) path too.
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass", _ROCKSDB_PROVIDER
+        )
     # Hygiene: reap warehouse scratch left by DEAD processes (per-pid
     # scratch dirs and pid-scoped bucketed tables — see
     # sources/scratch.py:reap_dead_scratch). Safe on a live session:

@@ -135,16 +135,74 @@ def _topk_certification(approx: DataFrame, exact: DataFrame, min_recall: float):
     exactly: how many rows came back (= k whenever the probed buckets hold
     >= k candidates — true at every testdata scale) and a recall bound vs
     the exact top-k. The approximate ids themselves depend on hashing, so
-    they stay out of the hashed projection; tests assert the full id sets."""
+    they stay out of the hashed projection; tests assert the full id sets.
+
+    The hit threshold is rounded to an INTEGER before the comparison:
+    `min_recall * _K` in binary floating point can land epsilon above the
+    intended count (0.3 * 10 == 3.0000000000000004), which would fail a
+    result that has exactly the intended number of hits."""
+    min_hits = int(round(min_recall * _K))
     hits = approx.join(exact, "vec_id", "left_semi")
     return (
         approx.agg(F.count("*").alias("n_returned"))
         .crossJoin(hits.agg(F.count("*").alias("n_hits")))
         .select(
             "n_returned",
-            (F.col("n_hits") >= F.lit(min_recall * _K)).alias("recall_ok"),
+            (F.col("n_hits") >= F.lit(min_hits)).alias("recall_ok"),
         )
     )
+
+
+# Per-scale recall floors for the trained/randomized ANN family — the
+# C227 pattern extended (round 10) to IVF, PQ-ADC, IVFPQ and RP-LSH.
+# A single flat bound decays silently across scales (round 8: a PQ 4x16
+# codebook passed the sf0.01 gate at recall 0 at sf0.1; round 9: IVF
+# nprobe=4 decayed 0.83 -> 0.66 over one decade). Floors are pinned one
+# recall@10 step (0.1) under the values MEASURED by
+# tools/measure_ann_recall.py and committed in RECALL_CERT.json, so a
+# regression of more than one hit at ANY gate scale fails check_oracle.
+# `default` keeps the historical conservative bound for non-gate dirs
+# (scale probes on .scaledata, user-supplied corpora).
+#
+# sim_ivf_index_topk shares sim_kmeans_ivf_topk's floors by construction:
+# its matches_inmemory cert pins the probed result bit-identical to the
+# in-memory operator with the same quantizer parameters, so one
+# measurement covers both.
+_ANN_FLOORS: dict[str, dict[str, float]] = {
+    # measured 0.7 / 0.5 / 0.3 (quantizer coverage falls as K stays 8
+    # while N grows — the documented IVF decay shape; nprobe=2 of 8)
+    "sim_kmeans_ivf_topk": {
+        "sf0.001": 0.6, "sf0.01": 0.4, "sf0.1": 0.2, "default": 0.2,
+    },
+    "sim_ivf_index_topk": {
+        "sf0.001": 0.6, "sf0.01": 0.4, "sf0.1": 0.2, "default": 0.2,
+    },
+    # measured 0.3 / 0.4 / 0.6 (band occupancy IMPROVES recall with N
+    # here: more candidates per probed bucket reach exact re-rank)
+    "sim_lsh_topk": {
+        "sf0.001": 0.2, "sf0.01": 0.3, "sf0.1": 0.5, "default": 0.1,
+    },
+    # measured 1.0 / 0.9 / 0.9 (16x16 codebooks + exact refine)
+    "sim_pq_adc_topk": {
+        "sf0.001": 0.9, "sf0.01": 0.8, "sf0.1": 0.8, "default": 0.2,
+    },
+    # measured 0.6 / 0.5 / 0.3 (coarse-quantizer decay dominates, same
+    # shape as kmeans IVF — the residual PQ stage is not the loss)
+    "sim_ivfpq_topk": {
+        "sf0.001": 0.5, "sf0.01": 0.4, "sf0.1": 0.2, "default": 0.2,
+    },
+    # PAIR recall (continuous, not recall@10): measured .58 / .41 / .55
+    "sim_rplsh_neardup": {
+        "sf0.001": 0.45, "sf0.01": 0.30, "sf0.1": 0.45, "default": 0.2,
+    },
+}
+
+
+def _ann_floor(workload_name: str, sf_dir: str) -> float:
+    import os
+
+    floors = _ANN_FLOORS[workload_name]
+    return floors.get(os.path.basename(sf_dir.rstrip("/")), floors["default"])
 
 
 @workload(
@@ -157,15 +215,18 @@ def sim_kmeans_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-10 cosine inside them. The k-means centroids are iterative
     summation-order-dependent doubles, so the hashed projection certifies
     the result instead of listing it: exactly k rows return and recall@10
-    vs the exact brute-force top-k clears 0.2 (measured 0.5 at sf0.01 /
-    0.7 at sf0.001 — the query's own cluster is always probed). A broken
-    quantizer or probe flips recall_ok and fails the hash; tests cover the
-    id-level sets."""
+    vs the exact brute-force top-k clears a PER-SCALE floor (_ANN_FLOORS,
+    pinned one hit under the measured 0.7/0.5/0.3 at
+    sf0.001/sf0.01/sf0.1 — see RECALL_CERT.json; the cross-scale decay
+    is the fixed-K IVF shape). A broken quantizer or probe flips
+    recall_ok and fails the hash; tests cover the id-level sets."""
     from sample_data_pipeline_project_spark.operators.kmeans import kmeans_ivf_topk
 
     corpus, q, exact = _exact_topk_ids(spark, sf_dir)
     approx = kmeans_ivf_topk(corpus, q, k_clusters=8, top_k=_K, nprobe=2)
-    return _topk_certification(approx, exact, min_recall=0.2)
+    return _topk_certification(
+        approx, exact, min_recall=_ann_floor("sim_kmeans_ivf_topk", sf_dir)
+    )
 
 
 @workload(
@@ -181,7 +242,9 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     hive-partitioned by cluster, then probe as a planning-time
     partition-pruned scan reading nprobe/k of the corpus bytes. The
     hashed projection certifies the build-once/probe-many contract:
-    exactly k rows return, recall@10 vs exact brute force clears 0.2,
+    exactly k rows return, recall@10 vs exact brute force clears the
+    per-scale _ANN_FLOORS bound (shared with sim_kmeans_ivf_topk — the
+    bit-identity cert below makes one measurement cover both),
     and the probed result is BIT-IDENTICAL (same (vec_id, cosine)
     multiset) to the in-memory kmeans_ivf_topk operator with the same
     quantizer parameters — a drifted index layout or broken partition
@@ -209,7 +272,12 @@ def sim_ivf_index_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     diff = pv.exceptAll(iv).unionAll(iv.exceptAll(pv))
     return (
         diff.agg((F.count(F.lit(1)) == 0).alias("matches_inmemory"))
-        .crossJoin(_topk_certification(probed, exact, min_recall=0.2))
+        .crossJoin(
+            _topk_certification(
+                probed, exact,
+                min_recall=_ann_floor("sim_ivf_index_topk", sf_dir),
+            )
+        )
     )
 
 
@@ -223,16 +291,19 @@ def sim_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact cosine re-ranks the candidates. Bucket membership is
     hyperplane-dependent, so the hashed projection certifies instead of
     listing: k rows return (the 4 probed buckets always hold >= k
-    candidates at ~n/16 expected occupancy each) and recall@10 clears 0.1
-    (measured 0.3-0.4; the conservative bound absorbs testdata
-    regeneration). Tests measure the sharper recall."""
+    candidates at ~n/16 expected occupancy each) and recall@10 clears a
+    PER-SCALE floor (_ANN_FLOORS; measured 0.3/0.4/0.6 at
+    sf0.001/sf0.01/sf0.1 — occupancy IMPROVES recall with N here — see
+    RECALL_CERT.json). Tests measure the sharper recall."""
     from sample_data_pipeline_project_spark.operators.similarity import (
         rp_lsh_topk_cosine,
     )
 
     corpus, q, exact = _exact_topk_ids(spark, sf_dir)
     approx = rp_lsh_topk_cosine(corpus, q, _K)
-    return _topk_certification(approx, exact, min_recall=0.1)
+    return _topk_certification(
+        approx, exact, min_recall=_ann_floor("sim_lsh_topk", sf_dir)
+    )
 
 
 @workload(
@@ -256,15 +327,16 @@ def sim_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the hashed projection certifies it against the exact blocked-matmul
     pair set the oracle recomputes: zero false positives (guaranteed — the
     LSH path exact-verifies every candidate with the same arithmetic) and
-    recall >= 0.2 (measured 0.41 at sf0.01 / 0.58 at sf0.001; per-pair
-    band-collision probability ~0.5 makes <0.2 a -4.7 sigma event even
-    under regenerated testdata)."""
+    pair recall clears a PER-SCALE floor (_ANN_FLOORS, pinned ~0.1 under
+    the measured 0.58/0.41/0.55 at sf0.001/sf0.01/sf0.1 — see
+    RECALL_CERT.json)."""
     from sample_data_pipeline_project_spark.operators.similarity import (
         neardup_cosine_pairs_blocked,
         rp_lsh_neardup_pairs,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
+    floor = _ann_floor("sim_rplsh_neardup", sf_dir)
     found = rp_lsh_neardup_pairs(emb, _NEARDUP_THRESHOLD).select("a", "b")
     exact = neardup_cosine_pairs_blocked(emb, _NEARDUP_THRESHOLD).select("a", "b")
     false_pos = found.join(exact, ["a", "b"], "left_anti")
@@ -275,7 +347,7 @@ def sim_rplsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "n_exact_pairs",
             "n_false_positives",
-            (F.col("n_found") >= 0.2 * F.col("n_exact_pairs")).alias("recall_ok"),
+            (F.col("n_found") >= floor * F.col("n_exact_pairs")).alias("recall_ok"),
         )
     )
 
@@ -471,7 +543,8 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-rank. Codebooks come from iterative Lloyd training
     (summation-order-dependent doubles), so like the other trained-ANN
     workloads the hashed projection certifies instead of listing: exactly
-    k rows return and recall@10 vs exact brute force clears 0.2
+    k rows return and recall@10 vs exact brute force clears the
+    per-scale _ANN_FLOORS bound (measured 1.0/0.9/0.9, floors 0.9/0.8/0.8)
     (measured 0.9 at both sf0.01 and sf0.1; the conservative bound
     absorbs testdata regeneration). The budget is CALIBRATED, not
     assumed: the round-8 sf0.1 gate caught the previous 4x16 (2-byte,
@@ -496,7 +569,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         refine=_PQ_REFINE,
         train_sample_mod=4,
     )
-    return _topk_certification(approx, exact, min_recall=0.2)
+    return _topk_certification(
+        approx, exact, min_recall=_ann_floor("sim_pq_adc_topk", sf_dir)
+    )
 
 
 @workload(
@@ -512,7 +587,8 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     so the same code budget quantizes finer), ADC scores the probed
     lists via a broadcast nprobe x m x k lookup table, and the refine
     set gets an exact-cosine re-rank. Trained quantizers mean the hashed
-    projection certifies (exactly-k, recall@10 >= 0.2 vs brute force —
+    projection certifies (exactly-k, recall@10 above the per-scale
+    _ANN_FLOORS bound (measured 0.6/0.5/0.3, floors 0.5/0.4/0.2) —
     measured 0.8+); the no-pruning configuration is pinned bit-identical
     to brute force in tests/test_pq.py."""
     from sample_data_pipeline_project_spark.operators.pq import ivfpq_topk
@@ -534,4 +610,6 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         max_iters=2,
         train_sample_mod=4,
     )
-    return _topk_certification(approx, exact, min_recall=0.2)
+    return _topk_certification(
+        approx, exact, min_recall=_ann_floor("sim_ivfpq_topk", sf_dir)
+    )

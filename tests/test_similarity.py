@@ -411,3 +411,50 @@ def test_knn_mutual_edges_ivf_balanced_split_identical(spark):
         ).collect()
     }
     assert split == base
+
+
+def test_ann_floor_lookup_per_scale_and_default():
+    """Per-scale floor plumbing (round 10): gate dirs resolve their pinned
+    floor, unknown dirs (scale probes, user corpora) fall back to the
+    historical conservative default, and the floors agree with the
+    committed RECALL_CERT.json artifact."""
+    import json
+
+    from sample_data_pipeline_project_spark.workloads.similarity_queries import (
+        _ANN_FLOORS,
+        _ann_floor,
+    )
+
+    assert _ann_floor("sim_kmeans_ivf_topk", "/root/testdata/sf0.001") == 0.6
+    assert _ann_floor("sim_kmeans_ivf_topk", "/root/testdata/sf0.1/") == 0.2
+    assert _ann_floor("sim_lsh_topk", "/root/repo/.scaledata/sf10") == 0.1
+    assert _ann_floor("sim_pq_adc_topk", "/root/testdata/sf0.01") == 0.8
+    cert = json.load(open("/root/repo/RECALL_CERT.json"))
+    assert cert["topk_family"]["floors"] == _ANN_FLOORS
+    # every floor sits strictly UNDER its measured value (the one-hit
+    # margin contract) at every gate scale
+    measured = cert["topk_family"]["measured"]
+    for name, floors in _ANN_FLOORS.items():
+        src = "sim_kmeans_ivf_topk" if name == "sim_ivf_index_topk" else name
+        for sf in ("sf0.001", "sf0.01", "sf0.1"):
+            assert floors[sf] < measured[sf][src], (name, sf)
+
+
+def test_topk_certification_integer_hit_threshold(spark):
+    """0.3 * 10 == 3.0000000000000004 in binary fp: a result with exactly
+    3 of 10 exact hits must PASS a 0.3 floor (the threshold is rounded to
+    an integer hit count before the comparison)."""
+    from sample_data_pipeline_project_spark.workloads.similarity_queries import (
+        _topk_certification,
+    )
+
+    approx = spark.createDataFrame(
+        [(i,) for i in range(10)], "vec_id long"
+    )
+    # exact set overlaps approx in ids 0,1,2 only -> n_hits = 3
+    exact = spark.createDataFrame(
+        [(i,) for i in (0, 1, 2, 100, 101, 102, 103, 104, 105, 106)],
+        "vec_id long",
+    )
+    row = _topk_certification(approx, exact, min_recall=0.3).collect()[0]
+    assert row["recall_ok"] is True
