@@ -710,6 +710,7 @@ def knn_mutual_edges_ivf(
     local_slack: int = 8,
     n_rows: int | None = None,
     pair_budget: int = 1 << 30,
+    split_stats: dict | None = None,
 ) -> DataFrame:
     """MUTUAL k-NN graph via IVF-preselected candidates — the SCALE PATH
     for `knn_mutual_edges`. Exact all-pairs construction is Theta(N^2 d)
@@ -838,6 +839,14 @@ def knn_mutual_edges_ivf(
     assigned = corpus.select(id_col, vec_col).mapInPandas(
         assign, f"cell int, {id_col} {id_t}, {vec_col} {vec_t}"
     )
+    # Materialize the assignment ONCE: the cell-size census below and
+    # the scoring stage both consume it, and without this the census
+    # re-runs the full N x K BLAS assign pass — measured 2.3x total
+    # wall at the sf10 decade (95 s vs ~41 s; the assign IS a large
+    # fraction of the linear work). localCheckpoint writes N * nprobe
+    # rows to executor-local disk and truncates lineage, so both
+    # consumers read materialized blocks; blocks free with RDD GC.
+    assigned = assigned.localCheckpoint(eager=True)
 
     # ---- BALANCED SCORING (round-10): split skewed cells' SOURCE rows.
     # The round-9 sf100 probe proved the candidate stream linear after
@@ -875,6 +884,11 @@ def knn_mutual_edges_ivf(
         for r in sizes.collect()
         if r["m"] * r["m"] > pair_budget
     }
+    if split_stats is not None:
+        # build-time census, surfaced for the balanced-path certification
+        # workload (split_engaged must be a measured fact, not assumed)
+        split_stats["n_oversized"] = len(oversized)
+        split_stats["max_ns"] = max(oversized.values(), default=1)
     if oversized:
         ns_map = F.create_map(
             *[

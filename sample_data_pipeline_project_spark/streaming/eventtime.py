@@ -770,3 +770,115 @@ def ledger_overlaps_stateful(runs: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming interarrival anomaly (online z-score on exact integer moments)
+# ---------------------------------------------------------------------------
+_ANOM_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("ts", T.TimestampType()),
+        T.StructField("gap_s", T.LongType()),
+        T.StructField("n_prior", T.LongType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+# state = (last event's epoch-micros, count/sum/sum-of-squares of all
+# PRIOR interarrival gaps in whole seconds) — four int64s per key. The
+# moments are EXACT integers, which is what makes the stream, the batch
+# window twin, and the DuckDB oracle hash-identical: no float recurrence
+# (Welford) whose rounding would depend on batch boundaries.
+_ANOM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("last_us", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+        T.StructField("sm", T.LongType()),
+        T.StructField("sq", T.LongType()),
+    ]
+)
+_ANOM_MIN_PRIOR = 3
+_ANOM_Z2 = 9  # |z| > 3
+
+
+def interarrival_anomaly_stateful(events: DataFrame) -> DataFrame:
+    """Per-user ONLINE interarrival anomaly detector: each event's gap to
+    the previous same-user event (whole seconds, floor) is z-scored
+    against the mean/variance of all PRIOR gaps for that user, flagging
+    |z| > 3 once >= 3 prior gaps exist. The z-test is evaluated in exact
+    int64 arithmetic — (gap*cnt - sum)^2 > 9 * (cnt*sumsq - sum^2) is
+    algebraically z^2 > 9 with the population variance — so stream
+    output is bit-identical to the batch window form at any micro-batch
+    boundary (no float state). Ordering contract as ewma_stateful:
+    (ts, event_id) within batches, chronological across batches.
+
+    Overflow bound: gaps are whole seconds (<= ~10^5 on the testdata
+    span), counts are per-user event counts; (gap*cnt - sum)^2 stays
+    under ~10^18 through a 10^4-events-per-user corpus — int64-safe at
+    every probed scale (checked: max |gap*cnt - sum| ~ 10^9)."""
+    import pandas as pd
+
+    import numpy as np
+
+    def update(key, pdf_iter, state: GroupState):
+        if state.exists:
+            last_us, cnt, sm, sq = state.get
+        else:
+            last_us, cnt, sm, sq = None, 0, 0, 0
+        pdfs = [p for p in pdf_iter if len(p)]
+        if pdfs:
+            pdf = pd.concat(pdfs, ignore_index=True).sort_values(
+                ["ts", "event_id"], kind="mergesort"
+            )
+            us = pdf["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+            prev = np.empty(len(us), dtype="int64")
+            prev[1:] = us[:-1]
+            has_first_gap = last_us is not None
+            prev[0] = last_us if has_first_gap else 0
+            gap = (us - prev) // 1_000_000
+            # prior-moment prefix: row i sees moments over gaps[0..i-1]
+            # (plus carried state); the first row contributes only if a
+            # previous-event timestamp existed
+            valid = np.ones(len(us), dtype="int64")
+            if not has_first_gap:
+                valid[0] = 0
+            g = gap * valid
+            cnt_incl = cnt + np.cumsum(valid)
+            sm_incl = sm + np.cumsum(g)
+            sq_incl = sq + np.cumsum(g * g)
+            cnt_pri = cnt_incl - valid
+            sm_pri = sm_incl - g
+            sq_pri = sq_incl - g * g
+            lhs = (gap * cnt_pri - sm_pri) ** 2
+            rhs = _ANOM_Z2 * (cnt_pri * sq_pri - sm_pri * sm_pri)
+            anom = (
+                (valid == 1) & (cnt_pri >= _ANOM_MIN_PRIOR) & (lhs > rhs)
+            )
+            # only the key's first-ever row can lack a gap — no per-row
+            # Python loop needed (vectorized like the debounce kernel)
+            gap_out = pd.array(gap, dtype="Int64")
+            if not has_first_gap:
+                gap_out[0] = None
+            state.update(
+                (int(us[-1]), int(cnt_incl[-1]), int(sm_incl[-1]),
+                 int(sq_incl[-1]))
+            )
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"].to_numpy(),
+                    "user_id": pdf["user_id"].to_numpy(),
+                    "ts": pdf["ts"].to_numpy(),
+                    "gap_s": gap_out,
+                    "n_prior": cnt_pri,
+                    "is_anomaly": anom,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=_ANOM_OUT_SCHEMA,
+        stateStructType=_ANOM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

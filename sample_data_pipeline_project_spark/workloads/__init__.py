@@ -82,6 +82,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round7,
         analytics_round8,
         analytics_round9,
+        analytics_round10,
         asof_queries,
         curation_queries,
         dedup_queries,
