@@ -709,7 +709,7 @@ def knn_mutual_edges_ivf(
     iters: int = 3,
     local_slack: int = 8,
     n_rows: int | None = None,
-    pair_budget: int = 1 << 30,
+    pair_budget: int = 1 << 29,
     split_stats: dict | None = None,
 ) -> DataFrame:
     """MUTUAL k-NN graph via IVF-preselected candidates — the SCALE PATH
@@ -953,7 +953,16 @@ def knn_mutual_edges_ivf(
     # a constant that silently scales with data. The chunk size only
     # blocks the loop — preselect+rescore are per-source-row exact over
     # the FULL cell — so emitted edges are chunk-size-invariant.
-    _SIMS_BUDGET = 64 << 20  # bytes per sims block (x ~3 with temporaries)
+    # Bytes per sims block (x ~3 with temporaries). 128 MB, not 64: the
+    # chunk row count is budget/(m*8), so per-sub-group memory TRAFFIC is
+    # n_chunks * m * d * 8 = n_s * m^2 * 64 / budget — quadratic in the
+    # cell even after the pair budget caps the sims COUNT. The round-10
+    # instrumented sf100 probe measured the 215k-cell sub-groups at ~8x
+    # the sims-budget time estimate purely from re-streaming the 110 MB
+    # target matrix once per 38-row chunk; doubling the block budget
+    # halves that traffic (peak worker footprint ~0.4 GB, x32 workers
+    # ~13 GB — bounded and node-safe).
+    _SIMS_BUDGET = 128 << 20
 
     def cell_topd(key, pdf):
         empty = pd.DataFrame(
@@ -1010,8 +1019,26 @@ def knn_mutual_edges_ivf(
             }
         )
 
-    cand = staged.groupBy("cell", "salt").applyInPandas(
-        cell_topd, f"src {id_t}, dst {id_t}, cosine_sim double"
+    # Partition the scoring stage by GROUP COUNT, not by bytes: left to
+    # ENSURE_REQUIREMENTS + AQE, the shuffle coalesces on byte size, but
+    # per-cell compute is QUADRATIC in rows — the instrumented sf100
+    # probe measured the coalesced plan packing ~20 groups per task
+    # (181 partitions for ~3.5k groups) and hash-stacking several heavy
+    # sub-groups serially into one 1290 s task (61% of wall) even after
+    # the pair-budget split bounded each GROUP's work. 2x the group
+    # count keeps expected heavy-heavy collisions low; explicit
+    # repartition(N, cols) is REPARTITION_BY_NUM, which AQE will not
+    # re-coalesce, and it satisfies applyInPandas's clustering so no
+    # second shuffle is added. Per-task Arrow overhead at a few
+    # thousand partitions is milliseconds against a seconds-scale stage.
+    n_groups = k - len(oversized) + sum(oversized.values())
+    width = int(min(8192, max(64, 2 * n_groups)))
+    cand = (
+        staged.repartition(width, "cell", "salt")
+        .groupBy("cell", "salt")
+        .applyInPandas(
+            cell_topd, f"src {id_t}, dst {id_t}, cosine_sim double"
+        )
     )
     # a pair co-probed into several cells appears once per shared cell
     # with a BIT-IDENTICAL exact score; collapse before ranking

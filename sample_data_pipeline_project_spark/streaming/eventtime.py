@@ -813,10 +813,13 @@ def interarrival_anomaly_stateful(events: DataFrame) -> DataFrame:
     boundary (no float state). Ordering contract as ewma_stateful:
     (ts, event_id) within batches, chronological across batches.
 
-    Overflow bound: gaps are whole seconds (<= ~10^5 on the testdata
-    span), counts are per-user event counts; (gap*cnt - sum)^2 stays
-    under ~10^18 through a 10^4-events-per-user corpus — int64-safe at
-    every probed scale (checked: max |gap*cnt - sum| ~ 10^9)."""
+    Overflow bound: gaps are whole seconds (measured max ~5*10^5 on the
+    testdata span) and per-user event counts are ~10^2 (~10 at the sf10
+    decade, where users scale WITH events by generator design), so
+    (gap*cnt - sum)^2 <= ~2.5*10^15 — three orders under int64. The
+    general contract: |gap| * cnt must stay under ~3*10^9 per key; a
+    corpus of years-long gaps AND 10^4+ events per key needs the same
+    test in DECIMAL/int128."""
     import pandas as pd
 
     import numpy as np
