@@ -709,7 +709,7 @@ def knn_mutual_edges_ivf(
     iters: int = 3,
     local_slack: int = 8,
     n_rows: int | None = None,
-    pair_budget: int = 1 << 29,
+    pair_budget: int | str = 1 << 29,
     split_stats: dict | None = None,
 ) -> DataFrame:
     """MUTUAL k-NN graph via IVF-preselected candidates — the SCALE PATH
@@ -745,6 +745,13 @@ def knn_mutual_edges_ivf(
          are bit-identical wherever the pair co-occurs — then per-src
          window rank -> directed exact-top-d-among-candidates, mutual
          self-join, degree <= d HARD.
+
+    `pair_budget` is the per-task sims cap (int), or the sentinel
+    ``"max-cell"``: derive the budget from the measured census as
+    max(m)^2 - 1, guaranteeing the LARGEST cell splits regardless of
+    corpus shape — the certification workload (C232) uses this so its
+    split_engaged oracle cannot flip on regenerated/uniform testdata,
+    and it needs no extra driver-side count at plan-build time.
 
     Complexity: K defaults to ~sqrt(nprobe * N), making compute
     ~N^1.5 * d (vs N^2 exact) with per-cell work capped by cell size;
@@ -843,10 +850,17 @@ def knn_mutual_edges_ivf(
     # the scoring stage both consume it, and without this the census
     # re-runs the full N x K BLAS assign pass — measured 2.3x total
     # wall at the sf10 decade (95 s vs ~41 s; the assign IS a large
-    # fraction of the linear work). localCheckpoint writes N * nprobe
-    # rows to executor-local disk and truncates lineage, so both
-    # consumers read materialized blocks; blocks free with RDD GC.
-    assigned = assigned.localCheckpoint(eager=True)
+    # fraction of the linear work). persist(DISK_ONLY), not
+    # localCheckpoint (round-11 ADVICE fix): persisted blocks are
+    # ContextCleaner-tracked (freed when the plan is GC'd, so long
+    # shared-session runs don't accumulate executor-local checkpoint
+    # blocks), lineage is retained (executor loss recomputes instead of
+    # killing the query outside local mode), and persistence is LAZY —
+    # the census collect below is the single materializing pass, so
+    # plan construction itself launches one fewer job.
+    from pyspark import StorageLevel
+
+    assigned = assigned.persist(StorageLevel.DISK_ONLY)
 
     # ---- BALANCED SCORING (round-10): split skewed cells' SOURCE rows.
     # The round-9 sf100 probe proved the candidate stream linear after
@@ -879,9 +893,17 @@ def knn_mutual_edges_ivf(
     # assign pass it triggers costs seconds, the straggler it removes
     # costs tens of minutes.
     sizes = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("m"))
+    cell_rows = sizes.collect()
+    if pair_budget == "max-cell":
+        # forced-split mode: budget one sim below the largest cell's
+        # m^2, so >= 1 cell is GUARANTEED to split whenever any cell
+        # holds >= 2 rows — engagement derives from the measured
+        # census, never from assumptions about corpus skew
+        max_m = max((int(r["m"]) for r in cell_rows), default=0)
+        pair_budget = max(1, max_m * max_m - 1)
     oversized = {
         int(r["cell"]): int(-(-(r["m"] * r["m"]) // pair_budget))
-        for r in sizes.collect()
+        for r in cell_rows
         if r["m"] * r["m"] > pair_budget
     }
     if split_stats is not None:

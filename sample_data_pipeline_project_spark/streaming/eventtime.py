@@ -819,7 +819,10 @@ def interarrival_anomaly_stateful(events: DataFrame) -> DataFrame:
     (gap*cnt - sum)^2 <= ~2.5*10^15 — three orders under int64. The
     general contract: |gap| * cnt must stay under ~3*10^9 per key; a
     corpus of years-long gaps AND 10^4+ events per key needs the same
-    test in DECIMAL/int128."""
+    test in DECIMAL/int128. That bound is ENFORCED, not just narrated:
+    the kernel checks |gap|*cnt + |sum| and cnt*sumsq against int64
+    headroom per batch and raises OverflowError instead of silently
+    wrapping to wrong is_anomaly flags (round-11 ADVICE fix)."""
     import pandas as pd
 
     import numpy as np
@@ -853,6 +856,28 @@ def interarrival_anomaly_stateful(events: DataFrame) -> DataFrame:
             cnt_pri = cnt_incl - valid
             sm_pri = sm_incl - g
             sq_pri = sq_incl - g * g
+            # exact-int overflow guard: the z-test squares
+            # (gap*cnt - sum), so |gap|*cnt + |sum| must stay under
+            # ~3.03e9 (sqrt of int64 max) and 9*(cnt*sumsq) under int64.
+            # Check magnitudes in float64 (exact for bounds this far
+            # below 2^53) and REFUSE rather than wrap silently — a
+            # wrapped square emits wrong is_anomaly flags while the
+            # DuckDB BIGINT oracle errors or diverges.
+            base_mag = (
+                np.abs(gap).astype("float64") * cnt_pri
+                + np.abs(sm_pri).astype("float64")
+            )
+            rhs_mag = cnt_pri.astype("float64") * sq_pri.astype("float64")
+            if len(base_mag) and (
+                base_mag.max() > 3.0e9 or rhs_mag.max() > 1.0e18
+            ):
+                raise OverflowError(
+                    "interarrival_anomaly_stateful: int64 z-test bound "
+                    "exceeded (|gap|*cnt+|sum| up to "
+                    f"{base_mag.max():.3g}, cnt*sumsq up to "
+                    f"{rhs_mag.max():.3g}) — this corpus needs the "
+                    "DECIMAL/int128 form of the test"
+                )
             lhs = (gap * cnt_pri - sm_pri) ** 2
             rhs = _ANOM_Z2 * (cnt_pri * sq_pri - sm_pri * sm_pri)
             anom = (

@@ -74,21 +74,22 @@ def graph_knn_mutual_edges_ivf_balanced(
     A regression that makes the salted plan drop, duplicate, or rescore
     edges flips matches_unsplit and fails the oracle hash at sf0.01
     every round. Build-time census collects are K-bounded by the
-    operator's documented contract (same as C226)."""
+    operator's documented contract (same as C226). Round 11: the forced
+    budget is the operator's ``"max-cell"`` sentinel — derived from the
+    census the operator already takes (budget = max(m)^2 - 1, so the
+    largest cell is GUARANTEED to split on any corpus shape, closing
+    the ADVICE risk that regenerated/uniform testdata flips
+    split_engaged) — and the workload no longer runs `emb.count()` at
+    plan construction."""
     from sample_data_pipeline_project_spark.operators.similarity import (
         knn_mutual_edges_ivf,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
-    # mean cell size m ~ sqrt(nprobe * n) => mean m^2 ~ nprobe * n; 2x
-    # that splits only above-average cells (ns stays small, so the
-    # target-replication cost is a few copies of a few cells)
-    budget = max(64, 2 * _KNN_NPROBE * n)
     stats: dict = {}
     balanced = knn_mutual_edges_ivf(
         emb, _KNN_D, _KNN_THRESHOLD, nprobe=_KNN_NPROBE,
-        pair_budget=budget, split_stats=stats,
+        pair_budget="max-cell", split_stats=stats,
     )
     default = knn_mutual_edges_ivf(
         emb, _KNN_D, _KNN_THRESHOLD, nprobe=_KNN_NPROBE

@@ -199,10 +199,19 @@ _ANN_FLOORS: dict[str, dict[str, float]] = {
 
 
 def _ann_floor(workload_name: str, sf_dir: str) -> float:
+    """Per-scale recall floor — but ONLY for the canonical gate corpora
+    under /root/testdata: the floors are pinned against those exact
+    parquet files, so any other directory that merely happens to be
+    named sf0.001/sf0.01/sf0.1 (scale probes, user data) gets the
+    conservative 'default' bound instead of inheriting gate pins it was
+    never measured against (round-11 ADVICE fix)."""
     import os
 
     floors = _ANN_FLOORS[workload_name]
-    return floors.get(os.path.basename(sf_dir.rstrip("/")), floors["default"])
+    root = os.path.realpath(sf_dir.rstrip("/"))
+    if os.path.dirname(root) == "/root/testdata":
+        return floors.get(os.path.basename(root), floors["default"])
+    return floors["default"]
 
 
 @workload(
@@ -544,9 +553,9 @@ def sim_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (summation-order-dependent doubles), so like the other trained-ANN
     workloads the hashed projection certifies instead of listing: exactly
     k rows return and recall@10 vs exact brute force clears the
-    per-scale _ANN_FLOORS bound (measured 1.0/0.9/0.9, floors 0.9/0.8/0.8)
-    (measured 0.9 at both sf0.01 and sf0.1; the conservative bound
-    absorbs testdata regeneration). The budget is CALIBRATED, not
+    per-scale _ANN_FLOORS bound (measured 1.0/0.9/0.9 at
+    sf0.001/sf0.01/sf0.1, floors 0.9/0.8/0.8 — one hit of slack absorbs
+    testdata regeneration). The budget is CALIBRATED, not
     assumed: the round-8 sf0.1 gate caught the previous 4x16 (2-byte,
     128x) configuration at recall 0 — on this corpus the query's exact
     top-10 sits at cosine 0.31-0.41, noise-level differences a 2-byte
@@ -588,9 +597,10 @@ def sim_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists via a broadcast nprobe x m x k lookup table, and the refine
     set gets an exact-cosine re-rank. Trained quantizers mean the hashed
     projection certifies (exactly-k, recall@10 above the per-scale
-    _ANN_FLOORS bound (measured 0.6/0.5/0.3, floors 0.5/0.4/0.2) —
-    measured 0.8+); the no-pruning configuration is pinned bit-identical
-    to brute force in tests/test_pq.py."""
+    _ANN_FLOORS bound: measured 0.6/0.5/0.3 at sf0.001/sf0.01/sf0.1,
+    floors 0.5/0.4/0.2 — the cross-scale decay is the fixed-K coarse-
+    quantizer shape, not a PQ loss); the no-pruning configuration is
+    pinned bit-identical to brute force in tests/test_pq.py."""
     from sample_data_pipeline_project_spark.operators.pq import ivfpq_topk
 
     corpus, q, exact = _exact_topk_ids(spark, sf_dir)

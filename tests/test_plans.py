@@ -237,6 +237,23 @@ _BNLJ_ALLOWLIST: set[str] = {
     # 4-row packed query table into the word scan (same bounded shape
     # as sim_topk_* / sim_matryoshka_two_stage)
     "sim_hamming_rerank_topk",
+    # round-10 additions, adjudicated round 11 (VERDICT r10 item 1):
+    # - train_temperature_mix: the round-10 laziness fix normalizes
+    #   per-source weights via crossJoin(broadcast(<1-row weight total>))
+    #   (workloads/analytics_round9.py) — 1-row side, bounded by design.
+    "train_temperature_mix",
+    # - graph_knn_mutual_edges_ivf_balanced (C232): the balanced-vs-
+    #   default bit-identity cert combines two 1-row summary aggregates
+    #   with a 1-row census frame — <=3 single-row broadcast sides.
+    "graph_knn_mutual_edges_ivf_balanced",
+    # - sim_late_interaction_maxsim (C233): broadcasts the <=10-row
+    #   multi-vector query set into the corpus token scan — the same
+    #   query-vector-broadcast shape as sim_topk_* / matryoshka.
+    "sim_late_interaction_maxsim",
+    # - sample_kcenter_coreset (C234): each greedy round crossjoins the
+    #   1-row newest-center frame onto the running min-distance column;
+    #   k rounds x 1-row broadcasts, bounded by the fixed coreset size.
+    "sample_kcenter_coreset",
 }
 
 

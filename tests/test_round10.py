@@ -192,6 +192,60 @@ def test_stream_anomaly_batch_boundary_invariance(spark, tmp_path):
     assert len(got_two) == len(rows)
 
 
+def test_anomaly_overflow_guard_raises(spark, tmp_path):
+    """Round-11 ADVICE (medium): gaps big enough that |gap|*cnt + |sum|
+    exceeds the int64 z-test headroom must RAISE, not silently wrap to
+    wrong is_anomaly flags. Three events ~127 years apart trip the
+    guard on the second gap (cnt_pri=1, base magnitude ~8e9 > 3e9)."""
+    base = dt.datetime(2000, 1, 1)
+    rows = [
+        (i, 1, "click", base + dt.timedelta(seconds=i * 4_000_000_000))
+        for i in range(3)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    src = tmp_path / "wide_gaps"
+    df.coalesce(1).write.mode("overwrite").parquet(str(src))
+
+    from sample_data_pipeline_project_spark.streaming.eventtime import (
+        interarrival_anomaly_stateful,
+        run_stream_to_table,
+    )
+
+    raw = (
+        spark.readStream.schema(df.schema).format("parquet").load(str(src))
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    with pytest.raises(Exception, match="int64 z-test bound"):
+        run_stream_to_table(
+            interarrival_anomaly_stateful(raw), output_mode="append"
+        ).collect()
+
+
+def test_max_cell_budget_guarantees_split(spark):
+    """Round-11 ADVICE: pair_budget='max-cell' derives the forced budget
+    from the operator's own census (max(m)^2 - 1), so >= 1 cell splits
+    on ANY corpus shape — the C232 split_engaged oracle can no longer
+    flip on regenerated or perfectly uniform testdata. Edges must stay
+    bit-identical to the default-budget plan."""
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        knn_mutual_edges_ivf,
+    )
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    stats: dict = {}
+    forced = knn_mutual_edges_ivf(
+        emb, 3, 0.1, nprobe=2, pair_budget="max-cell", split_stats=stats
+    )
+    assert stats["n_oversized"] >= 1
+    assert stats["max_ns"] >= 2
+    default = knn_mutual_edges_ivf(emb, 3, 0.1, nprobe=2)
+    got = sorted(map(tuple, forced.collect()))
+    want = sorted(map(tuple, default.collect()))
+    assert got == want and len(want) > 0
+
+
 def test_kcenter_plan_is_lazy(spark):
     """Building the coreset query launches no Spark jobs (the chained
     1-row broadcasts are all lazy) — the C231 eager-normalizer class."""
