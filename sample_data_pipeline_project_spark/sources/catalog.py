@@ -26,19 +26,43 @@ from sample_data_pipeline_project_spark.functions.timeops import (
 from sample_data_pipeline_project_spark.schema import TESTDATA_TABLES
 
 
+# Memoized footer schemas, keyed by resolved parquet path. The testdata
+# tables are immutable for a session, yet every `spark.read.parquet`
+# re-runs the footer/schema-inference job — measured round 11: 350 of
+# 354 workload CONSTRUCTIONS launched 1-7 such jobs, i.e. thousands of
+# driver round-trips per bench/suite run that an explicit schema avoids.
+# At 100 TB the same applies with interest: footer inference against
+# object storage is a listing + range-read per build, so production
+# readers pin schemas (or read them from a catalog) and so does this
+# loader after first contact. Keyed by realpath so distinct corpora
+# (gate testdata, .scaledata decades, test fixtures) never share an
+# entry; anything outside load_table (cow/snapshot table writes, test
+# sinks) is unaffected.
+_SCHEMA_CACHE: dict[str, object] = {}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one testdata table as a DataFrame (lazy)."""
+    """Load one testdata table as a DataFrame (lazy; zero jobs after the
+    first per-path load thanks to the memoized footer schema)."""
+    import os
+
     if name not in TESTDATA_TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TESTDATA_TABLES}")
     path = f"{sf_dir.rstrip('/')}/{name}.parquet"
+    key = os.path.realpath(path)
     if name == "events":
         # Dynamic conf: must be set before the read resolves the footer
         # schema AND still set at execution; leave it on for the session.
         # Harmless when the writer used TIMESTAMP(MICROS) — the column then
         # arrives as TIMESTAMP_NTZ and ensure_ts_ntz leaves it alone.
         spark.conf.set(NANOS_AS_LONG_CONF, "true")
-        return ensure_ts_ntz(spark.read.parquet(path))
-    return spark.read.parquet(path)
+    cached = _SCHEMA_CACHE.get(key)
+    if cached is not None:
+        df = spark.read.schema(cached).parquet(path)
+    else:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+    return ensure_ts_ntz(df) if name == "events" else df
 
 
 def register_views(spark: SparkSession, sf_dir: str) -> None:

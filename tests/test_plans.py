@@ -257,6 +257,106 @@ _BNLJ_ALLOWLIST: set[str] = {
 }
 
 
+# Workloads whose CONSTRUCTION launches Spark jobs by documented design
+# (round-11 census, tools: /tmp-style lazy_census over all 354 at
+# sf0.001 after the catalog's schema memoization zeroed the footer-
+# inference jobs). Everything NOT listed here must build a fully LAZY
+# plan — zero jobs until an action — because the driver, the bench
+# harness, and the plan-guard all construct every registered query
+# before deciding what to run, and an eager build multiplies that cost
+# by the registry size (the C231/C232 defect class, fixed rounds 10-11).
+# A NEW workload launching build jobs fails until adjudicated here.
+_BUILD_JOB_ALLOWLIST: set[str] = {
+    # streaming twins: the availableNow stream RUNS at construction and
+    # returns its committed batch result — jobs are the stream itself
+    "stream_anomaly_interarrival", "stream_bitmap_distinct",
+    "stream_cdc_merge_upsert", "stream_click_view_join",
+    "stream_click_view_left_outer", "stream_debounce",
+    "stream_dedup_exact", "stream_ewma", "stream_exact_dedup",
+    "stream_holt_forecast", "stream_hourly_tumbling",
+    "stream_countmin_merge", "stream_ledger_gaps",
+    "stream_ledger_gaps_ooo", "stream_ledger_overlaps",
+    "stream_minhash_dedup", "stream_python_datasource",
+    "stream_scd2_enrich", "stream_sessionization",
+    "stream_sliding_window", "stream_stateful_user_totals",
+    "stream_static_enrich",
+    # iterative graph/ML operators: per-round localCheckpoint
+    # materialization (lineage truncation) is the documented scaling
+    # design — each round is a job by construction
+    "dedup_cluster_collapse", "dedup_connected_components",
+    "events_markov_stationary", "graph_bellman_ford_bounded",
+    "graph_bfs_contamination_hops", "graph_clustering_coefficient",
+    "graph_kcore", "graph_label_propagation", "graph_pagerank_neardup",
+    "graph_triangle_count", "ml_logistic_regression_gd",
+    "ml_pca_power_iteration", "sim_semantic_dedup",
+    # trained/censused ANN + blocked similarity: K-bounded driver
+    # collects (training samples, centroid census, cell sizes, block
+    # count sizing) by documented operator contract
+    "graph_adamic_adar", "graph_assortativity", "graph_knn_mutual_edges",
+    "graph_knn_mutual_edges_ivf", "graph_knn_mutual_edges_ivf_balanced",
+    "graph_knn_mutual_edges_ivf_recall", "sim_batch_topk",
+    "sim_ivf_index_topk", "sim_ivfpq_topk", "sim_kmeans_ivf_topk",
+    "sim_lsh_topk", "sim_neardup_pairs", "sim_pq_adc_topk",
+    "sim_rplsh_neardup", "dedup_containment_pairs", "dedup_jaccard_pairs",
+    "dedup_minhash_incremental", "dedup_minhash_jaccard_estimate",
+    "dedup_ngram_jaccard", "er_blocking_quality",
+    "er_blocking_quality_sampled", "er_cross_source_match",
+    # copy-on-write / snapshot / source-format certs: they WRITE their
+    # table or file fixture at build, then read it back
+    "cdc_merge_apply", "snapshot_time_travel", "source_csv_json_roundtrip",
+    "source_orc_roundtrip", "source_partitioned_roundtrip",
+    "source_schema_evolution", "join_bucketed_colocated",
+    "join_bucketed_orders_lineitem",
+    # plan-fact certifications: they run EXPLAIN/collect plan metadata or
+    # an AQE-materialized stage to assert a runtime plan fact
+    "agg_aqe_wide_start_coalesce", "join_bloom_pruned_revenue",
+    "join_dynamic_partition_pruning", "join_skew_aqe_certified",
+    "nested_struct_pruning",
+    # bounded driver-side statistics collected at build by documented
+    # contract (decile edges, exact percentile census, fold counts,
+    # class lists, sampled truth sets, date spines)
+    "dq_sequential_id_gaps", "events_growth_accounting",
+    "events_interarrival_percentiles", "events_new_user_cumulative",
+    "graph_hits_bipartite", "ledger_bitemporal_asof", "ml_decision_stump",
+    "percentile_cont_exact", "reco_association_rules",
+    "rollup_share_of_parent", "sketch_approx_quantiles",
+    "sketch_misra_gries_buckets", "stats_abc_classification",
+    "stats_ks_doclen_cohorts", "stats_lift_gains_deciles",
+    "stats_precision_recall_f1", "stats_quantile_normalize_sources",
+    "stats_roc_auc_exact", "text_tfidf_top_terms", "train_dataset_card",
+}
+
+
+def test_registry_construction_is_lazy(spark):
+    """Registry-wide laziness pin (VERDICT r10 item 7): constructing a
+    workload's DataFrame launches ZERO Spark jobs unless the workload is
+    on the documented build-job allowlist (streams run at build;
+    iterative ops checkpoint per round; trained ANN collects samples;
+    cow/source certs write fixtures). Catches the C231/C232 eager-build
+    class for every FUTURE workload. Runs after a catalog warmup so the
+    memoized footer schemas don't count against the first workload."""
+    from sample_data_pipeline_project_spark.sources.catalog import load_table
+    from sample_data_pipeline_project_spark.schema import TESTDATA_TABLES
+
+    tracker = spark.sparkContext.statusTracker()
+
+    def njobs() -> int:
+        return len(tracker.getJobIdsForGroup(None) or [])
+
+    for t in TESTDATA_TABLES:
+        load_table(spark, _SF, t)
+    offenders: dict[str, int] = {}
+    for name, w in sorted(load_all().items()):
+        if name in _BUILD_JOB_ALLOWLIST:
+            continue
+        before = njobs()
+        w.fn(spark, _SF)
+        launched = njobs() - before
+        if launched > 0:
+            offenders[name] = launched
+    assert offenders == {}, offenders
+
+
 def test_registry_has_no_single_partition_window(spark):
     """Registry-wide structural invariants, ONE plan walk per workload:
     (a) no Exchange SinglePartition directly feeding a Window;
