@@ -57,10 +57,17 @@ def connected_components(
     # whole upstream pair-generation pipeline (e.g. a prefix-filtered
     # similarity join) twice; checkpointing first runs it once and the
     # swap is two narrow scans of the materialized result. Every round
-    # then joins the in-memory symmetric list, never the upstream plan.
+    # then joins the materialized symmetric list, never the upstream
+    # plan. DISK_ONLY (round 11): the edge list is DATA-proportional —
+    # the sf100 embeddings probe OOMed the heap exactly here when the
+    # noise-quadratic 0.4-threshold pair set hit ~10^8 edges under the
+    # default deserialized in-memory level; disk blocks cost one
+    # sequential read per round and cannot kill the JVM.
+    from pyspark import StorageLevel
+
     edge_mat = edges.select(
         F.col(a_col).alias("src"), F.col(b_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     sym = edge_mat.unionByName(
         edge_mat.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -69,7 +76,9 @@ def connected_components(
     # them out of the loop shrinks every round's shuffle from |V| to
     # |edge endpoints|. Singletons rejoin as their own component at the end.
     active = (
-        sym.select(F.col("src").alias("vid")).distinct().localCheckpoint(eager=True)
+        sym.select(F.col("src").alias("vid"))
+        .distinct()
+        .localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     )
     labels = active.select("vid", F.col("vid").alias("comp"))
     changed = 0

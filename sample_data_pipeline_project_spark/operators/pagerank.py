@@ -40,13 +40,21 @@ def pagerank_fixed(
     if n == 0:
         raise ValueError("pagerank_fixed: empty vertex set (n=0)")
     base = float((1.0 - damping) / n)
+    from pyspark import StorageLevel
+
+    # DISK_ONLY for the edge-sized materializations (round 11): the
+    # near-dup edge list is data-proportional and a noise-dense graph
+    # OOMed the heap in the components twin at the sf100 probe; labels
+    # r (vertex-sized) stay at the default level.
     e = edges.select(
         F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
-    ).localCheckpoint(eager=True)
+    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution weight per edge is static across rounds: r changes,
     # outdeg does not — precompute src -> outdeg once on the edge list
-    ew = e.join(deg, "src").localCheckpoint(eager=True)
+    ew = e.join(deg, "src").localCheckpoint(
+        eager=True, storageLevel=StorageLevel.DISK_ONLY
+    )
     v = vertices.select(F.col(id_col).alias("vid")).localCheckpoint(eager=True)
     r = v.withColumn("r", F.lit(float(1.0 / n)))
     for _ in range(iters):

@@ -697,73 +697,35 @@ def knn_mutual_edges(
     )
     return fwd.join(rev, ["a", "b"]).select("a", "b", "cosine_sim")
 
-def knn_mutual_edges_ivf(
+def _ivf_stage(
     corpus: DataFrame,
-    d: int,
-    threshold: float,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    k_clusters: int | None = None,
-    nprobe: int = 2,
-    train_per_cluster: int = 50,
-    iters: int = 3,
-    local_slack: int = 8,
-    n_rows: int | None = None,
-    pair_budget: int | str = 1 << 29,
-    split_stats: dict | None = None,
-) -> DataFrame:
-    """MUTUAL k-NN graph via IVF-preselected candidates — the SCALE PATH
-    for `knn_mutual_edges`. Exact all-pairs construction is Theta(N^2 d)
-    compute by definition (round-8 measurement: 14.1x for 10x vectors at
-    the sf1 -> sf10 decade, the onset of the quadratic regime); this
-    variant restricts candidate generation to vectors CO-PROBED into the
-    same coarse-quantizer cell, which is the standard IVF trade: recall
-    becomes approximate, everything kept stays EXACT (every emitted edge
-    is exact-fold-rescored and threshold-filtered, mutual top-d ranks
-    computed from exact scores among candidates).
-
-    Pipeline (all stages bounded):
-      1. TRAIN: deterministic md5 doc-sample (~train_per_cluster * K
-         vectors) collected to the driver — a bounded, by-design
-         collect — and Lloyd-iterated in numpy (id-ordered init, argmin
-         ties to the lowest cluster). The production pattern: quantizers
-         train on samples.
-      2. ASSIGN: one mapInPandas pass; each vector lands in its `nprobe`
-         nearest cells (BLAS distances, float64). Shuffle volume is
-         N * nprobe vector copies — the linear replication factor.
-      3. SCORE: per-(cell, salt) applyInPandas; inside a cell the same
-         saturation-guarded preselect + exact cumsum-fold rescore as the
-         exact builder (`_preselect_exact_scores`), with the source side
-         CHUNKED so per-task memory stays bounded even when a cluster
-         is skewed, and — round 10 — cells whose m^2 sims work exceeds
-         `pair_budget` have their SOURCE rows salted across
-         ceil(m^2/pair_budget) sub-tasks (full membership replicated as
-         targets), so quantizer skew cannot serialize a decade's wall
-         on one core while emitted edges stay identical to the unsplit
-         plan.
-      4. MERGE: cross-cell duplicates collapse on (src, dst) — scores
-         are bit-identical wherever the pair co-occurs — then per-src
-         window rank -> directed exact-top-d-among-candidates, mutual
-         self-join, degree <= d HARD.
-
-    `pair_budget` is the per-task sims cap (int), or the sentinel
-    ``"max-cell"``: derive the budget from the measured census as
-    max(m)^2 - 1, guaranteeing the LARGEST cell splits regardless of
-    corpus shape — the certification workload (C232) uses this so its
-    split_engaged oracle cannot flip on regenerated/uniform testdata,
-    and it needs no extra driver-side count at plan-build time.
-
-    Complexity: K defaults to ~sqrt(nprobe * N), making compute
-    ~N^1.5 * d (vs N^2 exact) with per-cell work capped by cell size;
-    recall against the exact graph is corpus-dependent and is certified
-    by the registered workload + pytest floor rather than assumed.
-    Edges it DOES return satisfy every structural contract of the exact
-    operator (exact scores, threshold, mutuality, degree bound)."""
+    id_col: str,
+    vec_col: str,
+    k_clusters: int | None,
+    nprobe: int,
+    train_per_cluster: int,
+    iters: int,
+    n_rows: int | None,
+    pair_budget: int | str,
+    split_stats: dict | None,
+) -> tuple[DataFrame, int, str, str]:
+    """Shared IVF staging for the cell-local similarity operators
+    (`knn_mutual_edges_ivf`, `neardup_cosine_pairs_ivf`): TRAIN a coarse
+    quantizer on a deterministic driver-side sample, ASSIGN every vector
+    to its `nprobe` nearest cells (one mapInPandas pass), CENSUS the
+    cell sizes (K-bounded collect), and SALT any cell whose m^2 sims
+    work exceeds `pair_budget` into source sub-tasks with replicated
+    targets. Returns (staged, width, id_t, vec_t): `staged` has columns
+    (cell, salt, role, id, vec) where role 'b' = both, 's' = source
+    rows of a split sub-task, 't' = replicated rerank targets; `width`
+    is the compute-balanced repartition count (2x group count, capped);
+    id_t/vec_t are the caller's column type strings for Arrow schemas.
+    Every design decision here (budgets, salting, persist, width) is
+    documented inline — factored in round 11 so the pairs-mode scale
+    path shares the round-10 straggler protections verbatim."""
     import numpy as np
 
     spark = corpus.sparkSession
-    margin = 1e-6
-    k_local = d + local_slack
     n = corpus.count() if n_rows is None else n_rows
     if k_clusters is None:
         k_clusters = max(4, int((nprobe * max(n, 1)) ** 0.5))
@@ -967,24 +929,106 @@ def knn_mutual_edges_ivf(
             vec_col,
         )
 
-    # Source-side rows per matmul block, sized by a BYTE budget on the
-    # (chunk x n_cell) sims matrix rather than a fixed row count: the
-    # round-9 sf100 probe killed Python workers exactly here — a fixed
-    # 4096-row chunk against a skewed 215k-row cell is a 7.1 GB float64
-    # block. Same defect class as the round-8 fixed-B blocked matmul:
-    # a constant that silently scales with data. The chunk size only
-    # blocks the loop — preselect+rescore are per-source-row exact over
-    # the FULL cell — so emitted edges are chunk-size-invariant.
-    # Bytes per sims block (x ~3 with temporaries). 128 MB, not 64: the
-    # chunk row count is budget/(m*8), so per-sub-group memory TRAFFIC is
-    # n_chunks * m * d * 8 = n_s * m^2 * 64 / budget — quadratic in the
-    # cell even after the pair budget caps the sims COUNT. The round-10
-    # instrumented sf100 probe measured the 215k-cell sub-groups at ~8x
-    # the sims-budget time estimate purely from re-streaming the 110 MB
-    # target matrix once per 38-row chunk; doubling the block budget
-    # halves that traffic (peak worker footprint ~0.4 GB, x32 workers
-    # ~13 GB — bounded and node-safe).
-    _SIMS_BUDGET = 128 << 20
+    # Partition the scoring stage by GROUP COUNT, not by bytes: left to
+    # ENSURE_REQUIREMENTS + AQE, the shuffle coalesces on byte size, but
+    # per-cell compute is QUADRATIC in rows — the instrumented sf100
+    # probe measured the coalesced plan packing ~20 groups per task
+    # (181 partitions for ~3.5k groups) and hash-stacking several heavy
+    # sub-groups serially into one 1290 s task (61% of wall) even after
+    # the pair-budget split bounded each GROUP's work. 2x the group
+    # count keeps expected heavy-heavy collisions low; explicit
+    # repartition(N, cols) is REPARTITION_BY_NUM, which AQE will not
+    # re-coalesce, and it satisfies applyInPandas's clustering so no
+    # second shuffle is added. Per-task Arrow overhead at a few
+    # thousand partitions is milliseconds against a seconds-scale stage.
+    n_groups = k - len(oversized) + sum(oversized.values())
+    width = int(min(8192, max(64, 2 * n_groups)))
+    return staged, width, id_t, vec_t
+
+
+# Source-side rows per matmul block, sized by a BYTE budget on the
+# (chunk x n_cell) sims matrix rather than a fixed row count: the
+# round-9 sf100 probe killed Python workers exactly here — a fixed
+# 4096-row chunk against a skewed 215k-row cell is a 7.1 GB float64
+# block. Same defect class as the round-8 fixed-B blocked matmul:
+# a constant that silently scales with data. The chunk size only
+# blocks the loop — preselect+rescore are per-source-row exact over
+# the FULL cell — so emitted edges are chunk-size-invariant.
+# Bytes per sims block (x ~3 with temporaries). 128 MB, not 64: the
+# chunk row count is budget/(m*8), so per-sub-group memory TRAFFIC is
+# n_chunks * m * d * 8 = n_s * m^2 * 64 / budget — quadratic in the
+# cell even after the pair budget caps the sims COUNT. The round-10
+# instrumented sf100 probe measured the 215k-cell sub-groups at ~8x
+# the sims-budget time estimate purely from re-streaming the 110 MB
+# target matrix once per 38-row chunk; doubling the block budget
+# halves that traffic (peak worker footprint ~0.4 GB, x32 workers
+# ~13 GB — bounded and node-safe).
+_SIMS_BUDGET = 128 << 20
+
+
+def knn_mutual_edges_ivf(
+    corpus: DataFrame,
+    d: int,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int | None = None,
+    nprobe: int = 2,
+    train_per_cluster: int = 50,
+    iters: int = 3,
+    local_slack: int = 8,
+    n_rows: int | None = None,
+    pair_budget: int | str = 1 << 29,
+    split_stats: dict | None = None,
+) -> DataFrame:
+    """MUTUAL k-NN graph via IVF-preselected candidates — the SCALE PATH
+    for `knn_mutual_edges`. Exact all-pairs construction is Theta(N^2 d)
+    compute by definition (round-8 measurement: 14.1x for 10x vectors at
+    the sf1 -> sf10 decade, the onset of the quadratic regime); this
+    variant restricts candidate generation to vectors CO-PROBED into the
+    same coarse-quantizer cell, which is the standard IVF trade: recall
+    becomes approximate, everything kept stays EXACT (every emitted edge
+    is exact-fold-rescored and threshold-filtered, mutual top-d ranks
+    computed from exact scores among candidates).
+
+    Pipeline (all stages bounded; TRAIN/ASSIGN/CENSUS/SALT live in the
+    shared `_ivf_stage` — see its docstring and inline design notes):
+      3. SCORE: per-(cell, salt) applyInPandas; inside a cell the same
+         saturation-guarded preselect + exact cumsum-fold rescore as the
+         exact builder (`_preselect_exact_scores`), with the source side
+         CHUNKED so per-task memory stays bounded even when a cluster
+         is skewed, and — round 10 — cells whose m^2 sims work exceeds
+         `pair_budget` have their SOURCE rows salted across
+         ceil(m^2/pair_budget) sub-tasks (full membership replicated as
+         targets), so quantizer skew cannot serialize a decade's wall
+         on one core while emitted edges stay identical to the unsplit
+         plan.
+      4. MERGE: cross-cell duplicates collapse on (src, dst) — scores
+         are bit-identical wherever the pair co-occurs — then per-src
+         window rank -> directed exact-top-d-among-candidates, mutual
+         self-join, degree <= d HARD.
+
+    `pair_budget` is the per-task sims cap (int), or the sentinel
+    ``"max-cell"``: derive the budget from the measured census as
+    max(m)^2 - 1, guaranteeing the LARGEST cell splits regardless of
+    corpus shape — the certification workload (C232) uses this so its
+    split_engaged oracle cannot flip on regenerated/uniform testdata,
+    and it needs no extra driver-side count at plan-build time.
+
+    Complexity: K defaults to ~sqrt(nprobe * N), making compute
+    ~N^1.5 * d (vs N^2 exact) with per-cell work capped by cell size;
+    recall against the exact graph is corpus-dependent and is certified
+    by the registered workload + pytest floor rather than assumed.
+    Edges it DOES return satisfy every structural contract of the exact
+    operator (exact scores, threshold, mutuality, degree bound)."""
+    import numpy as np
+
+    margin = 1e-6
+    k_local = d + local_slack
+    staged, width, id_t, vec_t = _ivf_stage(
+        corpus, id_col, vec_col, k_clusters, nprobe, train_per_cluster,
+        iters, n_rows, pair_budget, split_stats,
+    )
 
     def cell_topd(key, pdf):
         empty = pd.DataFrame(
@@ -1041,20 +1085,8 @@ def knn_mutual_edges_ivf(
             }
         )
 
-    # Partition the scoring stage by GROUP COUNT, not by bytes: left to
-    # ENSURE_REQUIREMENTS + AQE, the shuffle coalesces on byte size, but
-    # per-cell compute is QUADRATIC in rows — the instrumented sf100
-    # probe measured the coalesced plan packing ~20 groups per task
-    # (181 partitions for ~3.5k groups) and hash-stacking several heavy
-    # sub-groups serially into one 1290 s task (61% of wall) even after
-    # the pair-budget split bounded each GROUP's work. 2x the group
-    # count keeps expected heavy-heavy collisions low; explicit
-    # repartition(N, cols) is REPARTITION_BY_NUM, which AQE will not
-    # re-coalesce, and it satisfies applyInPandas's clustering so no
-    # second shuffle is added. Per-task Arrow overhead at a few
-    # thousand partitions is milliseconds against a seconds-scale stage.
-    n_groups = k - len(oversized) + sum(oversized.values())
-    width = int(min(8192, max(64, 2 * n_groups)))
+    # compute-balanced REPARTITION_BY_NUM width comes from _ivf_stage
+    # (see the group-count-not-bytes design note there)
     cand = (
         staged.repartition(width, "cell", "salt")
         .groupBy("cell", "salt")
@@ -1082,6 +1114,119 @@ def knn_mutual_edges_ivf(
         F.col("dst").alias("a"), F.col("src").alias("b")
     )
     return fwd.join(rev, ["a", "b"]).select("a", "b", "cosine_sim")
+
+
+def neardup_cosine_pairs_ivf(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k_clusters: int | None = None,
+    nprobe: int = 2,
+    train_per_cluster: int = 50,
+    iters: int = 3,
+    n_rows: int | None = None,
+    pair_budget: int | str = 1 << 29,
+    split_stats: dict | None = None,
+) -> DataFrame:
+    """APPROXIMATE cosine near-dup PAIRS via IVF preselection — the
+    SCALE PATH for `neardup_cosine_pairs_blocked` and therefore for the
+    SemDeDup pipeline (`sim_semantic_dedup`). The exact blocked matmul
+    is Theta(N^2 d) compute no matter how it is blocked (round-11
+    probe: 12.2 s -> 80.1 s for the 20k -> 200k decade, and ~2.6e14
+    FLOP at the 2M-vector decade — hours on 32 cores); this variant
+    generates candidates only among vectors CO-PROBED into the same
+    coarse cell, cutting compute to ~N^1.5 d with the standard IVF
+    trade: PAIR RECALL becomes corpus-dependent (certified per scale by
+    the registered workload), while every pair it DOES emit is verified
+    by the same deterministic JVM cosine fold at the exact threshold —
+    the emitted set is a SUBSET of the exact operator's, bit-identical
+    scores included (asserted, not assumed, by the gate workload's
+    exceptAll check).
+
+    Staging (train/assign/census/salt) is the shared `_ivf_stage`, so
+    the round-10 straggler protections — pair-budget salting of skewed
+    cells, compute-balanced REPARTITION_BY_NUM, byte-budgeted matmul
+    chunks — apply verbatim. The cell kernel emits candidate id pairs
+    (a < b) at approx >= threshold - margin; split sub-tasks each own a
+    disjoint source slice with full-cell targets, and a pair is emitted
+    by the sub-task owning its smaller id, so the split plan emits the
+    same multiset as the unsplit plan. Cross-cell duplicates (a pair
+    co-probed into 2+ cells) collapse in the distinct before the verify
+    join. The verify stage is shared shape with the blocked operator:
+    join candidates back to the vectors, exact fold, threshold filter,
+    cached (the cert workload reads the pair set twice)."""
+    import numpy as np
+
+    margin = 1e-6
+    staged, width, id_t, vec_t = _ivf_stage(
+        corpus, id_col, vec_col, k_clusters, nprobe, train_per_cluster,
+        iters, n_rows, pair_budget, split_stats,
+    )
+
+    def cell_pairs(key, pdf):
+        empty = pd.DataFrame(
+            {
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+            }
+        )
+        roles = pdf["role"].to_numpy()
+        tmask = roles != "s"  # 'b' | 't': full cell membership
+        smask = roles != "t"  # 'b' | 's': this sub-task's source rows
+        n_t = int(tmask.sum())
+        n_s = int(smask.sum())
+        if n_t < 1 or n_s < 1 or (n_t + n_s) < 2:
+            return empty
+        Mt = np.stack(pdf[vec_col].to_numpy()[tmask]).astype("float64")
+        idt = pdf[id_col].to_numpy()[tmask].astype("int64")
+        nt = np.sqrt((Mt * Mt).sum(axis=1))
+        with np.errstate(invalid="ignore", divide="ignore"):
+            Mtn = np.where(nt[:, None] != 0, Mt / nt[:, None], 0.0)
+        if (roles == "b").all():
+            ids, Msn = idt, Mtn
+        else:
+            Ms = np.stack(pdf[vec_col].to_numpy()[smask]).astype("float64")
+            ids = pdf[id_col].to_numpy()[smask].astype("int64")
+            ns_ = np.sqrt((Ms * Ms).sum(axis=1))
+            with np.errstate(invalid="ignore", divide="ignore"):
+                Msn = np.where(ns_[:, None] != 0, Ms / ns_[:, None], 0.0)
+        chunk = max(16, min(4096, _SIMS_BUDGET // (8 * len(idt))))
+        out_a, out_b = [], []
+        for lo in range(0, len(ids), chunk):
+            hi = min(lo + chunk, len(ids))
+            sims = Msn[lo:hi] @ Mtn.T  # approx, prune only
+            ia, ib = np.nonzero(sims >= threshold - margin)
+            pa = ids[lo:hi][ia]
+            pb = idt[ib]
+            keep = pa < pb  # dedupe within cell + drop self-pairs
+            out_a.append(pa[keep])
+            out_b.append(pb[keep])
+        if not out_a:
+            return empty
+        return pd.DataFrame(
+            {"a": np.concatenate(out_a), "b": np.concatenate(out_b)}
+        )
+
+    cands = (
+        staged.repartition(width, "cell", "salt")
+        .groupBy("cell", "salt")
+        .applyInPandas(cell_pairs, "a long, b long")
+        .distinct()  # a pair co-probed into several cells emits per cell
+    )
+    ea = corpus.select(
+        F.col(id_col).cast("long").alias("a"), F.col(vec_col).alias("va")
+    )
+    eb = corpus.select(
+        F.col(id_col).cast("long").alias("b"), F.col(vec_col).alias("vb")
+    )
+    verified = (
+        cands.join(ea, "a")
+        .join(eb, "b")
+        .select("a", "b", cosine("va", "vb").alias("cosine_sim"))
+        .filter(F.col("cosine_sim") >= threshold)
+    )
+    return verified.cache()
 
 
 # --- binary (sign) quantization + Hamming shortlist (B3 scale path) -------

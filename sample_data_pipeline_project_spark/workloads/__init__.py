@@ -83,6 +83,7 @@ def load_all() -> dict[str, Workload]:
         analytics_round8,
         analytics_round9,
         analytics_round10,
+        analytics_round11,
         asof_queries,
         curation_queries,
         dedup_queries,

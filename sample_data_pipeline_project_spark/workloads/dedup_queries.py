@@ -318,6 +318,33 @@ _DUCK_QSCORE = f"""(CASE WHEN len(qtoks) BETWEEN 20 AND 1000 THEN 1 ELSE 0 END
              THEN 1 ELSE 0 END)"""
 
 
+def _quality_scored(d: DataFrame) -> DataFrame:
+    """(doc_id, quality_score): the 0-3 additive quality signal the
+    collapse election ranks by (length band, stopword-ratio band,
+    distinct-token ratio) — shared by the exact pipeline and its C237
+    LSH-banded scale path so both elect with the SAME production code."""
+    from sample_data_pipeline_project_spark.functions.text import (
+        stopword_count,
+        tokens,
+    )
+
+    dq = d.withColumn("qtoks", tokens("text"))
+    n_tokens = F.size(F.col("qtoks"))
+    n_stop = stopword_count("qtoks", "en")
+    score = (
+        F.when(n_tokens.between(20, 1000), 1).otherwise(0)
+        + F.when(
+            (n_stop.cast("double") / n_tokens).between(0.01, 0.6), 1
+        ).otherwise(0)
+        + F.when(
+            F.size(F.array_distinct(F.col("qtoks"))).cast("double") / n_tokens
+            >= 0.1,
+            1,
+        ).otherwise(0)
+    )
+    return dq.select("doc_id", score.cast("long").alias("quality_score"))
+
+
 @workload(
     "dedup_cluster_collapse",
     oracle=f"""
@@ -355,10 +382,6 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer scores + boolean flags keep the hash engine-portable."""
     from pyspark.sql.window import Window
 
-    from sample_data_pipeline_project_spark.functions.text import (
-        stopword_count,
-        tokens,
-    )
     from sample_data_pipeline_project_spark.operators.components import (
         connected_components,
     )
@@ -368,21 +391,7 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         "a", "b"
     )
     comp = connected_components(pairs, d.select("doc_id"), id_col="doc_id")
-    dq = d.withColumn("qtoks", tokens("text"))
-    n_tokens = F.size(F.col("qtoks"))
-    n_stop = stopword_count("qtoks", "en")
-    score = (
-        F.when(n_tokens.between(20, 1000), 1).otherwise(0)
-        + F.when((n_stop.cast("double") / n_tokens).between(0.01, 0.6), 1).otherwise(
-            0
-        )
-        + F.when(
-            F.size(F.array_distinct(F.col("qtoks"))).cast("double") / n_tokens
-            >= 0.1,
-            1,
-        ).otherwise(0)
-    )
-    scored = dq.select("doc_id", score.cast("long").alias("quality_score"))
+    scored = _quality_scored(d)
     joined = comp.join(scored, "doc_id")
     w = Window.partitionBy("component_id").orderBy(
         F.col("quality_score").desc(), F.col("doc_id").asc()

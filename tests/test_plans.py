@@ -254,6 +254,10 @@ _BNLJ_ALLOWLIST: set[str] = {
     #   1-row newest-center frame onto the running min-distance column;
     #   k rounds x 1-row broadcasts, bounded by the fixed coreset size.
     "sample_kcenter_coreset",
+    # round-11 additions: the C236/C237 certifications combine three
+    # 1-row aggregates (subset flag, recall counts, representative- or
+    # election-rule flag) via broadcast crossJoins — the C232 cert shape.
+    "sim_semantic_dedup_ivf", "dedup_cluster_collapse_lsh",
 }
 
 
@@ -283,12 +287,13 @@ _BUILD_JOB_ALLOWLIST: set[str] = {
     # iterative graph/ML operators: per-round localCheckpoint
     # materialization (lineage truncation) is the documented scaling
     # design — each round is a job by construction
-    "dedup_cluster_collapse", "dedup_connected_components",
+    "dedup_cluster_collapse", "dedup_cluster_collapse_lsh",
+    "dedup_connected_components",
     "events_markov_stationary", "graph_bellman_ford_bounded",
     "graph_bfs_contamination_hops", "graph_clustering_coefficient",
     "graph_kcore", "graph_label_propagation", "graph_pagerank_neardup",
     "graph_triangle_count", "ml_logistic_regression_gd",
-    "ml_pca_power_iteration", "sim_semantic_dedup",
+    "ml_pca_power_iteration", "sim_semantic_dedup", "sim_semantic_dedup_ivf",
     # trained/censused ANN + blocked similarity: K-bounded driver
     # collects (training samples, centroid census, cell sizes, block
     # count sizing) by documented operator contract
