@@ -1343,3 +1343,88 @@ def hamming_rerank_topk(
         reranked.withColumn("rank", F.row_number().over(w_k))
         .filter(F.col("rank") <= k)
     )
+
+
+def mmr_select(
+    pool: DataFrame,
+    k: int,
+    lam: float = 0.7,
+    div_weight: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998) selection
+    over a relevance-scored candidate pool: pick k items one at a time,
+    each maximizing  lam * relevance - div_weight * max(cosine to any
+    already-selected item), ties to the lowest id — the standard
+    diversified-retrieval / context-dedup primitive (don't hand a RAG
+    prompt five copies of the same passage).
+
+    `lam` and `div_weight` are passed separately (NOT 1-lam) so callers
+    can hand both engines the exact same decimal literals — in IEEE
+    doubles 1.0 - 0.7 != 0.3, and an oracle writing CAST('0.3' AS DOUBLE)
+    must see this side multiply by the identical bit pattern.
+
+    Spark-first shape (the C234 k-center idiom): each of the k-1
+    selection rounds is a 1-row TakeOrderedAndProject over the pool with
+    all previously chosen items attached via BROADCAST crossJoins of
+    1-row frames — ONE lazy Catalyst plan, no driver loop over data, no
+    job at construction. The pool is expected to be SMALL (top-M by
+    relevance, M in the tens): at 100 TB the relevance stage is the
+    distributed scan (brute/IVF top-M, already covered by the B3 family)
+    and MMR re-ranks its M-row result, so every per-round pass here
+    touches M rows, not the corpus.
+
+    Each selected 1-row frame is lazily cache()d: round i's frame is
+    referenced by every later round AND the final union, and without the
+    cache Catalyst re-executes each selection subtree once per reference
+    — O(2^k) broadcast jobs instead of O(k) (measured 37 s -> ~4 s at
+    k=5 on a 24-row pool; the cost is per-JOB driver round-trips, not
+    data). cache() is lazy, so construction still launches no jobs."""
+    first = (
+        pool.orderBy(F.col(rel_col).desc(), F.col(id_col).asc())
+        .limit(1)
+        .select(
+            F.col(id_col).alias("s1_id"),
+            F.col(vec_col).alias("s1_v"),
+            F.col(rel_col).alias("s1_rel"),
+        )
+        .cache()
+    )
+    chosen = [first]
+    for i in range(2, k + 1):
+        cand = pool
+        for c in chosen:
+            cand = cand.crossJoin(F.broadcast(c))
+        for j in range(1, i):
+            cand = cand.filter(F.col(id_col) != F.col(f"s{j}_id"))
+        sims = [cosine(vec_col, f"s{j}_v") for j in range(1, i)]
+        maxsim = sims[0] if len(sims) == 1 else F.greatest(*sims)
+        mmr = F.lit(lam) * F.col(rel_col) - F.lit(div_weight) * maxsim
+        nxt = (
+            cand.select(
+                F.col(id_col),
+                F.col(vec_col),
+                F.col(rel_col),
+                mmr.alias("mmr"),
+            )
+            .orderBy(F.col("mmr").desc(), F.col(id_col).asc())
+            .limit(1)
+            .select(
+                F.col(id_col).alias(f"s{i}_id"),
+                F.col(vec_col).alias(f"s{i}_v"),
+                F.col(rel_col).alias(f"s{i}_rel"),
+            )
+            .cache()
+        )
+        chosen.append(nxt)
+    out = None
+    for i, c in enumerate(chosen, 1):
+        row = c.select(
+            F.lit(i).cast("long").alias("sel_order"),
+            F.col(f"s{i}_id").alias(id_col),
+            F.col(f"s{i}_rel").alias("relevance"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -310,3 +310,245 @@ def dedup_cluster_collapse_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             "election_valid",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# C238 — MMR diversified top-k retrieval (maximal marginal relevance)
+# ---------------------------------------------------------------------------
+# Weights ride as decimal STRINGS parsed once per engine: in IEEE doubles
+# 1.0 - 0.7 != 0.3, so the diversity weight is its own literal, never
+# derived from lam (see operators/similarity.py mmr_select).
+_MMR_QUERY_ID = 0
+_MMR_POOL = 24
+_MMR_K = 5
+_MMR_LAM = "0.7"
+_MMR_DIV = "0.3"
+
+
+def _mmr_oracle() -> str:
+    """Unrolled greedy MMR (the C234 chained-CTE idiom): selection i
+    maximizes lam*rel - div*max(cosine to s1..s{i-1}), ties -> lowest
+    vec_id. Every cosine is the shared left-fold fragment, so scores are
+    bit-identical to the Spark side and no rounding is needed."""
+    from sample_data_pipeline_project_spark.functions.vectors import (
+        duck_cosine,
+    )
+
+    lam = f"CAST('{_MMR_LAM}' AS DOUBLE)"
+    div = f"CAST('{_MMR_DIV}' AS DOUBLE)"
+    qcos = duck_cosine("e.embedding", "q.q_emb")
+    lines = [
+        "WITH q AS (SELECT embedding AS q_emb FROM embeddings"
+        f" WHERE vec_id = {_MMR_QUERY_ID}),",
+        "pool AS (SELECT * FROM ("
+        f"SELECT e.vec_id, e.embedding, {qcos} AS rel "
+        f"FROM embeddings e CROSS JOIN q WHERE e.vec_id != {_MMR_QUERY_ID}"
+        ") WHERE rel IS NOT NULL "
+        f"ORDER BY rel DESC, vec_id ASC LIMIT {_MMR_POOL}),",
+        "s1 AS (SELECT vec_id, embedding, rel FROM pool"
+        " ORDER BY rel DESC, vec_id ASC LIMIT 1)",
+    ]
+    for i in range(2, _MMR_K + 1):
+        prev = ", ".join(f"s{j}" for j in range(1, i))
+        neq = " AND ".join(f"p.vec_id != s{j}.vec_id" for j in range(1, i))
+        sims = [
+            duck_cosine("p.embedding", f"s{j}.embedding")
+            for j in range(1, i)
+        ]
+        maxsim = sims[0] if len(sims) == 1 else (
+            "GREATEST(" + ", ".join(sims) + ")"
+        )
+        lines.append(
+            f", s{i} AS (SELECT p.vec_id, p.embedding, p.rel "
+            f"FROM pool p, {prev} WHERE {neq} "
+            f"ORDER BY {lam} * p.rel - {div} * {maxsim} DESC, "
+            f"p.vec_id ASC LIMIT 1)"
+        )
+    sel = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS sel_order, vec_id, rel AS relevance"
+        f" FROM s{i}"
+        for i in range(1, _MMR_K + 1)
+    )
+    return "\n".join(lines) + "\n" + sel
+
+
+@workload("sim_mmr_diverse_topk", oracle=_mmr_oracle())
+def sim_mmr_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C238 — diversified retrieval via Maximal Marginal Relevance: the
+    top-{pool} relevance candidates for a fixed query vector, re-ranked
+    by greedy MMR (lam * relevance - div * max cosine to the already
+    selected set, ties to lowest vec_id) into a k-item diverse context —
+    the standard don't-retrieve-five-copies primitive between ANN search
+    and a RAG prompt (Carbonell & Goldstein 1998).
+
+    Spark-first: the relevance stage is the B3 brute-force scan
+    (broadcast 1-row query, TakeOrderedAndProject top-{pool}), CACHED —
+    lazily, so construction launches no jobs — because the k-1 chained
+    selection rounds each re-reference the pool and an uncached 24-row
+    pool subtree would re-scan the corpus O(2^k) times; the selection
+    chain itself is the C234 idiom (1-row broadcast crossJoins +
+    1-row TakeOrderedAndProject per round, BNLJ-allowlisted). At 100 TB
+    the pool stage is whichever distributed top-M the B3 family already
+    provides (brute/IVF/PQ); MMR re-ranks M rows, corpus-size-free."""
+    from sample_data_pipeline_project_spark.functions.vectors import cosine
+    from sample_data_pipeline_project_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") == _MMR_QUERY_ID).select(
+        F.col("embedding").alias("q_emb")
+    )
+    pool = (
+        emb.filter(F.col("vec_id") != _MMR_QUERY_ID)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            "embedding",
+            cosine("embedding", "q_emb").alias("rel"),
+        )
+        .filter(F.col("rel").isNotNull())
+        .orderBy(F.col("rel").desc(), F.col("vec_id").asc())
+        .limit(_MMR_POOL)
+        .cache()
+    )
+    return mmr_select(
+        pool,
+        _MMR_K,
+        lam=float(_MMR_LAM),
+        div_weight=float(_MMR_DIV),
+    )
+
+
+# ---------------------------------------------------------------------------
+# C239 — DSIR-style importance resampling (hashed-ngram LM log-ratio)
+# ---------------------------------------------------------------------------
+_DSIR_TARGET = "src7"
+_DSIR_B = 256
+_DSIR_TOP = 50
+
+
+def _dsir_bucket_expr() -> str:
+    from sample_data_pipeline_project_spark.functions.text import (
+        md5_prefix_uint32_sql,
+    )
+
+    return md5_prefix_uint32_sql("'dsir|' || tok") + f" % {_DSIR_B}"
+
+
+def _dsir_lnratio_expr() -> str:
+    """ln of an exact integer rational: both counts and totals are exact
+    BIGINTs cast to DOUBLE before one multiply/divide each side — the only
+    libm call is the single ln, absorbed by the final ROUND(.., 9)."""
+    return (
+        f"ln((CAST(COALESCE(cnt_t, 0) + 1 AS DOUBLE)"
+        f" * CAST(n_r + {_DSIR_B} AS DOUBLE))"
+        f" / (CAST(cnt_r + 1 AS DOUBLE)"
+        f" * CAST(n_t + {_DSIR_B} AS DOUBLE)))"
+    )
+
+
+def _dsir_oracle() -> str:
+    from sample_data_pipeline_project_spark.workloads.text_queries import (
+        _DUCK_TOKENS,
+    )
+
+    bucket = _dsir_bucket_expr()
+    return f"""
+WITH toks AS (
+  SELECT doc_id, unnest({_DUCK_TOKENS}) AS tok FROM documents
+),
+tf AS (
+  SELECT doc_id, {bucket} AS bucket, COUNT(*) AS tf
+  FROM toks WHERE tok != '' GROUP BY doc_id, {bucket}
+),
+raw AS (SELECT bucket, CAST(SUM(tf) AS BIGINT) AS cnt_r FROM tf GROUP BY bucket),
+tgt AS (
+  SELECT t.bucket, CAST(SUM(t.tf) AS BIGINT) AS cnt_t
+  FROM tf t JOIN documents d ON t.doc_id = d.doc_id
+  WHERE d.source = '{_DSIR_TARGET}'
+  GROUP BY t.bucket
+),
+tot AS (
+  SELECT CAST(SUM(t.tf) AS BIGINT) AS n_r,
+         CAST(SUM(CASE WHEN d.source = '{_DSIR_TARGET}' THEN t.tf ELSE 0 END)
+              AS BIGINT) AS n_t
+  FROM tf t JOIN documents d ON t.doc_id = d.doc_id
+),
+lr AS (
+  SELECT r.bucket, {_dsir_lnratio_expr()} AS lnratio
+  FROM raw r LEFT JOIN tgt g ON r.bucket = g.bucket CROSS JOIN tot
+)
+SELECT t.doc_id, d.source AS source,
+       ROUND(SUM(t.tf * lr.lnratio), 9) AS llr_score
+FROM tf t JOIN lr ON t.bucket = lr.bucket
+JOIN documents d ON t.doc_id = d.doc_id
+GROUP BY t.doc_id, d.source
+ORDER BY llr_score DESC, t.doc_id ASC
+LIMIT {_DSIR_TOP}
+"""
+
+
+@workload("text_dsir_importance_sample", oracle=_dsir_oracle())
+def text_dsir_importance_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C239 — data selection by importance resampling (DSIR, Xie et al.
+    2023): score every document by the log-likelihood ratio of a hashed
+    unigram LM fit on a TARGET domain (source = {target}) vs one fit on
+    the raw corpus, add-one smoothed over {b} md5 buckets, and keep the
+    top-{n} — the published recipe for "select pretraining data that
+    looks like my high-quality domain" without a trained classifier.
+
+    Spark-first / 100 TB shape: the token explode is map-side; the only
+    corpus-sized shuffles are keyed (doc_id, bucket) then doc_id; both
+    LMs are <= {b}-row aggregates joined back by BROADCAST (the bucket
+    domain is fixed, never vocabulary-sized — the hashing trick is what
+    makes DSIR shuffle-free at any vocabulary); the corpus-total frame
+    is a 1-row broadcast crossJoin (BNLJ-allowlisted); the final top-{n}
+    is TakeOrderedAndProject. Determinism: bucket counts are exact
+    integers, each bucket's log-ratio is ONE ln of an exact rational,
+    and per-doc scores round to 9 dp on both engines (the
+    text_bm25_search libm rule)."""
+    from sample_data_pipeline_project_spark.functions.text import tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("tok"))
+        .filter(F.col("tok") != "")
+        .select("doc_id", F.expr(_dsir_bucket_expr()).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    tf_src = tf.join(src, "doc_id")
+    raw = tf.groupBy("bucket").agg(F.sum("tf").alias("cnt_r"))
+    tgt = (
+        tf_src.filter(F.col("source") == _DSIR_TARGET)
+        .groupBy("bucket")
+        .agg(F.sum("tf").alias("cnt_t"))
+    )
+    tot = tf_src.agg(
+        F.sum("tf").alias("n_r"),
+        F.sum(
+            F.when(F.col("source") == _DSIR_TARGET, F.col("tf")).otherwise(0)
+        ).alias("n_t"),
+    )
+    lr = (
+        raw.join(tgt, "bucket", "left")
+        .crossJoin(F.broadcast(tot))
+        .select("bucket", F.expr(_dsir_lnratio_expr()).alias("lnratio"))
+    )
+    scored = (
+        tf.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(F.col("tf") * F.col("lnratio")), 9).alias(
+                "llr_score"
+            )
+        )
+    )
+    return (
+        scored.join(src, "doc_id")
+        .select("doc_id", "source", "llr_score")
+        .orderBy(F.col("llr_score").desc(), F.col("doc_id").asc())
+        .limit(_DSIR_TOP)
+    )

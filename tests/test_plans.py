@@ -258,6 +258,15 @@ _BNLJ_ALLOWLIST: set[str] = {
     # 1-row aggregates (subset flag, recall counts, representative- or
     # election-rule flag) via broadcast crossJoins — the C232 cert shape.
     "sim_semantic_dedup_ivf", "dedup_cluster_collapse_lsh",
+    # - sim_mmr_diverse_topk (C238): the relevance stage broadcasts the
+    #   1-row query vector (sim_topk_* shape) and each of the k-1 MMR
+    #   rounds crossjoins <=k 1-row selected-item frames onto the
+    #   24-row cached pool — bounded by the fixed k, the C234 idiom.
+    "sim_mmr_diverse_topk",
+    # - text_dsir_importance_sample (C239): the corpus-total LM
+    #   normalizer is a 1-row aggregate crossJoined onto the <=256-row
+    #   bucket table (the text_kl_divergence_by_source shape).
+    "text_dsir_importance_sample",
 }
 
 
