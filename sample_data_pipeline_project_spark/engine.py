@@ -39,6 +39,17 @@ _DEFAULTS = {
     # runtime per-stage instead of statically per-session.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Let AQE re-partition plans that populate a CACHE (round 11,
+    # default false): the engine's signature/pair tables are .cache()'d
+    # by documented operator contract (minhash signatures, prefix-filter
+    # per-doc tables, verified pair sets), and with the default every
+    # cache-population job runs its shuffles at the RAW wide-start
+    # partition count — measured at sf0.1 as back-to-back 256-task
+    # stages of near-empty tasks in every dedup-family workload (AQE
+    # coalescing was confirmed active for the same plan uncached).
+    # Downstream consumers only ever re-key or re-aggregate these
+    # cached tables, so output-partitioning stability buys nothing here.
+    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep planner stats honest on raw parquet dirs.
     "spark.sql.parquet.filterPushdown": "true",

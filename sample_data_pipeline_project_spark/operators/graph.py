@@ -27,6 +27,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sample_data_pipeline_project_spark.operators.partitioning import cap_parts
+
 
 def triangle_counts(
     edges: DataFrame, a_col: str = "a", b_col: str = "b"
@@ -46,25 +48,27 @@ def triangle_counts(
     # pair-generation pipeline (e.g. a blocked-matmul similarity join).
     # Same pattern as connected_components: materialize the (small) edge
     # list once, then everything downstream joins in-memory data.
-    e = (
+    # cap_parts before every materialization (round 11): see
+    # operators/partitioning.py — downstream stages re-scan these blocks
+    # once per reference, and the wide-start layout makes that 256
+    # near-empty tasks each time.
+    e = cap_parts(
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     # Degree per vertex (over canonical edges); materialized because it
     # feeds BOTH sides of the orientation join below (without truncation
     # the union+aggregate would execute twice per action).
-    deg = (
+    deg = cap_parts(
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     # Orient each edge from its lower (deg, id) endpoint to its higher one;
     # carry the destination's rank so the wedge join can order its two legs
     # without another degree lookup.
@@ -76,10 +80,14 @@ def triangle_counts(
     )
     # Also materialized: referenced three times (two wedge legs + the
     # closing-edge probe); edge-list-sized.
-    oriented = ranked.select(
-        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
-        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
-        F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias("dst_deg"),
+    oriented = cap_parts(
+        ranked.select(
+            F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
+            F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
+            F.when(a_first, F.col("deg_b")).otherwise(F.col("deg_a")).alias(
+                "dst_deg"
+            ),
+        )
     ).localCheckpoint(eager=True)
     # Wedges rooted at the lowest-ranked corner: pick two out-neighbors of
     # src, ordered by rank so the closing edge (v -> w) matches its own
@@ -141,15 +149,14 @@ def kcore_peel(
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    e = (
+    e = cap_parts(
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
 
     def _degrees(ed: DataFrame) -> DataFrame:
         return (
@@ -161,12 +168,11 @@ def kcore_peel(
 
     for _ in range(rounds):
         keep = _degrees(e).filter(F.col("degree") >= k).select("vertex")
-        e = (
+        e = cap_parts(
             e.join(keep.withColumnRenamed("vertex", "a"), "a")
             .join(keep.withColumnRenamed("vertex", "b"), "b")
             .select("a", "b")
-            .localCheckpoint(eager=True)
-        )
+        ).localCheckpoint(eager=True)
     return _degrees(e)
 
 
@@ -211,28 +217,25 @@ def bfs_hops(
         .distinct()
     )
     # Symmetrize once — relaxation below walks src -> dst only.
-    sym = (
+    sym = cap_parts(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    dist = (
+    ).localCheckpoint(eager=True)
+    dist = cap_parts(
         seeds.select(F.col(seed_col).alias("vertex"))
         .distinct()
         .select("vertex", F.lit(0).cast("long").alias("hops"))
-        .localCheckpoint(eager=True)
-    )
+    ).localCheckpoint(eager=True)
     for _ in range(rounds):
         relaxed = (
             dist.join(sym, dist["vertex"] == sym["src"])
             .select(F.col("dst").alias("vertex"), (F.col("hops") + 1).alias("hops"))
         )
-        dist = (
+        dist = cap_parts(
             dist.unionByName(relaxed)
             .groupBy("vertex")
             .agg(F.min("hops").alias("hops"))
-            .localCheckpoint(eager=True)
-        )
+        ).localCheckpoint(eager=True)
     return dist
 
 
@@ -323,8 +326,6 @@ def lpa_labels(
     """
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    from pyspark.sql.window import Window
-
     e = (
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
@@ -333,26 +334,33 @@ def lpa_labels(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = (
+    sym = cap_parts(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-        .localCheckpoint(eager=True)
-    )
-    labels = sym.select(F.col("src").alias("vertex")).distinct().select(
-        "vertex", F.col("vertex").alias("label")
     ).localCheckpoint(eager=True)
-    w = Window.partitionBy("vertex").orderBy(
-        F.col("n").desc(), F.col("label").asc()
-    )
+    labels = cap_parts(
+        sym.select(F.col("src").alias("vertex"))
+        .distinct()
+        .select("vertex", F.col("vertex").alias("label"))
+    ).localCheckpoint(eager=True)
+    # Mode election is a max_by HASH AGGREGATE, not a rank window (round
+    # 11, guide §2.4): per round this removes the per-vertex sort — the
+    # (vertex, label) count and the mode argmax share one exchange, with
+    # map-side partial aggregation on both. Ordering key
+    # struct(n, -label) is unique per vertex (labels are distinct rows),
+    # so its MAX equals the old (n DESC, label ASC) head exactly.
     for _ in range(rounds):
         nb = sym.join(
             labels.withColumnRenamed("vertex", "dst"), "dst"
         ).select(F.col("src").alias("vertex"), "label")
         cnt = nb.groupBy("vertex", "label").agg(F.count(F.lit(1)).alias("n"))
-        labels = (
-            cnt.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+        labels = cap_parts(
+            cnt.groupBy("vertex")
+            .agg(
+                F.max_by(
+                    "label", F.struct("n", (-F.col("label")).alias("__neg"))
+                ).alias("label")
+            )
             .select("vertex", "label")
-            .localCheckpoint(eager=True)
-        )
+        ).localCheckpoint(eager=True)
     return labels

@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from sample_data_pipeline_project_spark.operators.partitioning import widen
+
 
 def _sq_l2(a: str, b: str) -> F.Column:
     return F.expr(
@@ -42,20 +44,35 @@ def assign_clusters(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """(id, cluster, sq_dist): nearest centroid per vector (min distance,
-    cluster id tiebreak). `centroids` has (cluster, c_vec)."""
-    scored = vectors.crossJoin(F.broadcast(centroids)).select(
+    cluster id tiebreak). `centroids` has (cluster, c_vec).
+
+    Argmin is a `min_by` HASH AGGREGATE, not a row_number window (round
+    11, guide §2.3/§2.4): the window form shuffled all N*k scored rows —
+    vector payload included — into a sort per vector; min_by partially
+    aggregates map-side, so the exchange carries N rows and no sort runs.
+    The ordering key struct(sq_dist, cluster) is unique per vector
+    (cluster ids are distinct), so the argmin is deterministic and equals
+    the old (sq_dist ASC, cluster ASC) tiebreak row-for-row.
+
+    `widen` (round 11, guide 2.5): the corpus frequently arrives as ONE
+    unsplittable parquet partition, serializing the whole N*k distance
+    map side on one core; widening to the cluster's parallelism is a
+    no-op whenever the scan is already at least that wide."""
+    scored = widen(vectors).crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(vec_col),
         F.col("cluster"),
         _sq_l2(vec_col, "c_vec").alias("sq_dist"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("sq_dist").asc(), F.col("cluster").asc()
-    )
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, vec_col, "cluster", "sq_dist")
+        scored.groupBy(id_col)
+        .agg(
+            F.min_by(
+                F.struct(vec_col, "cluster", "sq_dist"),
+                F.struct("sq_dist", "cluster"),
+            ).alias("__best")
+        )
+        .select(id_col, "__best.*")
     )
 
 

@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from sample_data_pipeline_project_spark.operators.partitioning import cap_parts
+
 
 def pagerank_fixed(
     edges: DataFrame,
@@ -46,16 +48,21 @@ def pagerank_fixed(
     # near-dup edge list is data-proportional and a noise-dense graph
     # OOMed the heap in the components twin at the sf100 probe; labels
     # r (vertex-sized) stay at the default level.
-    e = edges.select(
-        F.col(src_col).alias("src"), F.col(dst_col).alias("dst")
+    # cap_parts on every materialization (round 11): see
+    # operators/partitioning.py — without it the per-round joins re-scan
+    # 256-partition checkpoint blocks with near-empty tasks.
+    e = cap_parts(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
     ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution weight per edge is static across rounds: r changes,
     # outdeg does not — precompute src -> outdeg once on the edge list
-    ew = e.join(deg, "src").localCheckpoint(
+    ew = cap_parts(e.join(deg, "src")).localCheckpoint(
         eager=True, storageLevel=StorageLevel.DISK_ONLY
     )
-    v = vertices.select(F.col(id_col).alias("vid")).localCheckpoint(eager=True)
+    v = cap_parts(
+        vertices.select(F.col(id_col).alias("vid"))
+    ).localCheckpoint(eager=True)
     r = v.withColumn("r", F.lit(float(1.0 / n)))
     for _ in range(iters):
         mass = (
@@ -64,7 +71,7 @@ def pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
-        r = (
+        r = cap_parts(
             v.join(mass, v["vid"] == mass["dst"], "left")
             .select(
                 "vid",
@@ -72,8 +79,7 @@ def pagerank_fixed(
                     "r"
                 ),
             )
-            .localCheckpoint(eager=True)
-        )
+        ).localCheckpoint(eager=True)
     return (
         r.join(deg.withColumnRenamed("src", "vid"), "vid", "left")
         .select(

@@ -116,7 +116,16 @@ def pq_fit(
         train = train.filter(
             F.pmod(F.hash(F.col(id_col)), F.lit(train_sample_mod)) == 0
         )
-    subs = _subvectors(train, m, dim, vec_col).localCheckpoint(eager=True)
+    # widen (round 11, guide 2.5): a single-row-group corpus scans as ONE
+    # partition, serializing every Lloyd iteration on one core; widening
+    # before the checkpoint is a no-op when the scan is already wide.
+    from sample_data_pipeline_project_spark.operators.partitioning import (
+        widen,
+    )
+
+    subs = widen(_subvectors(train, m, dim, vec_col)).localCheckpoint(
+        eager=True
+    )
     # GROUPED Lloyd: all m subspace codebooks advance in the SAME job per
     # iteration (keyed by sub_id throughout) — m x fewer Spark jobs than
     # looping kmeans_fit per subspace, identical per-subspace math.
@@ -140,9 +149,12 @@ def pq_fit(
             "lower train_sample_mod — an under-filled codebook would "
             "silently degrade every downstream encode"
         )
-    w_assign = Window.partitionBy(id_col, "sub_id").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
+    # Assignment argmin is a min_by hash aggregate (round 11): the window
+    # form shuffled all n*m*k scored rows (subvector payload included)
+    # into a sort per (vector, subspace); min_by partially aggregates
+    # map-side so the exchange carries n*m rows and no sort runs. The
+    # key struct(d2, code) is unique per group (codes are distinct), so
+    # the argmin equals the old (d2 ASC, code ASC) tiebreak row-for-row.
     for _ in range(max_iters):
         assigned = (
             subs.join(F.broadcast(centroids), "sub_id")
@@ -153,8 +165,18 @@ def pq_fit(
                 "code",
                 _sq_l2("subvec", "c_vec").alias("d2"),
             )
-            .withColumn("__rn", F.row_number().over(w_assign))
-            .filter(F.col("__rn") == 1)
+            .groupBy(id_col, "sub_id")
+            .agg(
+                F.min_by(
+                    F.struct("subvec", "code"), F.struct("d2", "code")
+                ).alias("__best")
+            )
+            .select(
+                id_col,
+                "sub_id",
+                F.col("__best.subvec").alias("subvec"),
+                F.col("__best.code").alias("code"),
+            )
         )
         by_dim = (
             assigned.select(
@@ -203,8 +225,8 @@ def pq_encode(
     """(id, sub_id, code): nearest codebook centroid per subspace —
     the compressed representation (long form; m rows of two small ints
     per vector). Broadcast join against the (m x k)-row codebook, argmin
-    via a per-(vector, subspace) window — partitioned by the densest key
-    available, never global."""
+    via a per-(vector, subspace) min_by hash aggregate — map-side
+    combinable, never a sort, never global."""
     subs = _subvectors(corpus.select(id_col, vec_col), m, dim, vec_col)
     scored = subs.join(F.broadcast(codebooks), "sub_id").select(
         id_col,
@@ -212,12 +234,11 @@ def pq_encode(
         "code",
         _sq_l2("subvec", "c_vec").alias("d2"),
     )
-    w = Window.partitionBy(id_col, "sub_id").orderBy(
-        F.col("d2").asc(), F.col("code").asc()
-    )
+    # min_by hash-aggregate argmin (round 11; see pq_fit): map-side
+    # partial agg instead of an n*m*k-row sort window — same rows out.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
+        scored.groupBy(id_col, "sub_id")
+        .agg(F.min_by("code", F.struct("d2", "code")).alias("code"))
         .select(id_col, "sub_id", "code")
     )
 

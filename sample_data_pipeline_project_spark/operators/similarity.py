@@ -352,19 +352,36 @@ def ivf_assign(
     centroid_vec_col: str = "c_emb",
 ) -> DataFrame:
     """Assign every vector to its nearest centroid (max cosine, id
-    tiebreak): the IVF coarse quantizer. Centroids broadcast; one pass."""
-    scored = corpus.crossJoin(F.broadcast(centroids)).select(
+    tiebreak): the IVF coarse quantizer. Centroids broadcast; one pass.
+    `widen` (round 11, guide 2.5): a single-row-group corpus scans as
+    ONE partition, serializing the N*C score map side on one core —
+    no-op when the scan is already wide."""
+    from sample_data_pipeline_project_spark.operators.partitioning import (
+        widen,
+    )
+
+    scored = widen(corpus).crossJoin(F.broadcast(centroids)).select(
         F.col(id_col),
         F.col(centroid_id_col),
         cosine(vec_col, centroid_vec_col).alias("c_sim"),
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c_sim").desc(), F.col(centroid_id_col).asc()
-    )
+    # Argmax is a max_by HASH AGGREGATE, not a row_number window (round
+    # 11, guide §2.3/§2.4): the window shuffled all N*C scored rows into
+    # a per-vector sort; max_by partially aggregates map-side so the
+    # exchange carries N rows and no sort runs. Ordering key
+    # struct(c_sim, -centroid_id) is unique per vector (centroid ids are
+    # distinct) and its MAX is exactly the old (c_sim DESC, centroid_id
+    # ASC) head — including NaN scores, which Spark orders greatest, the
+    # same place a DESC sort put them.
     return (
-        scored.withColumn("__rn", F.row_number().over(w))
-        .filter(F.col("__rn") == 1)
-        .select(id_col, centroid_id_col, "c_sim")
+        scored.groupBy(id_col)
+        .agg(
+            F.max_by(
+                F.struct(centroid_id_col, "c_sim"),
+                F.struct("c_sim", (-F.col(centroid_id_col)).alias("__neg")),
+            ).alias("__best")
+        )
+        .select(id_col, "__best.*")
     )
 
 
