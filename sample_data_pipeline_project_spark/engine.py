@@ -39,17 +39,21 @@ _DEFAULTS = {
     # runtime per-stage instead of statically per-session.
     "spark.sql.adaptive.coalescePartitions.initialPartitionNum": "256",
     "spark.sql.adaptive.skewJoin.enabled": "true",
-    # Let AQE re-partition plans that populate a CACHE (round 11,
-    # default false): the engine's signature/pair tables are .cache()'d
-    # by documented operator contract (minhash signatures, prefix-filter
-    # per-doc tables, verified pair sets), and with the default every
-    # cache-population job runs its shuffles at the RAW wide-start
-    # partition count — measured at sf0.1 as back-to-back 256-task
-    # stages of near-empty tasks in every dedup-family workload (AQE
-    # coalescing was confirmed active for the same plan uncached).
-    # Downstream consumers only ever re-key or re-aggregate these
-    # cached tables, so output-partitioning stability buys nothing here.
-    "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning": "true",
+    # canChangeCachedPlanOutputPartitioning stays at its DEFAULT (false)
+    # — round 12 reverted the round-11 "true". The round-11 rationale
+    # (cache-population shuffles run 256 near-empty tasks) mistook
+    # task-launch noise (milliseconds) for the cost; what the flag
+    # actually did was let AQE coalesce the cached signature/pair/token
+    # tables down to 1-3 partitions (they are KB-to-MB-sized inputs),
+    # and every downstream stage that fans OUT of those caches — band
+    # self-joins, prefix candidate joins, token-intersection joins,
+    # whose outputs are millions of rows from tiny inputs — inherited
+    # that near-serial layout. Same-session conf-only A/B at sf0.1
+    # (BENCH-NOTES round 12, non-overlapping spreads): the 10-workload
+    # cached-dedup family went 150.1 s (true) -> 36.2 s (false), with
+    # dedup_minhash_jaccard_estimate alone 83.5 s -> 7.5 s (11.2x).
+    # This also resolves the driver-measured r11 regression on
+    # dedup_minhash_lsh (3.67 -> 1.69 s in the same A/B).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Keep planner stats honest on raw parquet dirs.
     "spark.sql.parquet.filterPushdown": "true",

@@ -29,7 +29,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
-from sample_data_pipeline_project_spark.operators.partitioning import cap_parts
+from sample_data_pipeline_project_spark.operators.partitioning import (
+    checkpoint_capped,
+)
 
 
 def connected_components(
@@ -67,12 +69,14 @@ def connected_components(
     # sequential read per round and cannot kill the JVM.
     from pyspark import StorageLevel
 
-    # cap_parts (round 11): materialized frames otherwise keep the
-    # wide-start 256-partition shuffle layout, and every round re-scans
-    # them with 256/512 near-empty tasks (see operators/partitioning.py).
-    edge_mat = cap_parts(
-        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # checkpoint_capped (rounds 11/12): materialized frames otherwise keep
+    # the wide-start 256-partition shuffle layout, and every round re-scans
+    # them with 256/512 near-empty tasks; the coalesce happens AFTER
+    # materialization with a size guard (see operators/partitioning.py).
+    edge_mat = checkpoint_capped(
+        edges.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst")),
+        StorageLevel.DISK_ONLY,
+    )
     sym = edge_mat.unionByName(
         edge_mat.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
@@ -80,9 +84,10 @@ def connected_components(
     # the overwhelming majority of the corpus is singletons, and keeping
     # them out of the loop shrinks every round's shuffle from |V| to
     # |edge endpoints|. Singletons rejoin as their own component at the end.
-    active = cap_parts(
-        sym.select(F.col("src").alias("vid")).distinct()
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    active = checkpoint_capped(
+        sym.select(F.col("src").alias("vid")).distinct(),
+        StorageLevel.DISK_ONLY,
+    )
     labels = active.select("vid", F.col("vid").alias("comp"))
     changed = 0
     for _ in range(max_iter):
@@ -106,7 +111,7 @@ def connected_components(
             F.col("vid").alias("jvid"), F.col("comp").alias("jcomp")
         )
         obs = Observation()
-        merged = cap_parts(
+        merged = checkpoint_capped(
             stepped.join(jumped, stepped["comp"] == jumped["jvid"])
             .select("vid", "old_comp", F.col("jcomp").alias("comp"))
             .observe(
@@ -115,7 +120,7 @@ def connected_components(
                     F.when(F.col("comp") < F.col("old_comp"), 1).otherwise(0)
                 ).alias("changed"),
             )
-        ).localCheckpoint(eager=True)
+        )
         changed = int(obs.get["changed"] or 0)
         labels = merged.select("vid", "comp")
         if changed == 0:

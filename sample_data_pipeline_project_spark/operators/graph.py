@@ -27,7 +27,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sample_data_pipeline_project_spark.operators.partitioning import cap_parts
+from sample_data_pipeline_project_spark.operators.partitioning import (
+    checkpoint_capped,
+)
 
 
 def triangle_counts(
@@ -48,27 +50,28 @@ def triangle_counts(
     # pair-generation pipeline (e.g. a blocked-matmul similarity join).
     # Same pattern as connected_components: materialize the (small) edge
     # list once, then everything downstream joins in-memory data.
-    # cap_parts before every materialization (round 11): see
+    # checkpoint_capped before every materialization (rounds 11/12): see
     # operators/partitioning.py — downstream stages re-scan these blocks
     # once per reference, and the wide-start layout makes that 256
-    # near-empty tasks each time.
-    e = cap_parts(
+    # near-empty tasks each time; the coalesce is post-materialization +
+    # size-guarded so producing stages keep their AQE width.
+    e = checkpoint_capped(
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-    ).localCheckpoint(eager=True)
+    )
     # Degree per vertex (over canonical edges); materialized because it
     # feeds BOTH sides of the orientation join below (without truncation
     # the union+aggregate would execute twice per action).
-    deg = cap_parts(
+    deg = checkpoint_capped(
         e.select(F.col("a").alias("v"))
         .unionByName(e.select(F.col("b").alias("v")))
         .groupBy("v")
         .agg(F.count(F.lit(1)).alias("deg"))
-    ).localCheckpoint(eager=True)
+    )
     # Orient each edge from its lower (deg, id) endpoint to its higher one;
     # carry the destination's rank so the wedge join can order its two legs
     # without another degree lookup.
@@ -80,7 +83,7 @@ def triangle_counts(
     )
     # Also materialized: referenced three times (two wedge legs + the
     # closing-edge probe); edge-list-sized.
-    oriented = cap_parts(
+    oriented = checkpoint_capped(
         ranked.select(
             F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("src"),
             F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("dst"),
@@ -88,7 +91,7 @@ def triangle_counts(
                 "dst_deg"
             ),
         )
-    ).localCheckpoint(eager=True)
+    )
     # Wedges rooted at the lowest-ranked corner: pick two out-neighbors of
     # src, ordered by rank so the closing edge (v -> w) matches its own
     # orientation.
@@ -149,14 +152,14 @@ def kcore_peel(
         raise ValueError(f"k must be >= 1, got {k}")
     if rounds < 0:
         raise ValueError(f"rounds must be >= 0, got {rounds}")
-    e = cap_parts(
+    e = checkpoint_capped(
         edges.select(
             F.least(F.col(a_col), F.col(b_col)).alias("a"),
             F.greatest(F.col(a_col), F.col(b_col)).alias("b"),
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-    ).localCheckpoint(eager=True)
+    )
 
     def _degrees(ed: DataFrame) -> DataFrame:
         return (
@@ -168,11 +171,11 @@ def kcore_peel(
 
     for _ in range(rounds):
         keep = _degrees(e).filter(F.col("degree") >= k).select("vertex")
-        e = cap_parts(
+        e = checkpoint_capped(
             e.join(keep.withColumnRenamed("vertex", "a"), "a")
             .join(keep.withColumnRenamed("vertex", "b"), "b")
             .select("a", "b")
-        ).localCheckpoint(eager=True)
+        )
     return _degrees(e)
 
 
@@ -217,25 +220,25 @@ def bfs_hops(
         .distinct()
     )
     # Symmetrize once — relaxation below walks src -> dst only.
-    sym = cap_parts(
+    sym = checkpoint_capped(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    ).localCheckpoint(eager=True)
-    dist = cap_parts(
+    )
+    dist = checkpoint_capped(
         seeds.select(F.col(seed_col).alias("vertex"))
         .distinct()
         .select("vertex", F.lit(0).cast("long").alias("hops"))
-    ).localCheckpoint(eager=True)
+    )
     for _ in range(rounds):
         relaxed = (
             dist.join(sym, dist["vertex"] == sym["src"])
             .select(F.col("dst").alias("vertex"), (F.col("hops") + 1).alias("hops"))
         )
-        dist = cap_parts(
+        dist = checkpoint_capped(
             dist.unionByName(relaxed)
             .groupBy("vertex")
             .agg(F.min("hops").alias("hops"))
-        ).localCheckpoint(eager=True)
+        )
     return dist
 
 
@@ -334,15 +337,15 @@ def lpa_labels(
         .filter(F.col("a") != F.col("b"))
         .distinct()
     )
-    sym = cap_parts(
+    sym = checkpoint_capped(
         e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
         .unionByName(e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    ).localCheckpoint(eager=True)
-    labels = cap_parts(
+    )
+    labels = checkpoint_capped(
         sym.select(F.col("src").alias("vertex"))
         .distinct()
         .select("vertex", F.col("vertex").alias("label"))
-    ).localCheckpoint(eager=True)
+    )
     # Mode election is a max_by HASH AGGREGATE, not a rank window (round
     # 11, guide §2.4): per round this removes the per-vertex sort — the
     # (vertex, label) count and the mode argmax share one exchange, with
@@ -354,7 +357,7 @@ def lpa_labels(
             labels.withColumnRenamed("vertex", "dst"), "dst"
         ).select(F.col("src").alias("vertex"), "label")
         cnt = nb.groupBy("vertex", "label").agg(F.count(F.lit(1)).alias("n"))
-        labels = cap_parts(
+        labels = checkpoint_capped(
             cnt.groupBy("vertex")
             .agg(
                 F.max_by(
@@ -362,5 +365,5 @@ def lpa_labels(
                 ).alias("label")
             )
             .select("vertex", "label")
-        ).localCheckpoint(eager=True)
+        )
     return labels

@@ -21,7 +21,9 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from sample_data_pipeline_project_spark.operators.partitioning import cap_parts
+from sample_data_pipeline_project_spark.operators.partitioning import (
+    checkpoint_capped,
+)
 
 
 def pagerank_fixed(
@@ -48,21 +50,20 @@ def pagerank_fixed(
     # near-dup edge list is data-proportional and a noise-dense graph
     # OOMed the heap in the components twin at the sf100 probe; labels
     # r (vertex-sized) stay at the default level.
-    # cap_parts on every materialization (round 11): see
+    # checkpoint_capped on every materialization (rounds 11/12): see
     # operators/partitioning.py — without it the per-round joins re-scan
-    # 256-partition checkpoint blocks with near-empty tasks.
-    e = cap_parts(
-        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
-    ).localCheckpoint(eager=True, storageLevel=StorageLevel.DISK_ONLY)
+    # 256-partition checkpoint blocks with near-empty tasks; the coalesce
+    # is post-materialization + size-guarded so the producing stages keep
+    # their AQE width.
+    e = checkpoint_capped(
+        edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst")),
+        StorageLevel.DISK_ONLY,
+    )
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # contribution weight per edge is static across rounds: r changes,
     # outdeg does not — precompute src -> outdeg once on the edge list
-    ew = cap_parts(e.join(deg, "src")).localCheckpoint(
-        eager=True, storageLevel=StorageLevel.DISK_ONLY
-    )
-    v = cap_parts(
-        vertices.select(F.col(id_col).alias("vid"))
-    ).localCheckpoint(eager=True)
+    ew = checkpoint_capped(e.join(deg, "src"), StorageLevel.DISK_ONLY)
+    v = checkpoint_capped(vertices.select(F.col(id_col).alias("vid")))
     r = v.withColumn("r", F.lit(float(1.0 / n)))
     for _ in range(iters):
         mass = (
@@ -71,7 +72,7 @@ def pagerank_fixed(
             .groupBy("dst")
             .agg(F.sum("c").alias("m"))
         )
-        r = cap_parts(
+        r = checkpoint_capped(
             v.join(mass, v["vid"] == mass["dst"], "left")
             .select(
                 "vid",
@@ -79,7 +80,7 @@ def pagerank_fixed(
                     "r"
                 ),
             )
-        ).localCheckpoint(eager=True)
+        )
     return (
         r.join(deg.withColumnRenamed("src", "vid"), "vid", "left")
         .select(

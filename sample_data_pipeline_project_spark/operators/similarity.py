@@ -829,17 +829,22 @@ def _ivf_stage(
     # the scoring stage both consume it, and without this the census
     # re-runs the full N x K BLAS assign pass — measured 2.3x total
     # wall at the sf10 decade (95 s vs ~41 s; the assign IS a large
-    # fraction of the linear work). persist(DISK_ONLY), not
-    # localCheckpoint (round-11 ADVICE fix): persisted blocks are
-    # ContextCleaner-tracked (freed when the plan is GC'd, so long
-    # shared-session runs don't accumulate executor-local checkpoint
-    # blocks), lineage is retained (executor loss recomputes instead of
-    # killing the query outside local mode), and persistence is LAZY —
-    # the census collect below is the single materializing pass, so
-    # plan construction itself launches one fewer job.
-    from pyspark import StorageLevel
-
-    assigned = assigned.persist(StorageLevel.DISK_ONLY)
+    # fraction of the linear work). Eager localCheckpoint, NOT persist
+    # (round 12, VERDICT r11 item 2 — a 3-arm same-session A/B at sf0.1,
+    # BENCH-NOTES): the round-11 persist(DISK_ONLY) took
+    # graph_knn_mutual_edges_ivf_balanced from 3.89 s (r10 close) to
+    # 10.7 s, and persist(MEMORY_AND_DISK_DESER) measured WORSE (11.8 s)
+    # — DataFrame persist stores compressed COLUMNAR batches, so every
+    # one of this table's 3-4 re-reads per query (census + the three
+    # staged role branches) pays a columnar decode of the fat vector
+    # column, where a localCheckpoint stores raw row blocks and re-reads
+    # are plain block scans (4.90 s — disjoint spreads vs both persist
+    # arms, and recall/plain IVF won 1.2-1.5x the same way). Checkpoint
+    # blocks are still ContextCleaner-tracked (the RDD unpersists when
+    # the plan is GC'd); the known trade is lineage truncation (executor
+    # loss outside local mode fails the query instead of recomputing),
+    # which round 10 carried for the same reason.
+    assigned = assigned.localCheckpoint(eager=True)
 
     # ---- BALANCED SCORING (round-10): split skewed cells' SOURCE rows.
     # The round-9 sf100 probe proved the candidate stream linear after

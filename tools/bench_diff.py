@@ -29,7 +29,12 @@ def main() -> int:
         delta = a - b
         if abs(delta) < min_abs:
             continue
-        bs, as_ = sb.get(name, [b, b, b]), sa.get(name, [a, a, a])
+        bs, as_ = sb.get(name), sa.get(name)
+        if bs is None or as_ is None:
+            # a mover without spread data can't be adjudicated — don't
+            # overstate it as REAL (round-12 ADVICE fix)
+            rows.append((name, b, a, "no-spread", delta))
+            continue
         overlap = not (as_[0] > bs[2] or as_[2] < bs[0])
         rows.append((name, b, a, "overlap" if overlap else "REAL", delta))
     rows.sort(key=lambda r: -r[4])
@@ -42,7 +47,11 @@ def main() -> int:
     ta = sum(v for v in qa.values() if v >= 0)
     common_b = sum(v for n, v in qb.items() if v >= 0 and n in qa)
     common_a = sum(v for n, v in qa.items() if v >= 0 and n in qb)
-    print(f"total before={tb:.1f}s after={ta:.1f}s; common {common_b:.1f} -> {common_a:.1f} ({common_a/common_b:.3f}x)")
+    ratio = f" ({common_a / common_b:.3f}x)" if common_b > 0 else ""
+    print(
+        f"total before={tb:.1f}s after={ta:.1f}s; "
+        f"common {common_b:.1f} -> {common_a:.1f}{ratio}"
+    )
     return 0
 
 

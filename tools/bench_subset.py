@@ -11,7 +11,9 @@ in BENCH_DETAIL.json.
 Usage:
   python tools/bench_subset.py q1 q2 ...        # sf via SPARK_GRAFT_SF_DIR
 Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1),
-     SPARK_GRAFT_BENCH_RUNS (default 3), SPARK_GRAFT_BENCH_WARMUP (1).
+     SPARK_GRAFT_BENCH_RUNS (default 3), SPARK_GRAFT_BENCH_WARMUP (1),
+     SPARK_GRAFT_EXTRA_CONF ("k=v;k=v" session conf overrides — the
+     config-A/B knob, so flag comparisons run from identical code).
 """
 
 from __future__ import annotations
@@ -36,7 +38,12 @@ def main() -> int:
     from sample_data_pipeline_project_spark.sources.catalog import load_table
     from sample_data_pipeline_project_spark.workloads import load_all
 
-    spark = get_spark(app_name="bench_subset")
+    extra = {}
+    for kv in os.environ.get("SPARK_GRAFT_EXTRA_CONF", "").split(";"):
+        if "=" in kv:
+            k, _, v = kv.partition("=")
+            extra[k.strip()] = v.strip()
+    spark = get_spark(app_name="bench_subset", extra_conf=extra or None)
     spark.sparkContext.setLogLevel("ERROR")
     workloads = load_all()
     missing = [n for n in names if n not in workloads]
