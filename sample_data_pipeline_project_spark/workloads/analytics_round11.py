@@ -244,7 +244,6 @@ def dedup_cluster_collapse_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from sample_data_pipeline_project_spark.workloads.dedup_queries import (
         _quality_scored,
     )
-    from pyspark.sql.window import Window
 
     d = load_table(spark, sf_dir, "documents")
     approx = _lsh_verified_jaccard_pairs(d).cache()
@@ -262,15 +261,19 @@ def dedup_cluster_collapse_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = _quality_scored(d)
     joined = comp.join(scored, "doc_id")
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("quality_score").desc(), F.col("doc_id").asc()
-    )
-    ranked = joined.withColumn("rn", F.row_number().over(w))
-    canon = ranked.filter(F.col("rn") == 1).select(
-        "component_id",
-        F.col("quality_score").alias("c_q"),
-        F.col("doc_id").alias("c_id"),
-    )
+    # max_by hash-aggregate election, not a rank window (round 12, guide
+    # §2.4): same rewrite + tie-break argument as dedup_cluster_collapse
+    # — struct(quality_score, -doc_id) is unique per component, so its
+    # argmax is exactly the old (quality DESC, doc_id ASC) head.
+    canon = joined.groupBy("component_id").agg(
+        F.max_by(
+            F.struct(
+                F.col("quality_score").alias("c_q"),
+                F.col("doc_id").alias("c_id"),
+            ),
+            F.struct("quality_score", (-F.col("doc_id")).alias("__neg")),
+        ).alias("__c")
+    ).select("component_id", "__c.c_q", "__c.c_id")
     stats = joined.groupBy("component_id").agg(
         F.max("quality_score").alias("mx_q")
     )

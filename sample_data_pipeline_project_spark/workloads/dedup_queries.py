@@ -378,10 +378,17 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     additive score of text_quality_score; doc_id breaks ties) — the
     curation step that keeps the BEST duplicate, not an arbitrary one.
     Every shuffle is keyed by doc_id or component_id (cluster-local
-    election via a component-partitioned rank — never a global window);
-    integer scores + boolean flags keep the hash engine-portable."""
-    from pyspark.sql.window import Window
+    election via a per-component argmax — never a global window);
+    integer scores + boolean flags keep the hash engine-portable.
 
+    The election is a `max_by` HASH AGGREGATE, not a rank window (round
+    12, guide §2.4 — the LPA mode-election pattern): the window form
+    shuffled every (doc, component, score) row into a per-component
+    sort just to pick row 1; max_by partially aggregates map-side, so
+    the election exchange carries one row per component and no sort
+    runs. Ordering key struct(quality_score, -doc_id) is unique per
+    component (doc_id is unique), so its MAX equals the old
+    (quality DESC, doc_id ASC) head exactly."""
     from sample_data_pipeline_project_spark.operators.components import (
         connected_components,
     )
@@ -393,16 +400,14 @@ def dedup_cluster_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = connected_components(pairs, d.select("doc_id"), id_col="doc_id")
     scored = _quality_scored(d)
     joined = comp.join(scored, "doc_id")
-    w = Window.partitionBy("component_id").orderBy(
-        F.col("quality_score").desc(), F.col("doc_id").asc()
-    )
-    ranked = joined.withColumn("rn", F.row_number().over(w))
-    canon = ranked.filter(F.col("rn") == 1).select(
-        "component_id", F.col("doc_id").alias("canonical_doc_id")
+    canon = joined.groupBy("component_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct("quality_score", (-F.col("doc_id")).alias("__neg")),
+        ).alias("canonical_doc_id")
     )
     return (
-        ranked.drop("rn")
-        .join(canon, "component_id")
+        joined.join(canon, "component_id")
         .select(
             "doc_id",
             "component_id",
