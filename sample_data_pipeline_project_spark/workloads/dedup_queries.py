@@ -641,23 +641,37 @@ def dedup_minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFram
         .join(sig.alias("sb"), F.col("b") == F.col("sb.doc_id"))
         .select("a", "b", n_match.alias("n_match"))
     )
-    ts = token_sets(d).localCheckpoint(eager=True)
-    sizes = ts.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    ta, tb = ts.alias("ta"), ts.alias("tb")
-    inter = (
-        cand.join(ta, F.col("a") == F.col("ta.doc_id"))
-        .join(
-            tb,
-            (F.col("b") == F.col("tb.doc_id"))
-            & (F.col("tb.tok") == F.col("ta.tok")),
-        )
-        .groupBy("a", "b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Truth intersection/union via per-doc sorted token ARRAYS +
+    # array_intersect (round 12, guide §2.3 "aggregate before you
+    # shuffle"): the round-4 form exploded the checkpointed token table
+    # against the sampled pairs twice (|cand| x tokens-per-doc rows
+    # through a (b, tok)-keyed shuffle join plus a (a, b) re-aggregate);
+    # grouping tokens to one array row per doc first makes both truth
+    # joins pair-sized broadcast lookups and the intersection a per-row
+    # array op. token_sets emits per-doc DISTINCT tokens, so
+    # size(array_intersect(..)) equals the old join-count n_inter
+    # row-for-row, and n = size(toks) equals the old per-doc count.
+    per_doc = (
+        token_sets(d)
+        .groupBy("doc_id")
+        .agg(F.sort_array(F.collect_list("tok")).alias("toks"))
+        .localCheckpoint(eager=True)
     )
+    pa = per_doc.select(
+        F.col("doc_id").alias("a"),
+        F.col("toks").alias("toks_a"),
+        F.size("toks").alias("n_a"),
+    )
+    pb = per_doc.select(
+        F.col("doc_id").alias("b"),
+        F.col("toks").alias("toks_b"),
+        F.size("toks").alias("n_b"),
+    )
+    n_inter = F.size(F.array_intersect("toks_a", "toks_b"))
     return (
-        m.join(inter, ["a", "b"])
-        .join(sizes.withColumnRenamed("doc_id", "a").withColumnRenamed("n", "n_a"), "a")
-        .join(sizes.withColumnRenamed("doc_id", "b").withColumnRenamed("n", "n_b"), "b")
+        m.join(pa, "a")
+        .join(pb, "b")
+        .withColumn("n_inter", n_inter)
         .select(
             "a",
             "b",
